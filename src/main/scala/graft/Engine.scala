@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * The reference (oap-project/native-sql-engine) attaches to Spark via
+  * `spark.sql.extensions=com.intel.oap.ColumnarPlugin`
+  * (reference: native-sql-engine/core/src/main/scala/com/intel/oap/ColumnarPlugin.scala:387-394).
+  * We keep the same shape — an extensions entry point (`graft.plans.GraftExtensions`)
+  * — but the execution engine is stock Catalyst + Tungsten: declarative plans,
+  * whole-stage codegen, AQE. Defaults below are chosen for cluster citizenship
+  * (AQE coalesce/skew handling on, sane local shuffle parallelism, UTC).
+  */
+object Engine {
+  /** local parallelism: match cores, not Spark's default 200 shuffle partitions */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config(
+        "spark.sql.extensions",
+        "graft.plans.GraftExtensions"
+      )
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md).
+  * Plain `spark.read.parquet` — Spark's vectorized parquet reader with
+  * predicate pushdown and column pruning is the idiomatic equivalent of the
+  * reference's Arrow Dataset scan
+  * (reference: arrow-data-source/standard/.../ArrowDataSourceV2.scala:27-41).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so SQL-text queries can run. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

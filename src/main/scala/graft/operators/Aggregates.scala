@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.functions._
+
+/** Hash-aggregation capability surface.
+  *
+  * Mirrors the reference's `ColumnarHashAggregateExec` + the six supported
+  * aggregate functions Sum/Average/Count/Min/Max/StddevSamp
+  * (reference: native-sql-engine/core/src/main/scala/com/intel/oap/expression/ColumnarHashAggregation.scala:101-196)
+  * plus distinct-aggregate rewrite and Expand-based grouping sets
+  * (reference: .../execution/ColumnarExpandExec.scala:37-136).
+  * Spark plans these as partial/final HashAggregate pairs with map-side
+  * combine automatically; at 100 TB the only knobs that matter are key
+  * cardinality (bounded here) and AQE partition coalescing (on).
+  */
+object Aggregates {
+
+  /** TPC-H Q1 adapted to the testdata schema (l_shipdate is a timestamp).
+    * scan → filter → partial agg → shuffle → final agg → sort. */
+  val q1Agg = QueryDef(
+    "q1_agg",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          avgd(col("l_quantity")).as("avg_qty"),
+          avgd(col("l_extendedprice")).as("avg_price"),
+          avgd(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sumdSql("l_quantity")} AS sum_qty,
+             ${sumdSql("l_extendedprice")} AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+             ${avgdSql("l_quantity")} AS avg_qty,
+             ${avgdSql("l_extendedprice")} AS avg_price,
+             ${avgdSql("l_discount")} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** COUNT(DISTINCT) — Catalyst rewrites to a two-stage agg over Expand,
+    * the same planning the reference relies on (SURVEY §2.4 "distinct"). */
+  val aggDistinct = QueryDef(
+    "q_agg_distinct",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_fs"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT (l_returnflag, l_linestatus)) AS n_fs,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** min/max/count on ints, doubles, strings, timestamps — all exact
+    * pass-through values, no FP accumulation. Timestamps are emitted as
+    * epoch millis so both engines hash the same integer. */
+  val aggMinMax = QueryDef(
+    "q_agg_minmax",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          min(col("o_orderstatus")).as("min_status"),
+          unix_millis(min(col("o_orderdate"))).as("min_date_ms"),
+          unix_millis(max(col("o_orderdate"))).as("max_date_ms"),
+          count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             min(o_custkey) AS min_cust,
+             max(o_custkey) AS max_cust,
+             min(o_orderstatus) AS min_status,
+             epoch_ms(min(o_orderdate)) AS min_date_ms,
+             epoch_ms(max(o_orderdate)) AS max_date_ms,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** stddev_samp / var_samp, the reference's sixth aggregate
+    * (ColumnarHashAggregation.scala:178 StddevSamp). FP-iteration-order
+    * sensitive in both engines, so the oracle recomputes from exact decimal
+    * moments; the Spark side exercises the built-in and we verify it agrees
+    * with the exact formula to 1e-6 in GraftSpec, while the oracle row uses
+    * the same closed form on both sides for bit-equality. */
+  val aggStddev = QueryDef(
+    "q_agg_stddev",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      // exact decimal moments -> one identical double expression both sides
+      val s1 = sum(dec2(col("l_quantity"))).cast("double")
+      val s2 = sum(dec2(col("l_quantity")) * dec2(col("l_quantity")))
+        .cast("double")
+      val n = count(col("l_quantity")).cast("double")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          sqrt((s2 - (s1 * s1) / n) / (n - lit(1.0))).as("stddev_qty"),
+          ((s2 - (s1 * s1) / n) / (n - lit(1.0))).as("var_qty"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      SELECT l_returnflag,
+        sqrt((s2 - (s1*s1)/n) / (n - 1.0)) AS stddev_qty,
+        ((s2 - (s1*s1)/n) / (n - 1.0)) AS var_qty,
+        n_rows
+      FROM (
+        SELECT l_returnflag,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          CAST(count(l_quantity) AS DOUBLE) AS n,
+          count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)"""))
+
+  /** ROLLUP — Expand-based grouping sets
+    * (reference: ColumnarExpandExec.scala:37-136). */
+  val rollup = QueryDef.sqlSame(
+    "q_rollup",
+    """SELECT coalesce(l_returnflag, '<all>') AS flag,
+              coalesce(l_linestatus, '<all>') AS status,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              count(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+
+  /** CUBE over two dims. */
+  val cube = QueryDef.sqlSame(
+    "q_cube",
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+              coalesce(o_orderpriority, '<all>') AS prio,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              count(*) AS n
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+
+  /** Explicit GROUPING SETS with grouping() marker columns. */
+  val groupingSets = QueryDef.sqlSame(
+    "q_grouping_sets",
+    """SELECT coalesce(l_returnflag, '<all>') AS flag,
+              coalesce(l_linestatus, '<all>') AS status,
+              CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+              CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+              count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                               (l_returnflag, l_linestatus), ())""")
+
+  /** global (no-key) aggregate — reference special-cases the zero-grouping
+    * path (ColumnarHashAggregateExec.scala:151-213). */
+  val aggGlobal = QueryDef(
+    "q_agg_global",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+      li.agg(
+        sumd(col("l_extendedprice")).as("sum_price"),
+        avgd(col("l_discount")).as("avg_disc"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    Some(s"""
+      SELECT ${sumdSql("l_extendedprice")} AS sum_price,
+             ${avgdSql("l_discount")} AS avg_disc,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             count(*) AS n,
+             count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem"""))
+
+  /** HAVING clause (post-aggregation filter). */
+  val having = QueryDef.sqlSame(
+    "q_agg_having",
+    """SELECT o_custkey, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+       FROM orders
+       GROUP BY o_custkey
+       HAVING count(*) >= 12""")
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
+    aggGlobal, having)
+}
