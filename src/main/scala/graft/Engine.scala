@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Session factory + table catalog for the graft engine.
   *
@@ -10,31 +11,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * We keep the same shape — an extensions entry point (`graft.plans.GraftExtensions`)
   * — but the execution engine is stock Catalyst + Tungsten: declarative plans,
   * whole-stage codegen, AQE. Defaults below are chosen for cluster citizenship
-  * (AQE coalesce/skew handling on, sane local shuffle parallelism, UTC).
+  * (AQE coalesce/skew handling on, shuffle parallelism = cores locally, UTC).
   */
 object Engine {
   /** local parallelism: match cores, not Spark's default 200 shuffle partitions */
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def session(appName: String = "graft"): SparkSession = {
-    val b = SparkSession
-      .builder()
-      .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config(
-        "spark.sql.extensions",
-        "graft.plans.GraftExtensions"
-      )
-    val spark = b.getOrCreate()
+    val spark = configure(
+      SparkSession.builder().appName(appName).master(s"local[$cpus]"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Shared config for every entry point (Verify/Bench/tests), so the
+    * correctness gate and the bench measure the same engine. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // testdata parquet carries ms-precision timestamps with
+    // isAdjustedToUTC=false; read them as session-TZ (UTC) timestamps, not
+    // TIMESTAMP_NTZ, so datetime functions apply uniformly.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // events.parquet carries TIMESTAMP(NANOS) which the parquet vectorized
+    // reader rejects; read as raw long nanos and normalize in Tables.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 }
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md).
@@ -48,8 +55,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // nanosAsLong=true surfaces ts as Long nanos; truncate to micros and
+      // rebuild a proper timestamp column (session TZ is UTC).
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
 
   /** Register every table as a temp view so SQL-text queries can run. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented capability registers one [[QueryDef]] in [[registry]];
+  * `queries`/`oracleSql` are derived views of that single list, so a query and
+  * its DuckDB oracle can never drift apart structurally.
+  */
 object SparkEntry {
+
+  /** The full declared capability surface (SURVEY.md §2 + LLM-pipeline ops). */
+  def registry: Seq[QueryDef] =
+    operators.Aggregates.all ++
+      operators.Joins.all ++
+      operators.Windows.all ++
+      operators.SortLimit.all ++
+      operators.SetOps.all ++
+      operators.Expressions.all ++
+      operators.Subqueries.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextAnalysis.all ++
+      operators.Multimodal.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Aggregates.q1Agg.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

@@ -88,8 +88,8 @@ object Aggregates {
           min(col("o_custkey")).as("min_cust"),
           max(col("o_custkey")).as("max_cust"),
           min(col("o_orderstatus")).as("min_status"),
-          unix_millis(min(col("o_orderdate"))).as("min_date_ms"),
-          unix_millis(max(col("o_orderdate"))).as("max_date_ms"),
+          unix_millis(min(col("o_orderdate")).cast("timestamp")).as("min_date_ms"),
+          unix_millis(max(col("o_orderdate")).cast("timestamp")).as("max_date_ms"),
           count(lit(1)).as("n"))
     },
     Some("""

@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{ColumnarRule, SparkPlan}
+import org.apache.spark.sql.types._
+
+/** Session-extensions entry point, mirroring the reference's attachment shape
+  * (`spark.sql.extensions=com.intel.oap.ColumnarPlugin`, reference:
+  * native-sql-engine/core/src/main/scala/com/intel/oap/ColumnarPlugin.scala:387-394,
+  * which calls `injectColumnar(session => ColumnarOverrideRules(session))`).
+  *
+  * Our engine needs no physical-operator replacement — Catalyst + Tungsten IS
+  * the execution engine — so the injected [[ColumnarRule]] is observability
+  * only: it walks the physical plan and logs which nodes the reference's
+  * `ColumnarGuardRule` would have row-guarded (unsupported types), i.e. where
+  * Gazelle would lose its columnar speedup and we don't. This is the mount
+  * point for any future custom Rule/Strategy.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectColumnar(_ => GraftCapabilityAudit)
+  }
+}
+
+/** Capability metadata mirroring `ConverterUtils.checkIfTypeSupported`
+  * (reference: core/com/intel/oap/expression/ConverterUtils.scala:494-508).
+  * The reference supports exactly these scalar types columnar-side; everything
+  * else (ARRAY/MAP/STRUCT/BINARY/NULL/UDT) falls back to row execution.
+  * We support all Catalyst types natively — the audit only records where the
+  * reference would have degraded.
+  */
+object GraftCapability {
+  val referenceColumnarTypes: Set[DataType] = Set(
+    BooleanType, ByteType, ShortType, IntegerType, LongType,
+    FloatType, DoubleType, StringType, DateType, TimestampType)
+
+  def referenceSupports(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case t => referenceColumnarTypes.contains(t)
+  }
+}
+
+object GraftCapabilityAudit extends ColumnarRule with Logging {
+  override def preColumnarTransitions: Rule[SparkPlan] = plan => {
+    if (log.isDebugEnabled) {
+      plan.foreach { node =>
+        val unsupported = node.output
+          .map(_.dataType)
+          .filterNot(GraftCapability.referenceSupports)
+          .distinct
+        if (unsupported.nonEmpty) {
+          logDebug(
+            s"[graft] ${node.nodeName} would row-fallback in the reference " +
+              s"(types: ${unsupported.mkString(", ")}); native here.")
+        }
+      }
+    }
+    plan
+  }
+}
