@@ -1,5 +1,215 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface for large-scale training-data pipelines.
+  *
+  * Not present in the reference (its unit is relational batches; ARRAY types
+  * fall back — ConverterUtils.scala:494-508), but a first-class requirement
+  * here. Five strategies, each with the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a content fingerprint — one shuffle on md5,
+  *    uniform key distribution by construction.
+  *  - n-gram Jaccard: exact set similarity, restricted to candidate pairs
+  *    from a cheap blocking key (never all-pairs).
+  *  - MinHash + LSH: signature → band → bucket-join. The canonical
+  *    near-dup-at-scale pipeline: shuffles on band hash, candidate pairs only
+  *    within buckets, O(n·bands) not O(n²).
+  *  - SimHash: 64-bit fingerprint, hamming≤k via pigeonhole chunk buckets.
+  *  - embedding cosine: threshold pairs; brute-force here (bounded fixture),
+  *    LSH-bucketed variant in Similarity.scala is the scale path.
+  */
 object Dedup {
-  val all: Seq[QueryDef] = Seq()
+
+  /** Word tokens and distinct word-3-gram shingle set. */
+  private def toks(c: Column): Column = split(c, " ")
+  private def shingles(t: Column): Column = array_distinct(
+    transform(sequence(lit(0), size(t) - 3), i =>
+      concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+        element_at(t, i + 3))))
+
+  private val duckShingles =
+    """list_distinct(list_transform(range(len(str_split(text, ' ')) - 2),
+       i -> str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2]
+            || ' ' || str_split(text, ' ')[i+3]))"""
+
+  /** Exact dedup: md5-fingerprint groupBy, keep the lowest doc_id. */
+  val exact = QueryDef(
+    "q_dedup_exact",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .groupBy()
+        .agg(
+          count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_total"),
+          sum(when(col("n_copies") > 1, col("n_copies") - 1).otherwise(0L))
+            .as("n_removed"))
+    },
+    Some("""
+      SELECT count(*) AS n_unique,
+             CAST(sum(n_copies) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed
+      FROM (SELECT md5(text) AS fp, min(doc_id) AS keeper,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text))"""))
+
+  /** Exact n-gram Jaccard over candidate pairs blocked on a 40-char prefix
+    * (the fixture's near-dups share long prefixes). Int-ratio arithmetic →
+    * bit-identical across engines. */
+  val ngramJaccard = QueryDef(
+    "q_dedup_ngram_jaccard",
+    (spark, dir) => {
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 40).as("blk"),
+          shingles(toks(col("text"))).as("grams"))
+      val a = d.select(col("doc_id").as("doc_a"), col("blk"),
+        col("grams").as("ga"))
+      val b = d.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
+        col("grams").as("gb"))
+      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .select(
+          col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+            .as("jaccard"))
+        .withColumn("is_dup", col("jaccard") >= 0.5)
+    },
+    Some(s"""
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE)
+               AS jaccard,
+             (CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE)) >= 0.5
+               AS is_dup
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.grams, b.grams)) AS inter,
+               len(a.grams) AS la, len(b.grams) AS lb
+        FROM (SELECT doc_id, substring(text, 1, 40) AS blk,
+                     $duckShingles AS grams FROM documents) a
+        JOIN (SELECT doc_id, substring(text, 1, 40) AS blk,
+                     $duckShingles AS grams FROM documents) b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id)"""))
+
+  private val numHashes = 32
+  private val numBands = 8
+  private val rowsPerBand = numHashes / numBands
+
+  /** doc_id + 32-long minhash signature per document. */
+  private[operators] def minhashSignatures(
+      spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), shingles(toks(col("text"))).as("grams"))
+      .select(col("doc_id"), array((0 until numHashes).map(k =>
+        array_min(transform(col("grams"), g => xxhash64(lit(k), g)))): _*)
+        .as("sig"))
+  }
+
+  /** MinHash + LSH banding: shingle → 32 minhashes → 8 bands of 4 →
+    * bucket-join on band hash → candidate pairs → signature-agreement
+    * estimate. No SQL oracle (xxhash64 is Spark-specific); the ScalaTest spec
+    * cross-checks recall against exact Jaccard ground truth. */
+  val minhashLsh = QueryDef(
+    "q_dedup_minhash_lsh",
+    (spark, dir) => {
+      val sigs = minhashSignatures(spark, dir)
+      val bands = sigs.select(col("doc_id"), posexplode(
+        array((0 until numBands).map(bnd => xxhash64(
+          (lit(bnd) +: (0 until rowsPerBand).map(j =>
+            element_at(col("sig"), bnd * rowsPerBand + j + 1))): _*)): _*))
+        .as(Seq("band_id", "band_hash")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+          "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _)
+            .cast("double") / numHashes.toDouble).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.25)
+    },
+    None)
+
+  /** SimHash: 64-bit token-hash majority fingerprint; candidate pairs via
+    * 4×16-bit chunk buckets (pigeonhole: hamming≤3 ⇒ ≥1 chunk equal);
+    * verified with bit_count(xor) ≤ 3. Spark-only (xxhash64). */
+  val simhash = QueryDef(
+    "q_dedup_simhash",
+    (spark, dir) => {
+      val sim = Tables(spark, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+               acc + if(
+                 aggregate(toks, 0, (s, t) ->
+                   s + if((shiftright(xxhash64(t), i) & cast(1 as bigint)) = 1,
+                          1, -1)) > 0,
+                 shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
+          .as("simhash"))
+      val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
+        array((0 until 4).map(k =>
+          expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
+        .as(Seq("chunk_id", "chunk_val")))
+      chunks.as("x")
+        .join(chunks.as("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+            col("x.chunk_val") === col("y.chunk_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+    None)
+
+  /** Embedding-cosine near-dup pairs, brute force over the bounded fixture.
+    * Uses the native codegen'd cosine_sim expression
+    * (graft.functions.CosineSim); the oracle folds the identical
+    * double-accumulation order via DuckDB list_reduce → bit-equal doubles. */
+  val embeddingNearDup = QueryDef(
+    "q_dedup_embedding",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") > 0.45)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    },
+    Some(s"""
+      SELECT id_a, id_b, cos FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ${duckCosine("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id)
+      WHERE cos > 0.45"""))
+
+  /** DuckDB cosine with strict left-to-right double folding — mirrors
+    * CosineSim's accumulation order exactly. */
+  def duckCosine(a: String, b: String): String = {
+    def fold(x: String, y: String) =
+      s"""list_reduce(list_transform(range(len($a)),
+          i -> CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE)),
+          (p, q) -> p + q)"""
+    s"""(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"""
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    exact, ngramJaccard, minhashLsh, simhash, embeddingNearDup)
 }

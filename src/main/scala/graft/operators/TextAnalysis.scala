@@ -1,5 +1,180 @@
 package graft.operators
-import graft.QueryDef
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` fixture: token counting,
+  * quality scoring, language ID, fingerprinting — the per-document stages of
+  * a training-data pipeline. All pure string/arithmetic expressions inside
+  * whole-stage codegen; at 100 TB these are embarrassingly parallel map
+  * stages with only the final (tiny, bounded-cardinality) aggregates
+  * shuffling.
+  */
 object TextAnalysis {
-  val all: Seq[QueryDef] = Seq()
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars). */
+  val tokenCount = QueryDef(
+    "q_text_tokens",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("ws_toks"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+            .as("bpe_toks"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("ws_toks")).as("total_ws_toks"),
+          sum(col("bpe_toks")).as("total_bpe_toks"),
+          max(col("ws_toks")).as("max_ws_toks"),
+          sum(col("n_chars")).as("total_chars"),
+          count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      SELECT source,
+             CAST(sum(ws_toks) AS BIGINT) AS total_ws_toks,
+             CAST(sum(bpe_toks) AS BIGINT) AS total_bpe_toks,
+             CAST(max(ws_toks) AS BIGINT) AS max_ws_toks,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(*) AS n_docs
+      FROM (SELECT source, n_chars,
+                   len(str_split(text, ' ')) AS ws_toks,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                     AS bpe_toks
+            FROM documents)
+      GROUP BY source"""))
+
+  /** Quality scoring: length/stopword/char-class ratios → score → bucket.
+    * Integer-count ratios only, so both engines produce identical doubles. */
+  val quality = QueryDef(
+    "q_text_quality",
+    (spark, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(toks(col("text"))).cast("double").as("n_tok"),
+          size(filter(toks(col("text")), t => t.isin(stop.map(x => x: Any): _*)))
+            .cast("double").as("n_stop"),
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+            .cast("double").as("n_digit"))
+        .select(col("doc_id"),
+          col("n_tok").cast("long").as("n_tok"),
+          (col("n_stop") / col("n_tok")).as("stop_ratio"),
+          (col("n_chars").cast("double") / col("n_tok")).as("avg_tok_len"),
+          (col("n_tok") / (col("n_tok") + lit(50.0)) +
+            col("n_stop") / col("n_tok") -
+            col("n_digit") / col("n_tok")).as("quality"))
+        .withColumn("bucket",
+          when(col("quality") >= 1.0, "high")
+            .when(col("quality") >= 0.7, "mid").otherwise("low"))
+    },
+    Some("""
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             n_stop / n_tok AS stop_ratio,
+             CAST(n_chars AS DOUBLE) / n_tok AS avg_tok_len,
+             n_tok / (n_tok + 50.0) + n_stop / n_tok - n_digit / n_tok
+               AS quality,
+             CASE WHEN n_tok / (n_tok + 50.0) + n_stop / n_tok
+                       - n_digit / n_tok >= 1.0 THEN 'high'
+                  WHEN n_tok / (n_tok + 50.0) + n_stop / n_tok
+                       - n_digit / n_tok >= 0.7 THEN 'mid'
+                  ELSE 'low' END AS bucket
+      FROM (SELECT doc_id, n_chars,
+                   CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter(str_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is')))
+                     AS DOUBLE) AS n_stop,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                     AS n_digit
+            FROM documents)"""))
+
+  /** Language ID by stopword-unigram voting (n-gram heuristic). Scores per
+    * language, argmax with a fixed priority tie-break; compared against the
+    * claimed `lang` column to produce a confusion summary. */
+  val langId = QueryDef(
+    "q_text_langid",
+    (spark, dir) => {
+      def score(words: Seq[String]): Column =
+        size(filter(toks(col("text")),
+          t => t.isin(words.map(x => x: Any): _*))).cast("long")
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          score(Seq("the", "a", "of", "and")).as("s_en"),
+          score(Seq("le", "la", "et", "les")).as("s_fr"),
+          score(Seq("el", "los", "y", "una")).as("s_es"),
+          score(Seq("der", "die", "und", "das")).as("s_de"))
+        .withColumn("pred",
+          when(col("s_en") === 0 && col("s_fr") === 0 &&
+            col("s_es") === 0 && col("s_de") === 0, "und")
+            .when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es") &&
+              col("s_en") >= col("s_de"), "en")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_de"), "fr")
+            .when(col("s_es") >= col("s_de"), "es")
+            .otherwise("de"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"), sum(col("s_en")).as("sum_en_hits"))
+    },
+    Some("""
+      SELECT lang, pred, count(*) AS n,
+             CAST(sum(s_en) AS BIGINT) AS sum_en_hits
+      FROM (
+        SELECT lang, s_en, s_fr, s_es, s_de,
+               CASE WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0
+                      THEN 'und'
+                    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de
+                      THEN 'en'
+                    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                    WHEN s_es >= s_de THEN 'es'
+                    ELSE 'de' END AS pred
+        FROM (
+          SELECT lang,
+                 len(list_filter(str_split(text, ' '),
+                   t -> t IN ('the','a','of','and'))) AS s_en,
+                 len(list_filter(str_split(text, ' '),
+                   t -> t IN ('le','la','et','les'))) AS s_fr,
+                 len(list_filter(str_split(text, ' '),
+                   t -> t IN ('el','los','y','una'))) AS s_es,
+                 len(list_filter(str_split(text, ' '),
+                   t -> t IN ('der','die','und','das'))) AS s_de
+          FROM documents))
+      GROUP BY lang, pred"""))
+
+  /** Document fingerprinting: md5 content fingerprint over normalized text +
+    * a rolling polynomial hash of token lengths (mod p to stay exact in both
+    * engines). */
+  val fingerprint = QueryDef(
+    "q_text_fingerprint",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(regexp_replace(lower(trim(col("text"))), lit(" +"), lit(" "))
+            .cast("binary")).as("fp"),
+          aggregate(toks(col("text")), lit(0L),
+            (acc, t) => (acc * 31L + length(t)) % 1000000007L)
+            .as("len_hash"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          countDistinct(col("len_hash")).as("n_distinct_lh"),
+          count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      SELECT source,
+             count(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ',
+                                               'g'))) AS n_distinct_fp,
+             count(DISTINCT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(str_split(text, ' '),
+                                t -> CAST(length(t) AS BIGINT))),
+               (acc, t) -> (acc * 31 + t) % 1000000007)) AS n_distinct_lh,
+             count(*) AS n_docs
+      FROM documents
+      GROUP BY source"""))
+
+  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint)
 }

@@ -21,6 +21,30 @@ import org.apache.spark.sql.types._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectColumnar(_ => GraftCapabilityAudit)
+    GraftFunctions.register(ext)
+  }
+}
+
+/** SQL-callable registrations for the custom vector expressions
+  * (graft.functions.VectorFunctions) — usable from both `expr(...)` and
+  * `spark.sql(...)`. */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.functions.{CosineSim, VecDot}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
   }
 }
 
