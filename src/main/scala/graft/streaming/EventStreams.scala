@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row as consumed by the typed stateful operators. */
+final case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Per-user running state maintained by [[EventStreams.userRunningStats]]. */
+final case class UserStats(
+    user_id: Long,
+    n_events: Long,
+    total_value: Double,
+    last_ts: java.sql.Timestamp)
+
+/** Structured Streaming surface over the `events` fixture schema.
+  *
+  * The reference implements no streaming operators — its test tree runs
+  * vanilla Spark's streaming suites with the plugin falling back to row
+  * execution (reference: ColumnarPlugin.scala:350 refuses streaming plans;
+  * suites under core/src/test/scala/org/apache/spark/sql/streaming). For us
+  * Structured
+  * Streaming is native: watermarks bound state, windowed aggregations run as
+  * partial/final pairs, stream-static joins broadcast the static side, and
+  * custom state uses mapGroupsWithState — all of which scale out by key.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation per event type. */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window variant (window + slide). */
+  def slidingCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Watermarked streaming deduplication on event_id (state is dropped once
+    * the watermark passes — bounded memory at scale). */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join (static side broadcast). */
+  def enrich(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), Seq("user_id"), "left_outer")
+
+  /** Custom keyed state via mapGroupsWithState: per-user running stats.
+    * The KeyValueGroupedDataset path the reference can't express natively. */
+  def userRunningStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(
+            UserStats(uid, 0L, 0.0, new java.sql.Timestamp(0L)))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(
+              uid,
+              acc.n_events + 1,
+              acc.total_value + e.value,
+              if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Default sink for tests: in-memory table in update mode. */
+  def toMemorySink(df: DataFrame, name: String, outputMode: String = "update") =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the near-dup pipelines that have no SQL oracle
+  * (MinHash/SimHash use engine-specific xxhash64). Everything here is
+  * deterministic — fixed fixture + fixed hash seeds — so exact assertions
+  * are stable. */
+class DedupSpec extends GraftSpecBase {
+
+  private def jaccardPairs = operators.Dedup.ngramJaccard.run(spark, sfDir)
+    .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+    .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  private def minhashPairs = operators.Dedup.minhashLsh.run(spark, sfDir)
+    .select(col("doc_a"), col("doc_b"), col("est_jaccard")).collect()
+    .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  test("minhash LSH finds every strong near-dup pair (true jaccard >= 0.6)") {
+    val strong = jaccardPairs.filter(_._2 >= 0.6).keySet
+    val found = minhashPairs.keySet
+    assert(strong.nonEmpty, "fixture should contain strong near-dups")
+    val missed = strong -- found
+    assert(missed.isEmpty, s"minhash missed strong pairs: $missed")
+  }
+
+  test("minhash estimates are close to true jaccard on shared pairs") {
+    val shared = minhashPairs.keySet intersect jaccardPairs.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { p =>
+      assert(math.abs(minhashPairs(p) - jaccardPairs(p)) <= 0.35,
+        s"pair $p: est ${minhashPairs(p)} vs true ${jaccardPairs(p)}")
+    }
+  }
+
+  test("simhash near-dup pairs have genuinely similar token sets") {
+    val sim = operators.Dedup.simhash.run(spark, sfDir)
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sim.nonEmpty, "fixture should contain simhash near-dups")
+    // hamming<=3 pairs should substantially overlap the true-jaccard pairs
+    val jp = jaccardPairs.filter(_._2 >= 0.5).keySet
+    val overlap = sim.toSet intersect jp
+    assert(overlap.nonEmpty, "simhash pairs disjoint from jaccard truth")
+  }
+
+  test("exact dedup counts are consistent") {
+    val r = operators.Dedup.exact.run(spark, sfDir).head
+    val nUnique = r.getAs[Long]("n_unique")
+    val nTotal = r.getAs[Long]("n_total")
+    val nRemoved = r.getAs[Long]("n_removed")
+    assert(nTotal == nUnique + nRemoved)
+    assert(nTotal == Tables(spark, sfDir, "documents").count())
+  }
+}

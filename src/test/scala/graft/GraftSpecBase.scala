@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM — Test/fork := true). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = Engine.configure(
+      SparkSession.builder().appName("graft-test").master("local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSpecBase extends AnyFunSuite {
+  def spark: SparkSession = TestSpark.spark
+  def sfDir: String = TestSpark.sfDir
+}

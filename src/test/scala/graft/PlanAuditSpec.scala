@@ -1,0 +1,71 @@
+package graft
+
+/** Scale-discipline audits: these assert the *physical plan shape* we would
+  * want on a 1000-executor cluster, not just correct answers — broadcast
+  * where a side is dimension-sized, shuffle-hash/merge where both sides are
+  * big, filter pushdown + column pruning reaching the parquet scan, top-k
+  * planned as TakeOrderedAndProject (never a global sort), and whole-stage
+  * codegen covering the hot path. */
+class PlanAuditSpec extends GraftSpecBase {
+
+  /** Execute then render the final (AQE-resolved) plan only — the Initial
+    * Plan section is dropped so operator counts aren't double-counted.
+    * Whole-stage-codegen spans print as "*(id)" in this rendering. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q1_agg: filter pushed to parquet scan + pruned read schema") {
+    val p = finalPlan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), s"scan should prune unused columns:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("*("), s"expected whole-stage codegen spans:\n$p")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = finalPlan("q_join_inner_bhj")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("shuffle_hash hint yields ShuffledHashJoin") {
+    assert(finalPlan("q_join_inner_shj").contains("ShuffledHashJoin"))
+  }
+
+  test("merge hint yields SortMergeJoin") {
+    assert(finalPlan("q_join_inner_smj").contains("SortMergeJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = finalPlan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("RangePartitioning"), s"top-k must not range-shuffle:\n$p")
+  }
+
+  test("global sort uses range partitioning (distributed sort)") {
+    assert(finalPlan("q_sort_global").contains("rangepartitioning"))
+  }
+
+  test("snowflake join broadcasts all four dimension tables") {
+    val p = finalPlan("q_join_q5_snowflake")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n >= 4, s"expected >=4 broadcast joins, got $n:\n$p")
+    // the one potentially-big pair (lineitem⋈orders) either shuffles or — at
+    // tiny test scale — AQE demotes it to a fifth broadcast
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      n == 5, p)
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val p = finalPlan("q_sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aggregation is partial/final (map-side combine before shuffle)") {
+    val p = finalPlan("q_join_inner_smj")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+}

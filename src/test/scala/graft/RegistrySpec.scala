@@ -1,0 +1,35 @@
+package graft
+
+/** Every declared capability must execute at sf0.001: non-empty schema,
+  * stable row count across two runs (determinism is what the DuckDB oracle
+  * hash-compare assumes), unique slug names, matching oracle column naming
+  * discipline (lowercase slugs — the driver sorts columns by name). */
+class RegistrySpec extends GraftSpecBase {
+
+  test("registry names are unique slugs") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    names.foreach(n => assert(n.matches("[a-z0-9_]+"), n))
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs and is deterministic") {
+      val df1 = q.run(spark, sfDir)
+      assert(df1.schema.nonEmpty)
+      val n1 = df1.count()
+      val n2 = q.run(spark, sfDir).count()
+      assert(n1 == n2, s"row count unstable: $n1 vs $n2")
+    }
+  }
+
+  test("oracle coverage: every SQL-expressible query carries an oracle") {
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    // only the hash-based (engine-specific xxhash64) pipelines are exempt
+    assert(noOracle.toSet == Set("q_dedup_minhash_lsh", "q_dedup_simhash"),
+      s"unexpected oracle-less queries: $noOracle")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStreams}
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming coverage: watermarked windowed aggregation, streaming
+  * dedup, stream-static join, custom keyed state (mapGroupsWithState). The
+  * reference runs all of this as row-fallback vanilla Spark (SURVEY §2.11);
+  * here it's first-class. */
+class StreamingSpec extends GraftSpecBase {
+
+  private val sp = TestSpark.spark
+  import sp.implicits._
+  private implicit def sqlCtx: SQLContext = sp.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def mkEvents(rows: Event*): MemoryStream[Event] = {
+    val ms = MemoryStream[Event]
+    ms.addData(rows: _*)
+    ms
+  }
+
+  test("watermarked tumbling window aggregation") {
+    val ms = mkEvents(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(1), 101, "click", 2.0),
+      Event(3, ts(6), 100, "view", 3.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.windowedCounts(ms.toDF(), "10 minutes", "5 minutes"),
+      "win_counts")
+    try {
+      q.processAllAvailable()
+      val out = sp.table("win_counts")
+        .select(col("event_type"), col("n"), col("sum_value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops replayed event_ids") {
+    val ms = mkEvents(
+      Event(10, ts(0), 1, "click", 1.0),
+      Event(10, ts(1), 1, "click", 1.0), // duplicate id
+      Event(11, ts(2), 2, "view", 2.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.dedup(ms.toDF(), "10 minutes"), "dedup_out", "append")
+    try {
+      q.processAllAvailable()
+      assert(sp.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment join") {
+    val users = Seq((100L, "gold"), (101L, "basic")).toDF("user_id", "tier")
+    val ms = mkEvents(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(1), 101, "view", 2.0),
+      Event(3, ts(2), 999, "view", 3.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.enrich(ms.toDF(), users), "enrich_out", "append")
+    try {
+      q.processAllAvailable()
+      val out = sp.table("enrich_out")
+        .select(col("event_id"), col("tier")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(out == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("custom keyed state: per-user running stats across batches") {
+    val ms = MemoryStream[Event]
+    val q = EventStreams.toMemorySink(
+      EventStreams.userRunningStats(ms.toDS()).toDF(), "user_stats")
+    try {
+      ms.addData(Event(1, ts(0), 7, "click", 1.5))
+      q.processAllAvailable()
+      ms.addData(Event(2, ts(5), 7, "view", 2.5))
+      q.processAllAvailable()
+      val rows = sp.table("user_stats")
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n"),
+          max(col("total_value")).as("tv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSet == Set((7L, 2L, 4.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unit coverage for the native vector expressions (graft.functions.CosineSim
+  * / VecDot): interpreted vs codegen parity, reference-math agreement, edge
+  * cases (zero vector, mismatched lengths, nulls). */
+class VectorFunctionsSpec extends GraftSpecBase {
+
+  private def df(rows: Seq[(Array[Float], Array[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1.toSeq, r._2.toSeq))),
+      schema)
+  }
+
+  private def refCosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    (0 until n).foreach { i =>
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("cosine_sim matches reference math on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val got = df(rows).select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    rows.zip(got).foreach { case ((a, b), g) =>
+      assert(g == refCosine(a, b), "bit-exact double expected")
+    }
+  }
+
+  test("interpreted and codegen paths agree") {
+    val rows = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f)))
+    val d = df(rows)
+    val withCodegen = d.select(expr("cosine_sim(a, b)")).head.getDouble(0)
+    val session = spark
+    session.conf.set("spark.sql.codegen.wholeStage", "false")
+    session.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = d.select(expr("cosine_sim(a, b)")).head.getDouble(0)
+      assert(withCodegen == interpreted)
+    } finally {
+      session.conf.set("spark.sql.codegen.wholeStage", "true")
+      session.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("zero vector yields 0.0, not NaN") {
+    val v = df(Seq((Array(0f, 0f), Array(1f, 1f))))
+      .select(expr("cosine_sim(a, b)")).head.getDouble(0)
+    assert(v == 0.0)
+  }
+
+  test("mismatched lengths use common prefix") {
+    val v = df(Seq((Array(1f, 0f, 9f), Array(1f, 0f))))
+      .select(expr("vec_dot(a, b)")).head.getDouble(0)
+    assert(v == 1.0)
+  }
+
+  test("null input propagates null") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, Seq(1f)))), schema)
+    assert(d.select(expr("cosine_sim(a, b)")).head.isNullAt(0))
+  }
+
+  test("vec_dot identity: dot(v, v) == |v|^2") {
+    val v = Array(3f, 4f)
+    val got = df(Seq((v, v))).select(expr("vec_dot(a, b)")).head.getDouble(0)
+    assert(got == 25.0)
+  }
+}
