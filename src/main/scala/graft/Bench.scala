@@ -11,6 +11,9 @@ object Bench {
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[${Engine.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/file-index warmup so the first measured query isn't
+    // charged for session spin-up
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.functions._
+
+/** Cache + alias-source + sketch coverage.
+  *
+  * - cached scan: `df.cache()` → InMemoryRelation/InMemoryTableScan, the
+  *   Spark-native analogue of the reference's Arrow-batch cache serializer
+  *   (reference: core/com/intel/oap/execution/ColumnarInMemoryTableScanExec.scala:31,
+  *   core/org/apache/spark/sql/execution/ColumnarInMemoryRelation.scala:62-150).
+  * - "arrow" source alias: graft.sources.ArrowFileFormat mounted under the
+  *   reference's format name (ArrowDataSourceV2.scala:41).
+  * - kmv_distinct: custom TypedImperativeAggregate sketch — approximate
+  *   result, so the driver records the rows-only check; the exactness bound
+  *   is asserted in ScalaTest.
+  */
+object Caching {
+
+  /** Cache, force population with one action, then answer from the cache. */
+  val cachedScan = QueryDef(
+    "q_cache_scan",
+    (spark, dir) => {
+      val o = Tables(spark, dir, "orders").cache()
+      o.count() // populate
+      o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
+    },
+    Some(s"""
+      SELECT o_orderpriority, count(*) AS n,
+             ${sumdSql("o_totalprice")} AS sum_price
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority"""))
+
+  /** Read through the "arrow" format alias (delegates to vectorized parquet
+    * with identical pushdown — asserted in PlanAuditSpec). */
+  val arrowAlias = QueryDef(
+    "q_source_arrow",
+    (spark, dir) => {
+      spark.read.format("arrow").load(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+    },
+    Some(s"""
+      SELECT l_linestatus, count(*) AS n, ${sumdSql("l_quantity")} AS sum_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_linestatus"""))
+
+  /** KMV sketch vs exact distinct (approximate → rows-only for the driver;
+    * ±10% bound asserted in KmvSpec). */
+  val kmvSketch = QueryDef(
+    "q_agg_kmv_sketch",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("kmv_distinct(l_orderkey)").as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(cachedScan, arrowAlias, kmvSketch)
+}

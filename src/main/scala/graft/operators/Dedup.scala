@@ -64,10 +64,13 @@ object Dedup {
   val ngramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (spark, dir) => {
+      // persist: both sides of the candidate self-join reuse the shingle
+      // computation (at scale: a checkpointed intermediate table)
       val d = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("text"),
           substring(col("text"), 1, 40).as("blk"),
           shingles(toks(col("text"))).as("grams"))
+        .persist()
       val a = d.select(col("doc_id").as("doc_a"), col("blk"),
         col("grams").as("ga"))
       val b = d.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
@@ -101,7 +104,10 @@ object Dedup {
   private val numBands = 8
   private val rowsPerBand = numHashes / numBands
 
-  /** doc_id + 32-long minhash signature per document. */
+  /** doc_id + 32-long minhash signature per document. Persisted: the LSH
+    * band self-join consumes it from both sides, and signature hashing is
+    * the expensive stage (at 100 TB this is the materialized signature
+    * table every dedup round reads). */
   private[operators] def minhashSignatures(
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     Tables(spark, dir, "documents")
@@ -109,6 +115,7 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(k =>
         array_min(transform(col("grams"), g => xxhash64(lit(k), g)))): _*)
         .as("sig"))
+      .persist()
   }
 
   /** MinHash + LSH banding: shingle → 32 minhashes → 8 bands of 4 →
@@ -119,23 +126,21 @@ object Dedup {
     "q_dedup_minhash_lsh",
     (spark, dir) => {
       val sigs = minhashSignatures(spark, dir)
-      val bands = sigs.select(col("doc_id"), posexplode(
+      // carry the signature through the band explode so candidate pairs need
+      // no re-join against the signature table
+      val bands = sigs.select(col("doc_id"), col("sig"), posexplode(
         array((0 until numBands).map(bnd => xxhash64(
           (lit(bnd) +: (0 until rowsPerBand).map(j =>
             element_at(col("sig"), bnd * rowsPerBand + j + 1))): _*)): _*))
         .as(Seq("band_id", "band_hash")))
-      val cand = bands.as("x")
+      bands.as("x")
         .join(bands.as("y"),
           col("x.band_id") === col("y.band_id") &&
             col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-          "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-          "doc_b")
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        .dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _)
@@ -150,16 +155,20 @@ object Dedup {
   val simhash = QueryDef(
     "q_dedup_simhash",
     (spark, dir) => {
+      // hash each token once (th), then fold the 64 bit-votes over the
+      // precomputed hashes; persist — the chunk self-join reads it twice
       val sim = Tables(spark, dir, "documents")
-        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(toks(col("text")), t => xxhash64(t)).as("th"))
         .select(col("doc_id"), expr(
           """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
                acc + if(
-                 aggregate(toks, 0, (s, t) ->
-                   s + if((shiftright(xxhash64(t), i) & cast(1 as bigint)) = 1,
-                          1, -1)) > 0,
+                 aggregate(th, 0, (s, h) ->
+                   s + if((shiftright(h, i) & cast(1 as bigint)) = 1, 1, -1))
+                 > 0,
                  shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
           .as("simhash"))
+        .persist()
       val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
         array((0 until 4).map(k =>
           expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))

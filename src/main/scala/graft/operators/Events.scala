@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the `events` fixture — the batch twins of the
+  * Structured Streaming operators in graft.streaming.EventStreams (tumbling
+  * windows, sessionization, dedup) plus funnel analysis. At scale every
+  * query here shuffles once on user_id (or the window key) and the session
+  * assignment is the classic gap-and-islands pattern: lag → new-session flag
+  * → running sum, three window functions over one user_id partition, no
+  * self-join.
+  *
+  * `ts` arrives as nanosecond parquet (normalized in Tables.apply); outputs
+  * emit epoch millis for cross-engine comparison.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type (batch twin of
+    * EventStreams.windowedCounts). */
+  val tumbling = QueryDef(
+    "q_events_tumbling",
+    (spark, dir) => {
+      Tables(spark, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(
+          unix_millis(col("w.start").cast("timestamp")).as("win_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+    Some("""
+      SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_ms,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type"""))
+
+  /** Sessionization (gap > 30 min starts a new session): lag → flag →
+    * running sum → per-session aggregate. */
+  val sessionize = QueryDef(
+    "q_events_sessionize",
+    (spark, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = Tables(spark, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_idx", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("sess_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("sess_start_ms"),
+          unix_millis(max(col("ts"))).as("sess_end_ms"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_sess_events"),
+          max(col("sess_end_ms") - col("sess_start_ms")).as("max_sess_dur_ms"))
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(max(n_events) AS BIGINT) AS max_sess_events,
+             CAST(max(sess_end_ms - sess_start_ms) AS BIGINT)
+               AS max_sess_dur_ms
+      FROM (
+        SELECT user_id, sess_idx, count(*) AS n_events,
+               epoch_ms(min(ts)) AS sess_start_ms,
+               epoch_ms(max(ts)) AS sess_end_ms
+        FROM (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sess_idx
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                          OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (
+              SELECT user_id, ts, event_id,
+                     lag(ts, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_ts
+              FROM events)))
+        GROUP BY user_id, sess_idx)
+      GROUP BY user_id"""))
+
+  /** Funnel: users whose first view < first click < first purchase. */
+  val funnel = QueryDef(
+    "q_events_funnel",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      val firsts = e.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") &&
+          col("t_click") < col("t_buy"), 1)).as("n_full_funnel"))
+    },
+    Some("""
+      SELECT count(*) AS n_users,
+             count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+             count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+             count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END)
+               AS n_full_funnel
+      FROM (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id)"""))
+
+  /** Batch dedup on event_id keeping the earliest row (twin of streaming
+    * dropDuplicatesWithinWatermark). */
+  val dedupBatch = QueryDef(
+    "q_events_dedup",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts"), col("user_id"))
+      Tables(spark, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n
+      FROM (SELECT event_type,
+                   row_number() OVER (PARTITION BY event_id
+                                      ORDER BY ts, user_id) AS rn
+            FROM events)
+      WHERE rn = 1
+      GROUP BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(tumbling, sessionize, funnel, dedupBatch)
+}

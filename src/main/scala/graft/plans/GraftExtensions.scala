@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, VecDot}
+  import graft.functions.{CosineSim, KmvDistinct, VecDot}
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name, usage)
@@ -45,6 +45,11 @@ object GraftFunctions {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
+      (args: Seq[Expression]) => KmvDistinct(args.head)))
   }
 }
 

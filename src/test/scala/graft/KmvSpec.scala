@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy + mergeability bounds for the KMV distinct-count sketch
+  * (graft.functions.KmvDistinct). */
+class KmvSpec extends GraftSpecBase {
+
+  test("kmv_distinct is exact below k") {
+    // per-flag order counts at sf0.001 are < k=256 … no: use supplier (tiny)
+    val r = Tables(spark, sfDir, "supplier")
+      .agg(expr("kmv_distinct(s_suppkey)").as("a"),
+        countDistinct(col("s_suppkey")).as("e")).head
+    assert(r.getLong(0) == r.getLong(1), "below k the sketch is exact")
+  }
+
+  test("kmv_distinct within 10% of exact above k") {
+    val r = Tables(spark, sfDir, "lineitem")
+      .agg(expr("kmv_distinct(l_orderkey)").as("a"),
+        countDistinct(col("l_orderkey")).as("e")).head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(e > 256, "fixture must exceed k for this test to bite")
+    assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+  }
+
+  test("kmv_distinct survives shuffle (partial/merge path)") {
+    val df = Tables(spark, sfDir, "lineitem")
+      .repartition(8, col("l_partkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kmv_distinct(l_orderkey)").as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
+    df.collect().foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / math.max(e, 1.0) < 0.10, s"$a vs $e")
+    }
+  }
+}

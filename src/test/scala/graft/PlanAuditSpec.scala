@@ -64,6 +64,16 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("cached scan answers from InMemoryTableScan") {
+    assert(finalPlan("q_cache_scan").contains("InMemoryTableScan"))
+  }
+
+  test("arrow alias source keeps parquet pushdown + pruning") {
+    val p = finalPlan("q_source_arrow")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string,l_linestatus:string>"), p)
+  }
+
   test("aggregation is partial/final (map-side combine before shuffle)") {
     val p = finalPlan("q_join_inner_smj")
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")

@@ -28,8 +28,10 @@ class RegistrySpec extends GraftSpecBase {
 
   test("oracle coverage: every SQL-expressible query carries an oracle") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    // only the hash-based (engine-specific xxhash64) pipelines are exempt
-    assert(noOracle.toSet == Set("q_dedup_minhash_lsh", "q_dedup_simhash"),
+    // only hash-based (engine-specific xxhash64) or approximate pipelines
+    // are exempt
+    assert(noOracle.toSet ==
+      Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips: parquet (native path), csv/json/orc (inherited
+  * row sources in the reference — SURVEY §2.1 "JDBC/CSV/JSON/ORC"), and the
+  * "arrow" alias write+read. */
+class SourcesSpec extends GraftSpecBase {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString + "/out"
+
+  private def sample = Tables(spark, sfDir, "orders")
+    .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  test("parquet round-trip preserves rows and schema") {
+    val p = tmp("parquet")
+    sample.write.parquet(p)
+    val back = spark.read.parquet(p)
+    assert(back.schema == sample.schema)
+    assert(back.count() == sample.count())
+  }
+
+  test("arrow alias writes and reads (parquet under the hood)") {
+    val p = tmp("arrow")
+    sample.write.format("arrow").save(p)
+    val back = spark.read.format("arrow").load(p)
+    assert(back.count() == sample.count())
+    // and plain parquet can read what "arrow" wrote
+    assert(spark.read.parquet(p).count() == sample.count())
+  }
+
+  test("csv round-trip with header") {
+    val p = tmp("csv")
+    sample.write.option("header", "true").csv(p)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(p)
+    assert(back.count() == sample.count())
+    assert(back.columns.toSeq == sample.columns.toSeq)
+  }
+
+  test("json round-trip") {
+    val p = tmp("json")
+    sample.write.json(p)
+    val back = spark.read.json(p)
+    assert(back.count() == sample.count())
+  }
+
+  test("orc round-trip") {
+    val p = tmp("orc")
+    sample.write.orc(p)
+    assert(spark.read.orc(p).count() == sample.count())
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val p = tmp("part")
+    Tables(spark, sfDir, "orders")
+      .write.partitionBy("o_orderstatus").parquet(p)
+    val one = spark.read.parquet(p).filter(col("o_orderstatus") === "F")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition pruning missing:\n$plan")
+  }
+}
