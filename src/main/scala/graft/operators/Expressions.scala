@@ -272,7 +272,74 @@ object Expressions {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** JSON extraction (fallback-only in the reference — SURVEY §2.9 "JSON/
+    * array/map functions: none columnar"): get_json_object + from_json over
+    * the events.props JSON strings. */
+  val jsonFns = QueryDef(
+    "q_expr_json",
+    (spark, dir) => {
+      Tables(spark, dir, "events")
+        .filter(col("event_id") % 41 === 0)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long")
+            .as("k_schema"))
+        .withColumn("k2", col("k_path") * 2)
+    },
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_schema,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2
+      FROM events
+      WHERE event_id % 41 = 0"""))
+
+  /** Array functions (nested types are row-fallback in the reference,
+    * first-class here): construction, sort, slice, membership, join. */
+  val arrayFns = QueryDef(
+    "q_expr_array",
+    (spark, dir) => {
+      Tables(spark, dir, "part")
+        .filter(col("p_partkey") % 13 === 0)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+        .select(
+          col("p_partkey"),
+          size(col("words")).cast("long").as("n_words"),
+          array_join(sort_array(col("words")), "|").as("sorted_joined"),
+          array_contains(col("words"), "box").as("has_box"),
+          array_join(slice(col("words"), 1, 2), " ").as("first_two"),
+          element_at(col("words"), -1).as("last_word"),
+          array_join(sort_array(array_distinct(col("words"))), ",")
+            .as("distinct_words"))
+    },
+    Some("""
+      SELECT p_partkey,
+             CAST(len(words) AS BIGINT) AS n_words,
+             array_to_string(list_sort(words), '|') AS sorted_joined,
+             list_contains(words, 'box') AS has_box,
+             array_to_string(words[1:2], ' ') AS first_two,
+             words[-1] AS last_word,
+             array_to_string(list_sort(list_distinct(words)), ',')
+               AS distinct_words
+      FROM (SELECT p_partkey, str_split(p_name, ' ') AS words FROM part)
+      WHERE p_partkey % 13 = 0"""))
+
+  /** Null-safe equality (EqualNullSafe — ColumnarBinaryOperator.scala:38-499);
+    * nulls manufactured via nullif. */
+  val nullSafeEq = QueryDef.sqlSame(
+    "q_expr_nullsafe",
+    """SELECT o_orderstatus, count(*) AS n
+       FROM orders
+       WHERE nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM
+             nullif(o_orderstatus, 'P')
+         AND NOT (nullif(o_orderstatus, 'O') IS DISTINCT FROM
+                  nullif(o_orderstatus, 'O'))
+       GROUP BY o_orderstatus""")
+
   val all: Seq[QueryDef] = Seq(
     stringFns, regexFns, mathFns, bitwiseFns, conditionalFns, castFns,
-    datetimeFns, decimalFns)
+    datetimeFns, decimalFns, jsonFns, arrayFns, nullSafeEq)
 }
