@@ -19,6 +19,8 @@ object SparkEntry {
       operators.SetOps.all ++
       operators.Expressions.all ++
       operators.Subqueries.all ++
+      operators.Tpch.all ++
+      operators.AsOf.all ++
       operators.Events.all ++
       operators.Caching.all ++
       operators.Dedup.all ++
