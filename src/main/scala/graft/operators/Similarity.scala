@@ -158,5 +158,21 @@ object Similarity {
       WHERE c.vec_id > 0
       ORDER BY dot DESC, cand_id LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, dotTopK)
+  /** Same semantics as q_sim_topk_brute, but planned through the custom
+    * CosineTopKJoin logical operator + resolution rule
+    * (graft.plans.CosineTopKJoin — SURVEY §7(c) machinery); shares the
+    * brute-force oracle, so the lowering is verified bit-exact. */
+  val planTopK = QueryDef(
+    "q_sim_topk_plan",
+    (spark, dir) => {
+      val (q, c) = split(spark, dir)
+      val qs = q.select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      val cs = c.select(col("vec_id").as("cand_id"), col("embedding").as("ec"))
+      graft.ops.cosineTopK(qs, cs, 10)
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rn").cast("long").as("rn"))
+    },
+    bruteForceTopK.oracle)
+
+  val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, dotTopK, planTopK)
 }

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectColumnar(_ => GraftCapabilityAudit)
+    ext.injectResolutionRule(_ => ResolveCosineTopK)
     GraftFunctions.register(ext)
   }
 }

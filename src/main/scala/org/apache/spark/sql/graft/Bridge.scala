@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal private-API bridge: constructing a Dataset from a custom
+  * LogicalPlan requires `Dataset.ofRows`, which is `private[sql]`. The
+  * reference uses the same technique for its plan-level classes (e.g.
+  * core/src/main/scala/org/apache/spark/sql/execution/ColumnarShuffleExchangeExec.scala
+  * lives inside the org.apache.spark.sql tree). This is the only file outside
+  * the graft package namespace.
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
