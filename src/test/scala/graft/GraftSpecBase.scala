@@ -9,6 +9,8 @@ object TestSpark {
     val s = Engine.configure(
       SparkSession.builder().appName("graft-test").master("local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests standing in for the reference's native kernel unit tests
+  * (SURVEY §5 layer 5 — cpp/src/tests): algebraic invariants of the custom
+  * expressions evaluated through the engine. Raw ScalaCheck driven from
+  * funsuite (scalatestplus bridge is not on the offline classpath). */
+class PropertySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](16, Gen.chooseNum(-10f, 10f))
+      .suchThat(v => v.exists(_ != 0f))
+
+  private val pairsGen = Gen.nonEmptyListOf(Gen.zip(vecGen, vecGen))
+    .map(_.take(8))
+
+  private def cosOf(pairs: Seq[(Array[Float], Array[Float])]): Seq[Double] = {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs.map(p => Row(p._1.toSeq, p._2.toSeq))),
+      schema)
+      .select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0)).toSeq
+  }
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("cosine_sim bounded in [-1,1], symmetric, self=1, scale-invariant") {
+    check("bounded", Prop.forAll(pairsGen) { pairs =>
+      cosOf(pairs).forall(c => c >= -1.0000001 && c <= 1.0000001)
+    })
+    check("symmetric", Prop.forAll(pairsGen) { pairs =>
+      cosOf(pairs) == cosOf(pairs.map(_.swap))
+    })
+    check("self-similarity", Prop.forAll(Gen.nonEmptyListOf(vecGen).map(_.take(6))) {
+      vs => cosOf(vs.map(v => (v, v))).forall(c => math.abs(c - 1.0) < 1e-12)
+    })
+    check("scale-invariant", Prop.forAll(pairsGen) { pairs =>
+      val scaled = pairs.map { case (a, b) => (a, b.map(_ * 2f)) }
+      cosOf(pairs).zip(cosOf(scaled)).forall {
+        case (c1, c2) => math.abs(c1 - c2) < 1e-9
+      }
+    })
+  }
+
+  test("vec_dot linearity: dot(a, b+c) == dot(a,b) + dot(a,c)") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType)),
+      StructField("c", ArrayType(FloatType))))
+    check("linearity", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(vecGen, vecGen, vecGen)).map(_.take(6))) {
+      triples =>
+        val rows = spark.createDataFrame(
+          spark.sparkContext.parallelize(triples.map(t =>
+            Row(t._1.toSeq, t._2.toSeq, t._3.toSeq))),
+          schema)
+          .select(
+            expr("vec_dot(a, zip_with(b, c, (x, y) -> x + y))").as("lhs"),
+            (expr("vec_dot(a, b)") + expr("vec_dot(a, c)")).as("rhs"))
+          .collect()
+        rows.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-3)
+    })
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+/** 100 TB scale patterns demonstrated concretely at test scale:
+  * salted aggregation for skewed keys, bucketed co-located joins (zero
+  * shuffle), and the cosineTopK custom-operator plan shape. */
+class ScalePatternsSpec extends GraftSpecBase {
+
+  private val sp = TestSpark.spark
+  import sp.implicits._
+
+  test("salted two-stage aggregation equals direct aggregation") {
+    // skew pattern: key 'hot' holds ~90% of rows
+    val df = sp.range(0, 10000)
+      .select(
+        when(col("id") % 10 =!= 0, "hot").otherwise(concat(lit("k"),
+          (col("id") % 7).cast("string"))).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val direct = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    // stage 1: shard the hot key across 16 salts (map-side spread);
+    // stage 2: merge partials per real key
+    val salted = df
+      .withColumn("salt", pmod(hash(monotonically_increasing_id()), lit(16)))
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("ps"), count(lit(1)).as("pn"))
+      .groupBy(col("k"))
+      .agg(sum(col("ps")).as("s"), sum(col("pn")).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a temp dir set at session creation (GraftSpecBase)
+    sp.sql("DROP TABLE IF EXISTS b_orders")
+    sp.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables(sp, sfDir, "orders")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables(sp, sfDir, "lineitem")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val joined = sp.table("b_lineitem").hint("merge")
+      .join(sp.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the join itself must need no exchange: only the final tiny
+    // aggregation shuffles
+    val joinSection = plan.split("SortMergeJoin")(1)
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    // correctness against the unbucketed path
+    val expected = Tables(sp, sfDir, "lineitem")
+      .join(Tables(sp, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("cosineTopK custom operator plans broadcast + window, and matches brute force") {
+    val e = Tables(sp, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val cs = e.filter(col("vec_id") >= 4)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"))
+    val df = graft.ops.cosineTopK(qs, cs, 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("cosine_sim"), plan)
+    assert(plan.contains("row_number"), plan)
+    // per query exactly 5 candidates, ranked by descending cosine
+    val rows = df.select(col("query_id"), col("cos"), col("rn")).collect()
+    assert(rows.length == 4 * 5)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(2)).map(_.getDouble(1)).toSeq
+      assert(byRank == byRank.sorted.reverse, "cos must decrease with rank")
+    }
+  }
+}
