@@ -219,6 +219,77 @@ object Dedup {
     s"""(${fold(a, b)} / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})))"""
   }
 
+  /** Duplicate-cluster assignment: connected components over the near-dup
+    * pair graph (jaccard >= 0.5 candidates), by iterative min-label
+    * propagation — the Pregel-shaped algorithm that scales to 100 TB (each
+    * iteration is one shuffle on doc_id; the driver only checks a one-row
+    * convergence metric). Each doc's cluster id = smallest doc_id reachable
+    * from it. Oracle: DuckDB recursive-CTE transitive closure (exact same
+    * semantics, viable because the fixture's pair set is small).
+    */
+  val connectedComponents = QueryDef(
+    "q_dedup_clusters",
+    (spark, dir) => {
+      val pairs = ngramJaccard.run(spark, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      val nodes = pairs.select(col("doc_a").as("doc"))
+        .union(pairs.select(col("doc_b").as("doc"))).distinct()
+      // undirected edge list, both directions
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      var labels = nodes.select(col("doc"), col("doc").as(("label")))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc", "src")
+            .withColumnRenamed("label", "nl"), "src")
+          .groupBy(col("dst").as("doc"))
+          .agg(min(col("nl")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("doc"), "left_outer")
+          .select(col("doc"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+          .filter(col("label") < col("old")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(col("doc")).as("max_doc"))
+    },
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, substring(text, 1, 40) AS blk,
+                     """ + duckShingles + """ AS grams FROM documents) a
+        JOIN (SELECT doc_id, substring(text, 1, 40) AS blk,
+                     """ + duckShingles + """ AS grams FROM documents) b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      nodes AS (
+        SELECT DISTINCT src AS doc FROM edges),
+      reach(doc, r) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT reach.doc, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src)
+      SELECT cluster_id, count(*) AS cluster_size, max(doc) AS max_doc
+      FROM (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+      GROUP BY cluster_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    exact, ngramJaccard, minhashLsh, simhash, embeddingNearDup)
+    exact, ngramJaccard, minhashLsh, simhash, embeddingNearDup,
+    connectedComponents)
 }

@@ -58,6 +58,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Session windows (gap-based, built-in session_window) per user — the
+    * streaming twin of the batch gap-and-islands sessionization in
+    * operators.Events.sessionize. */
+  def sessionWindows(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Watermarked streaming deduplication on event_id (state is dropped once
     * the watermark passes — bounded memory at scale). */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -43,6 +43,45 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("sliding windows produce overlapping buckets") {
+    val ms = mkEvents(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(7), 100, "click", 1.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.slidingCounts(ms.toDF(), "10 minutes", "10 minutes",
+        "5 minutes"), "slide_counts")
+    try {
+      q.processAllAvailable()
+      // 10-min windows sliding by 5: event@10:00 lands in [09:55,10:05] and
+      // [10:00,10:10]; event@10:07 in [10:00,10:10] and [10:05,10:15]
+      val out = sp.table("slide_counts")
+        .select(col("win_start"), col("n")).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(out == Map(
+        "2024-01-01 09:55:00.0" -> 1L,
+        "2024-01-01 10:00:00.0" -> 2L,
+        "2024-01-01 10:05:00.0" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    val ms = mkEvents(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(3), 100, "view", 2.0),  // within 5-min gap → same session
+      Event(3, ts(20), 100, "click", 4.0), // > gap → new session
+      Event(4, ts(1), 200, "view", 8.0))
+    val q = EventStreams.toMemorySink(
+      EventStreams.sessionWindows(ms.toDF(), "10 minutes", "5 minutes"),
+      "sess_counts", "complete")
+    try {
+      q.processAllAvailable()
+      val out = sp.table("sess_counts")
+        .select(col("user_id"), col("n_events"), col("sum_value")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set((100L, 2L, 3.0), (100L, 1L, 4.0), (200L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed event_ids") {
     val ms = mkEvents(
       Event(10, ts(0), 1, "click", 1.0),
