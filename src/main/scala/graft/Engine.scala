@@ -57,9 +57,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // nanosAsLong=true surfaces ts as Long nanos; truncate to micros and
-      // rebuild a proper timestamp column (session TZ is UTC).
+    if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // nanosAsLong=true surfaces NANOS parquet as Long nanos; truncate to
+      // micros and rebuild a proper timestamp column (session TZ is UTC).
+      // Re-written events tables (e.g. ScaleSmoke) arrive as TIMESTAMP
+      // already and pass through.
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else df
   }

@@ -339,7 +339,20 @@ object Expressions {
                   nullif(o_orderstatus, 'O'))
        GROUP BY o_orderstatus""")
 
+  /** InSet (large IN-list switches Catalyst from In to InSet —
+    * ColumnarInSetOperator parity) + LIKE with custom escape character. */
+  val inSetLike = QueryDef.sqlSame(
+    "q_expr_inset_like",
+    """SELECT p_brand, count(*) AS n,
+              CAST(sum(CASE WHEN p_name LIKE '%^_%' ESCAPE '^'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_underscore
+       FROM part
+       WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5',
+                         'Brand#6','Brand#7','Brand#8','Brand#9','Brand#10',
+                         'Brand#11','Brand#12','Brand#13')
+       GROUP BY p_brand""")
+
   val all: Seq[QueryDef] = Seq(
     stringFns, regexFns, mathFns, bitwiseFns, conditionalFns, castFns,
-    datetimeFns, decimalFns, jsonFns, arrayFns, nullSafeEq)
+    datetimeFns, decimalFns, jsonFns, arrayFns, nullSafeEq, inSetLike)
 }
