@@ -23,12 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word tokens and distinct word-3-gram shingle set. */
+  /** Word tokens and distinct word-3-gram shingle set (native kernel —
+    * graft.functions.WordNgrams). */
   private def toks(c: Column): Column = split(c, " ")
-  private def shingles(t: Column): Column = array_distinct(
-    transform(sequence(lit(0), size(t) - 3), i =>
-      concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-        element_at(t, i + 3))))
+  private def shingles(t: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.functions.WordNgrams(
+      org.apache.spark.sql.graft.Bridge.expression(t), 3))
 
   private val duckShingles =
     """list_distinct(list_transform(range(len(str_split(text, ' ')) - 2),
@@ -112,9 +112,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, dir: String) = {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), shingles(toks(col("text"))).as("grams"))
-      .select(col("doc_id"), array((0 until numHashes).map(k =>
-        array_min(transform(col("grams"), g => xxhash64(lit(k), g)))): _*)
-        .as("sig"))
+      .select(col("doc_id"), expr("minhash_sig(grams)").as("sig"))
       .persist()
   }
 
@@ -155,19 +153,12 @@ object Dedup {
   val simhash = QueryDef(
     "q_dedup_simhash",
     (spark, dir) => {
-      // hash each token once (th), then fold the 64 bit-votes over the
-      // precomputed hashes; persist — the chunk self-join reads it twice
+      // native SimHash64 kernel (graft.functions.HashKernels) — one
+      // JIT-compiled vote loop instead of interpreted per-element lambdas;
+      // persist — the chunk self-join reads it twice
       val sim = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          transform(toks(col("text")), t => xxhash64(t)).as("th"))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-               acc + if(
-                 aggregate(th, 0, (s, h) ->
-                   s + if((shiftright(h, i) & cast(1 as bigint)) = 1, 1, -1))
-                 > 0,
-                 shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""")
-          .as("simhash"))
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
         .persist()
       val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
         array((0 until 4).map(k =>

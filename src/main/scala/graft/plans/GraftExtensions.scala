@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, KmvDistinct, VecDot}
+  import graft.functions.{CosineSim, KmvDistinct, MinHashSig, SimHash64, VecDot}
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name, usage)
@@ -51,6 +51,15 @@ object GraftFunctions {
       info("kmv_distinct",
         "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
       (args: Seq[Expression]) => KmvDistinct(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(shingles) - 32-permutation MinHash signature"),
+      (args: Seq[Expression]) => MinHashSig(args.head)))
   }
 }
 
