@@ -32,7 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, KmvDistinct, MinHashSig, SimHash64, VecDot}
+  import graft.functions.{CosineSim, KmvDistinct, MinHashSig, SimHash64, VecDot, WordNgrams}
+  import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name, usage)
@@ -60,6 +61,16 @@ object GraftFunctions {
       info("minhash_sig",
         "minhash_sig(shingles) - 32-permutation MinHash signature"),
       (args: Seq[Expression]) => MinHashSig(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n) - distinct word n-grams, insertion-ordered"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens) => WordNgrams(tokens, 3)
+        case Seq(tokens, Literal(n: Int, _)) => WordNgrams(tokens, n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(tokens[, n]) requires a literal n")
+      }))
   }
 }
 
