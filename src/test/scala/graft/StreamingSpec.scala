@@ -112,6 +112,40 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("file-source streaming replay matches the batch tumbling aggregation") {
+    import org.apache.spark.sql.types._
+    // events.parquet carries TIMESTAMP(NANOS) → LongType under nanosAsLong,
+    // mirroring Tables.apply's batch normalization
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source needs a directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = sp.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = EventStreams.toMemorySink(agg, "replay_counts", "complete")
+    try {
+      q.processAllAvailable()
+      val got = sp.table("replay_counts").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val want = Tables(sp, sfDir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("custom keyed state: per-user running stats across batches") {
     val ms = MemoryStream[Event]
     val q = EventStreams.toMemorySink(
