@@ -78,4 +78,21 @@ class PlanAuditSpec extends GraftSpecBase {
     val p = finalPlan("q_join_inner_smj")
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
+
+  test("identical exchange subplans are reused, not recomputed") {
+    // self-join over the same aggregate: Spark's ReuseExchange (the
+    // reference's ReuseColumnarExchange, ColumnarExchange.scala:53) must
+    // compute the shuffle once
+    import org.apache.spark.sql.functions._
+    val a = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val joined = a.as("x").join(a.as("y"), "l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange") || p.contains("ShuffleQueryStage") &&
+      "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size <= 1,
+      s"expected exchange reuse:\n$p")
+  }
 }
