@@ -204,7 +204,53 @@ object Aggregates {
        GROUP BY o_custkey
        HAVING count(*) >= 12""")
 
+  /** Pivot (groupBy().pivot().agg()) — planned as conditional aggregation;
+    * the oracle spells out the rewrite. */
+  val pivot = QueryDef(
+    "q_pivot",
+    (spark, dir) => {
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sumd(col("o_totalprice")))
+        .select(col("o_orderpriority"), col("F").as("sum_f"),
+          col("O").as("sum_o"), col("P").as("sum_p"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS sum_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS sum_o,
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE) AS sum_p
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** Exact percentiles (sort-based `percentile`, linear interpolation) over
+    * the integral-valued quantity column. */
+  val percentile = QueryDef(
+    "q_agg_percentile",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS p50,
+             quantile_cont(l_quantity, 0.25) AS p25,
+             quantile_cont(l_quantity, 0.9) AS p90,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having)
+    aggGlobal, having, pivot, percentile)
 }
