@@ -250,7 +250,23 @@ object Aggregates {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Aggregation over genuinely-null inputs: count(col) skips nulls,
+    * sum of an all-null slice is NULL, avg ignores nulls. */
+  val aggNulls = QueryDef.sqlSame(
+    "q_agg_nulls",
+    """SELECT o_orderstatus,
+              count(*) AS n_rows,
+              count(v) AS n_vals,
+              coalesce(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), -1.0)
+                AS sum_v,
+              CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_nulls
+       FROM (SELECT o_orderstatus,
+                    CASE WHEN o_totalprice < 50000.0 THEN NULL
+                         ELSE o_totalprice END AS v
+             FROM orders)
+       GROUP BY o_orderstatus""")
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having, pivot, percentile)
+    aggGlobal, having, pivot, percentile, aggNulls)
 }

@@ -158,6 +158,18 @@ object Windows {
        FROM lineitem
        WINDOW p AS (PARTITION BY l_returnflag)""")
 
+  /** first_value / last_value / nth_value over an explicit frame. */
+  val valueFns = QueryDef.sqlSame(
+    "q_window_value_fns",
+    """SELECT o_custkey, o_orderkey,
+              first_value(o_totalprice) OVER w AS first_price,
+              last_value(o_totalprice) OVER w AS last_price,
+              nth_value(o_totalprice, 2) OVER w AS second_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
+
   val all: Seq[QueryDef] = Seq(
-    rank, rowNumber, runningSum, rangeFrame, lagLead, ntileQ, partitionFrame)
+    rank, rowNumber, runningSum, rangeFrame, lagLead, ntileQ, partitionFrame,
+    valueFns)
 }
