@@ -30,12 +30,24 @@ object SparkEntry {
       operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    plans.GraftFunctions.ensureRegistered(spark)
     operators.Aggregates.q1Agg.run(spark, "/root/testdata/sf0.001")
+  }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each run first ensures the graft SQL functions exist in the caller's
+    * session — the driver builds its SparkSession without
+    * `spark.sql.extensions=graft.plans.GraftExtensions`, and several queries
+    * reference `simhash64`/`minhash_sig`/… from SQL text. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.run).toMap
+    registry.map { q =>
+      q.name -> { (spark: SparkSession, dir: String) =>
+        plans.GraftFunctions.ensureRegistered(spark)
+        q.run(spark, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

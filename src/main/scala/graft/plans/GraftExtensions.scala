@@ -38,31 +38,27 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", name, usage)
 
-  def register(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
+  /** All registrations as (name, info, builder) triples so both the
+    * extensions path and the defensive per-session path share one list. */
+  private def entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("kmv_distinct"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct",
         "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
-      (args: Seq[Expression]) => KmvDistinct(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
+      (args: Seq[Expression]) => KmvDistinct(args.head)),
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(shingles) - 32-permutation MinHash signature"),
-      (args: Seq[Expression]) => MinHashSig(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("word_ngrams"),
+      (args: Seq[Expression]) => MinHashSig(args.head)),
+    (FunctionIdentifier("word_ngrams"),
       info("word_ngrams",
         "word_ngrams(tokens, n) - distinct word n-grams, insertion-ordered"),
       (args: Seq[Expression]) => args match {
@@ -71,7 +67,21 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(tokens[, n]) requires a literal n")
       }))
+
+  /** Defensive path: register directly into a session's function registry
+    * when that session was built without GraftExtensions (e.g. the driver's
+    * own smoke-test session). Idempotent. */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graft.Bridge.functionRegistry(spark)
+    entries.foreach { case (id, inf, builder) =>
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id, inf, builder)
+      }
+    }
   }
+
+  def register(ext: SparkSessionExtensions): Unit =
+    entries.foreach(ext.injectFunction)
 }
 
 /** Capability metadata mirroring `ConverterUtils.checkIfTypeSupported`

@@ -23,4 +23,11 @@ object Bridge {
   /** Catalyst expression behind a Column (`Column.expr` is gone in 4.x). */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Session-local function registry (private[sql]); used to register the
+    * graft functions defensively when the session wasn't built with
+    * spark.sql.extensions=graft.plans.GraftExtensions. */
+  def functionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }

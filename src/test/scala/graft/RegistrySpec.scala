@@ -26,6 +26,24 @@ class RegistrySpec extends GraftSpecBase {
     }
   }
 
+  test("graft SQL functions self-register into an extensions-less session") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    // Simulate the driver's session (built without GraftExtensions): isolated
+    // session state, graft functions removed from its registry.
+    val fresh = spark.newSession()
+    val reg = org.apache.spark.sql.graft.Bridge.functionRegistry(fresh)
+    Seq("cosine_sim", "vec_dot", "kmv_distinct", "simhash64", "minhash_sig",
+      "word_ngrams").foreach(n => reg.dropFunction(FunctionIdentifier(n)))
+    assert(!reg.functionExists(FunctionIdentifier("simhash64")))
+    plans.GraftFunctions.ensureRegistered(fresh)
+    val row = fresh.sql(
+      "SELECT simhash64(array('a','b')) AS h, cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c"
+    ).collect()
+    assert(row.length == 1 && math.abs(row(0).getDouble(1) - 1.0) < 1e-9)
+    // parent session untouched
+    assert(spark.sql("SELECT simhash64(array('x')) AS h").count() == 1)
+  }
+
   test("oracle coverage: every SQL-expressible query carries an oracle") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     // only hash-based (engine-specific xxhash64) or approximate pipelines
