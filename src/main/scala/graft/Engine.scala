@@ -55,7 +55,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Catalog-style metadata reuse: a production engine resolves a table's
+  // schema + file listing once (metastore), not per query. Re-running
+  // spark.read.parquet per query re-reads footers and re-lists files — at
+  // ~10 tables × ~100 queries that fixed cost dominates small-SF benches and
+  // is pure waste at any scale. Keyed by session identity so concurrent
+  // sessions (tests) stay isolated.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  private val viewsFor =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    dfCache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" &&
       df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -67,7 +83,11 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view so SQL-text queries can run. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  /** Register every table as a temp view so SQL-text queries can run.
+    * Idempotent per (session, dir): re-registers only when the dir changes. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val id = System.identityHashCode(spark)
+    if (viewsFor.put(id, dir) != dir)
+      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  }
 }
