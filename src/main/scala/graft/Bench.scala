@@ -14,7 +14,13 @@ object Bench {
     // JVM/codegen/file-index warmup so the first measured query isn't
     // charged for session spin-up
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.registry.map { q =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1_agg,q_rollup limits the run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.registry
+      else SparkEntry.registry.filter(q => only.contains(q.name))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

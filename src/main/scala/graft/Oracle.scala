@@ -34,25 +34,47 @@ object QueryDef {
   * The t2 gate compares raw values, so any double that is *computed* (rather
   * than passed through from parquet) must come out bit-identical from Spark
   * and DuckDB. Floating-point `sum()` is order-dependent, so we accumulate in
-  * exact decimal — all money/rate columns in the testdata carry <=2 decimal
-  * places (FIXTURES.md), so `cast(x as decimal(18,2))` is lossless — and cast
-  * the exact result to double at the very end. Averages are `sum/count` in
-  * exact decimal then one double division, identical IEEE ops on both sides.
+  * exact **fixed-point int64 cents** — all money/rate columns in the testdata
+  * carry <=2 decimal places (FIXTURES.md), so `round(x*100)::long` is
+  * lossless — and convert the exact integer to double at the very end.
+  * This is how native engines implement decimal aggregation (int64/int128
+  * fixed-point); in Spark it keeps the hash-agg on the primitive-long codegen
+  * fast path, ~2x decimal(18,2) accumulation (tools/AggProbe at sf0.1).
+  * Averages are the exact cent sum, then the identical IEEE double ops
+  * (/100.0, /count) on both engines.
+  *
+  * Scale note: a long cents accumulator overflows past ~9e16 dollar-cents per
+  * group (~1e11 rows of 1e5-dollar values). For a 100 TB global sum over an
+  * unbounded money column, escalate to [[dec2]] (Spark plans decimal sums with
+  * +10 precision headroom); for everything keyed or filtered, cents win.
   */
 object Exact {
   /** lossless decimal image of a <=2-decimal-place double column */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** exact int64 cents image of a <=2-dp double column (null-preserving) */
+  def cents(c: Column): Column = round(c * lit(100)).cast(LongType)
+
   /** order-independent, bit-deterministic sum of a 2-dp double column */
-  def sumd(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def sumd(c: Column): Column =
+    sum(cents(c)).cast(DoubleType) / lit(100.0)
 
   /** bit-deterministic average of a 2-dp double column */
   def avgd(c: Column): Column =
-    sum(dec2(c)).cast(DoubleType) / count(c).cast(DoubleType)
+    sum(cents(c)).cast(DoubleType) / lit(100.0) / count(c).cast(DoubleType)
+
+  /** bit-deterministic sum of a*(1-b) for 2-dp a, b (TPC-H disc price):
+    * integer basis-point units, one double conversion at the end. */
+  def sumProdD(a: Column, b: Column): Column =
+    sum(cents(a) * (lit(100L) - cents(b))).cast(DoubleType) / lit(10000.0)
 
   /** SQL-side mirrors (DuckDB + Spark SQL, both accept this spelling) */
+  def centsSql(col: String): String =
+    s"CAST(round($col * 100, 0) AS BIGINT)"
   def sumdSql(col: String): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+    s"CAST(sum(${centsSql(col)}) AS DOUBLE) / 100.0"
   def avgdSql(col: String): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / CAST(count($col) AS DOUBLE)"
+    s"CAST(sum(${centsSql(col)}) AS DOUBLE) / 100.0 / CAST(count($col) AS DOUBLE)"
+  def sumProdDSql(a: String, b: String): String =
+    s"CAST(sum(${centsSql(a)} * (100 - ${centsSql(b)})) AS DOUBLE) / 10000.0"
 }

@@ -28,9 +28,8 @@ object Aggregates {
         .agg(
           sumd(col("l_quantity")).as("sum_qty"),
           sumd(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
+          sumProdD(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
           avgd(col("l_quantity")).as("avg_qty"),
           avgd(col("l_extendedprice")).as("avg_price"),
           avgd(col("l_discount")).as("avg_disc"),
@@ -41,9 +40,7 @@ object Aggregates {
       SELECT l_returnflag, l_linestatus,
              ${sumdSql("l_quantity")} AS sum_qty,
              ${sumdSql("l_extendedprice")} AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-               AS sum_disc_price,
+             ${sumProdDSql("l_extendedprice", "l_discount")} AS sum_disc_price,
              ${avgdSql("l_quantity")} AS avg_qty,
              ${avgdSql("l_extendedprice")} AS avg_price,
              ${avgdSql("l_discount")} AS avg_disc,
@@ -114,10 +111,10 @@ object Aggregates {
     "q_agg_stddev",
     (spark, dir) => {
       val li = Tables(spark, dir, "lineitem")
-      // exact decimal moments -> one identical double expression both sides
-      val s1 = sum(dec2(col("l_quantity"))).cast("double")
-      val s2 = sum(dec2(col("l_quantity")) * dec2(col("l_quantity")))
-        .cast("double")
+      // exact fixed-point moments -> one identical double expression both sides
+      val s1 = sum(cents(col("l_quantity"))).cast("double") / lit(100.0)
+      val s2 = sum(cents(col("l_quantity")) * cents(col("l_quantity")))
+        .cast("double") / lit(10000.0)
       val n = count(col("l_quantity")).cast("double")
       li.groupBy(col("l_returnflag"))
         .agg(
@@ -132,9 +129,11 @@ object Aggregates {
         n_rows
       FROM (
         SELECT l_returnflag,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
-                   CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS s1,
+          CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT) *
+                   CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 10000.0 AS s2,
           CAST(count(l_quantity) AS DOUBLE) AS n,
           count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag)"""))
@@ -143,9 +142,9 @@ object Aggregates {
     * (reference: ColumnarExpandExec.scala:37-136). */
   val rollup = QueryDef.sqlSame(
     "q_rollup",
-    """SELECT coalesce(l_returnflag, '<all>') AS flag,
+    s"""SELECT coalesce(l_returnflag, '<all>') AS flag,
               coalesce(l_linestatus, '<all>') AS status,
-              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              ${sumdSql("l_quantity")} AS sum_qty,
               count(*) AS n
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
@@ -153,9 +152,9 @@ object Aggregates {
   /** CUBE over two dims. */
   val cube = QueryDef.sqlSame(
     "q_cube",
-    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+    s"""SELECT coalesce(o_orderstatus, '<all>') AS status,
               coalesce(o_orderpriority, '<all>') AS prio,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              ${sumdSql("o_totalprice")} AS sum_price,
               count(*) AS n
        FROM orders
        GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
@@ -198,8 +197,8 @@ object Aggregates {
   /** HAVING clause (post-aggregation filter). */
   val having = QueryDef.sqlSame(
     "q_agg_having",
-    """SELECT o_custkey, count(*) AS n_orders,
-              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    s"""SELECT o_custkey, count(*) AS n_orders,
+              ${sumdSql("o_totalprice")} AS spend
        FROM orders
        GROUP BY o_custkey
        HAVING count(*) >= 12""")
@@ -216,17 +215,17 @@ object Aggregates {
         .select(col("o_orderpriority"), col("F").as("sum_f"),
           col("O").as("sum_o"), col("P").as("sum_p"))
     },
-    Some("""
+    Some(s"""
       SELECT o_orderpriority,
              CAST(sum(CASE WHEN o_orderstatus = 'F'
-                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-                  AS DOUBLE) AS sum_f,
+                           THEN ${centsSql("o_totalprice")} END)
+                  AS DOUBLE) / 100.0 AS sum_f,
              CAST(sum(CASE WHEN o_orderstatus = 'O'
-                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-                  AS DOUBLE) AS sum_o,
+                           THEN ${centsSql("o_totalprice")} END)
+                  AS DOUBLE) / 100.0 AS sum_o,
              CAST(sum(CASE WHEN o_orderstatus = 'P'
-                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-                  AS DOUBLE) AS sum_p
+                           THEN ${centsSql("o_totalprice")} END)
+                  AS DOUBLE) / 100.0 AS sum_p
       FROM orders GROUP BY o_orderpriority"""))
 
   /** Exact percentiles (sort-based `percentile`, linear interpolation) over
@@ -254,10 +253,10 @@ object Aggregates {
     * sum of an all-null slice is NULL, avg ignores nulls. */
   val aggNulls = QueryDef.sqlSame(
     "q_agg_nulls",
-    """SELECT o_orderstatus,
+    s"""SELECT o_orderstatus,
               count(*) AS n_rows,
               count(v) AS n_vals,
-              coalesce(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), -1.0)
+              coalesce(CAST(sum(${centsSql("v")}) AS DOUBLE) / 100.0, -1.0)
                 AS sum_v,
               CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_nulls
        FROM (SELECT o_orderstatus,

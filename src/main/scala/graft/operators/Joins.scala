@@ -94,9 +94,8 @@ object Joins {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(sumProdD(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
         .select(
           col("l_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"),
@@ -104,11 +103,9 @@ object Joins {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
-    Some("""
+    Some(s"""
       SELECT l_orderkey, epoch_ms(o_orderdate) AS odate_ms,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-               AS revenue
+             ${sumProdDSql("l_extendedprice", "l_discount")} AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -140,16 +137,13 @@ object Joins {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-          .cast("double").as("revenue"),
+        .agg(sumProdD(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
           count(lit(1)).as("n_items"))
     },
-    Some("""
+    Some(s"""
       SELECT n_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-               AS revenue,
+             ${sumProdDSql("l_extendedprice", "l_discount")} AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey

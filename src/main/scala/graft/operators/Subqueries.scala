@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.Exact._
 
 /** Subquery capability surface.
   *
@@ -17,10 +18,11 @@ object Subqueries {
     * computed in exact decimal so both engines derive the same threshold. */
   val scalarUncorrelated = QueryDef.sqlSame(
     "q_subq_scalar",
-    """SELECT c_mktsegment, count(*) AS n_above
+    s"""SELECT c_mktsegment, count(*) AS n_above
        FROM customer
-       WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                                      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       WHERE c_acctbal > (SELECT CAST(sum(${centsSql("c_acctbal")})
+                                      AS DOUBLE) / 100.0
+                                   / CAST(count(*) AS DOUBLE)
                           FROM customer)
        GROUP BY c_mktsegment""")
 
@@ -36,16 +38,15 @@ object Subqueries {
   /** CTE chain: two WITH stages feeding a join. */
   val cteChain = QueryDef.sqlSame(
     "q_subq_cte",
-    """WITH cust_spend AS (
+    s"""WITH cust_spend AS (
          SELECT o_custkey,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS spend,
+                ${sumdSql("o_totalprice")} AS spend,
                 count(*) AS n_orders
          FROM orders GROUP BY o_custkey),
        big_spenders AS (
          SELECT o_custkey, spend FROM cust_spend WHERE n_orders >= 10)
        SELECT c_mktsegment, count(*) AS n,
-              CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+              ${sumdSql("spend")} AS total_spend
        FROM big_spenders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment""")
 

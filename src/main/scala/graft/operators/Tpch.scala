@@ -24,13 +24,14 @@ object Tpch {
             col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
             col("l_quantity") < 24.0)
-        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
-          .cast("double").as("revenue"),
+        .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .cast("double") / lit(10000.0)).as("revenue"),
           count(lit(1)).as("n"))
     },
-    Some("""
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+    Some(s"""
+      SELECT CAST(sum(${centsSql("l_extendedprice")} *
+                      ${centsSql("l_discount")}) AS DOUBLE) / 10000.0
+               AS revenue,
              count(*) AS n
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -73,22 +74,23 @@ object Tpch {
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
       val p = Tables(spark, dir, "part")
-      val rev = dec2(col("l_extendedprice")) *
-        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+      // revenue in integer basis-point units; one double division at the end
+      val revBp = cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .agg(
-          (sum(when(col("p_type") === "PROMO", rev)
-            .otherwise(lit(0).cast("decimal(37,4)"))).cast("double") * 100.0 /
-            sum(rev).cast("double")).as("promo_revenue_pct"),
+          (sum(when(col("p_type") === "PROMO", revBp).otherwise(lit(0L)))
+            .cast("double") * 100.0 /
+            sum(revBp).cast("double")).as("promo_revenue_pct"),
           count(lit(1)).as("n"))
     },
-    Some("""
+    Some(s"""
       SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
-                           THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-                                (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           THEN ${centsSql("l_extendedprice")} *
+                                (100 - ${centsSql("l_discount")})
                            ELSE 0 END) AS DOUBLE) * 100.0 /
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             CAST(sum(${centsSql("l_extendedprice")} *
+                      (100 - ${centsSql("l_discount")})) AS DOUBLE)
                AS promo_revenue_pct,
              count(*) AS n
       FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -138,15 +140,12 @@ object Tpch {
             col("l_quantity").between(10.0, 20.0)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) &&
             col("l_quantity").between(20.0, 30.0)))
-        .agg(sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
-          .cast("double").as("revenue"),
+        .agg(sumProdD(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
           count(lit(1)).as("n"))
     },
-    Some("""
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-               AS revenue,
+    Some(s"""
+      SELECT ${sumProdDSql("l_extendedprice", "l_discount")} AS revenue,
              count(*) AS n
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15

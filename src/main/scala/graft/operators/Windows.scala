@@ -78,31 +78,31 @@ object Windows {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(spark, dir, "orders")
-        .withColumn("cum_spend", sum(dec2(col("o_totalprice"))).over(w)
-          .cast("double"))
+        .withColumn("cum_spend", sum(cents(col("o_totalprice"))).over(w)
+          .cast("double") / lit(100.0))
         .withColumn("ord_idx", row_number().over(
           Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
         .select(col("o_custkey"), col("o_orderkey"), col("ord_idx"),
           col("cum_spend"))
     },
-    Some("""
+    Some(s"""
       SELECT o_custkey, o_orderkey,
              CAST(row_number() OVER w AS BIGINT) AS ord_idx,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             CAST(sum(${centsSql("o_totalprice")})
                   OVER (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DOUBLE) AS cum_spend
+                  AS DOUBLE) / 100.0 AS cum_spend
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
   /** Numeric RANGE frame: parts within ±2 size of the current row. */
   val rangeFrame = QueryDef.sqlSame(
     "q_window_range_frame",
-    """SELECT p_partkey, p_type, p_size,
+    s"""SELECT p_partkey, p_type, p_size,
               CAST(count(*) OVER w AS BIGINT) AS n_near,
-              CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+              CAST(sum(${centsSql("p_retailprice")}) OVER w AS DOUBLE) / 100.0
                 AS sum_near_price
        FROM part
        WINDOW w AS (PARTITION BY p_type ORDER BY p_size
@@ -149,8 +149,8 @@ object Windows {
     * reduced back to one row per partition for a stable result. */
   val partitionFrame = QueryDef.sqlSame(
     "q_window_partition_frame",
-    """SELECT DISTINCT l_returnflag,
-              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER p AS DOUBLE)
+    s"""SELECT DISTINCT l_returnflag,
+              CAST(sum(${centsSql("l_quantity")}) OVER p AS DOUBLE) / 100.0
                 AS part_sum_qty,
               min(l_quantity) OVER p AS part_min_qty,
               max(l_quantity) OVER p AS part_max_qty,
