@@ -7,80 +7,125 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{DataType, LongType}
 
-import scala.collection.mutable
+/** Primitive buffer for the KMV sketch: the (≤k) smallest *distinct* unsigned
+  * hash values seen so far. Appends go to a 2k scratch array; when it fills,
+  * one unsigned sort + dedup + trim keeps the k smallest and tightens the
+  * admission threshold (amortized O(1) per row, zero boxing — the reason this
+  * replaced a mutable.TreeSet[Long]). Set semantics make the final state (and
+  * so the estimate) independent of row order and partitioning.
+  */
+final class KmvBuffer(val k: Int) {
+  private var arr = new Array[Long](2 * k)
+  private var n = 0
+  private var saturated = false
+  private var thresh = 0L // max kept hash (unsigned) once saturated
+
+  @inline private def ult(a: Long, b: Long): Boolean =
+    java.lang.Long.compareUnsigned(a, b) < 0
+
+  def add(h: Long): Unit = {
+    if (saturated && !ult(h, thresh)) return // not among k smallest, skip
+    arr(n) = h
+    n += 1
+    if (n == arr.length) compact()
+  }
+
+  /** unsigned sort + dedup in place; keep the k smallest. */
+  def compact(): Unit = {
+    if (n == 0) return
+    // flip the sign bit so signed sort orders unsigned
+    var i = 0
+    while (i < n) { arr(i) ^= Long.MinValue; i += 1 }
+    java.util.Arrays.sort(arr, 0, n)
+    var m = 1
+    i = 1
+    while (i < n && m < k) {
+      if (arr(i) != arr(m - 1)) { arr(m) = arr(i); m += 1 }
+      i += 1
+    }
+    // count one more distinct past k to know saturation exactly
+    n = m
+    i = 0
+    while (i < n) { arr(i) ^= Long.MinValue; i += 1 }
+    if (n == k) { saturated = true; thresh = arr(n - 1) }
+  }
+
+  /** distinct hash count if below k, else the k-th smallest (unsigned). */
+  def sizeAndKth: (Int, Long) = {
+    compact()
+    (n, if (n > 0) arr(n - 1) else 0L)
+  }
+
+  def foreachKept(f: Long => Unit): Unit = {
+    compact()
+    var i = 0
+    while (i < n) { f(arr(i)); i += 1 }
+  }
+
+  def keptCount: Int = { compact(); n }
+}
 
 /** K-minimum-values (KMV) distinct-count sketch as a
   * [[TypedImperativeAggregate]] — the custom-UDAF extension pattern from
   * SURVEY §7 step 6 (the reference ships only six built-in aggregates,
   * ColumnarHashAggregation.scala:101-196, and no UDAF surface at all).
   *
-  * The buffer is the k smallest xxhash64 values of the group; buffers merge
-  * by set-union-and-trim, so the aggregate has genuine partial/merge/final
-  * phases and scales like any Spark partial aggregation (map-side combine →
-  * one shuffle of ≤k longs per group). Estimator: with the k-th smallest of
-  * n uniform hashes at unsigned position u, distinct ≈ (k-1)·2⁶⁴/u.
-  * Deterministic for a fixed dataset (hash-based, order-free).
+  * The buffer is the k smallest distinct xxhash64 values of the group;
+  * buffers merge by set-union-and-trim, so the aggregate has genuine
+  * partial/merge/final phases and scales like any Spark partial aggregation
+  * (map-side combine → one shuffle of ≤k longs per group). Estimator: with
+  * the k-th smallest of n uniform hashes at unsigned position u,
+  * distinct ≈ (k-1)·2⁶⁴/u. Deterministic for a fixed dataset (hash-based,
+  * order-free).
   */
 case class KmvDistinct(
     child: Expression,
     k: Int = 512,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+  extends TypedImperativeAggregate[KmvBuffer] {
 
   override def prettyName: String = "kmv_distinct"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
-  override def createAggregationBuffer(): mutable.TreeSet[Long] =
-    // order by unsigned interpretation so "smallest hash" is well-defined
-    mutable.TreeSet.empty[Long](Ordering.fromLessThan[Long](
-      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  override def update(
-      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      buf += h
-      if (buf.size > k) buf -= buf.lastKey
-    }
+    if (v != null) buf.add(XxHash64Function.hash(v, child.dataType, 42L))
     buf
   }
 
-  override def merge(
-      a: mutable.TreeSet[Long], b: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
-    b.foreach { h =>
-      a += h
-      if (a.size > k) a -= a.lastKey
-    }
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    b.foreachKept(a.add)
     a
   }
 
-  override def eval(buf: mutable.TreeSet[Long]): Any = {
-    if (buf.size < k) buf.size.toLong
+  override def eval(buf: KmvBuffer): Any = {
+    val (size, kth) = buf.sizeAndKth
+    if (size < k) size.toLong
     else {
       // unsigned position of the k-th minimum in [0, 2^64)
-      val kth = buf.lastKey
       val u = if (kth >= 0) kth.toDouble
               else kth.toDouble + 1.8446744073709552e19
       math.round((k - 1).toDouble * 1.8446744073709552e19 / u)
     }
   }
 
-  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
-    bb.putInt(buf.size)
-    buf.foreach(bb.putLong)
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.keptCount)
+    bb.putInt(buf.keptCount)
+    buf.foreachKept(bb.putLong(_))
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf += bb.getLong)
+    (0 until n).foreach(_ => buf.add(bb.getLong))
     buf
   }
 

@@ -231,7 +231,8 @@ object Dedup {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
-      var labels = nodes.select(col("doc"), col("doc").as(("label")))
+      var labels = nodes.select(col("doc"), col("doc").as("label"))
+      var prev: Option[org.apache.spark.sql.DataFrame] = None
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
@@ -240,14 +241,17 @@ object Dedup {
             .withColumnRenamed("label", "nl"), "src")
           .groupBy(col("dst").as("doc"))
           .agg(min(col("nl")).as("nmin"))
+        // carry old + new label in one row: the convergence check is a
+        // filter-count on the materialized frame, not another join
         val next = labels.join(neighborMin, Seq("doc"), "left_outer")
-          .select(col("doc"),
+          .select(col("doc"), col("label").as("old_label"),
             least(col("label"), coalesce(col("nmin"), col("label")))
               .as("label"))
           .persist()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-          .filter(col("label") < col("old")).count()
-        labels = next
+        val changed = next.filter(col("label") < col("old_label")).count()
+        prev.foreach(_.unpersist(blocking = false))
+        prev = Some(next)
+        labels = next.select(col("doc"), col("label"))
         converged = changed == 0
         rounds += 1
       }
