@@ -15,7 +15,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * so the estimate) independent of row order and partitioning.
   */
 final class KmvBuffer(val k: Int) {
-  private var arr = new Array[Long](2 * k)
+  // starts tiny and grows geometrically to the 2k cap: high-cardinality
+  // grouping (e.g. the Expand stage of a mixed distinct aggregate) creates
+  // one buffer per group, so an eager 2k allocation per buffer is ruinous
+  private var arr = new Array[Long](16)
   private var n = 0
   private var saturated = false
   private var thresh = 0L // max kept hash (unsigned) once saturated
@@ -27,7 +30,10 @@ final class KmvBuffer(val k: Int) {
     if (saturated && !ult(h, thresh)) return // not among k smallest, skip
     arr(n) = h
     n += 1
-    if (n == arr.length) compact()
+    if (n == arr.length) {
+      if (arr.length < 2 * k) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      else compact()
+    }
   }
 
   /** unsigned sort + dedup in place; keep the k smallest. */

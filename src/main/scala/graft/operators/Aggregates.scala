@@ -265,7 +265,26 @@ object Aggregates {
              FROM orders)
        GROUP BY o_orderstatus""")
 
+  /** Typed Dataset aggregation through a custom Aggregator[IN,BUF,OUT]
+    * (graft.functions.CentsSumAgg) — groupByKey + typed agg, the
+    * Dataset-native UDAF surface absent from the reference. Plans as a
+    * regular partial/final aggregate over the shuffled key. */
+  val aggTyped = QueryDef(
+    "q_agg_typed",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.CentsSumAgg.toColumn.name("sum_qty"))
+        .toDF("flag", "sum_qty")
+    },
+    Some(s"""
+      SELECT l_returnflag AS flag, ${sumdSql("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having, pivot, percentile, aggNulls)
+    aggGlobal, having, pivot, percentile, aggNulls, aggTyped)
 }

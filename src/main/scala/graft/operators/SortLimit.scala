@@ -82,5 +82,26 @@ object SortLimit {
             FROM part)
       GROUP BY word"""))
 
-  val all: Seq[QueryDef] = Seq(sortGlobal, topK, limitCount, rangeSource, generate)
+  /** Custom Generator (graft.functions.WordChunks): context-window chunking
+    * of documents into 8-word pieces — the UDTF extension surface the
+    * reference lacks (GenerateExec is always a row fallback there). */
+  val generateChunks = QueryDef(
+    "q_generate_chunks",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("word_chunks(text, 8)").as(Seq("chunk_idx", "chunk")))
+    },
+    Some("""
+      SELECT doc_id, CAST(generate_subscripts(chunks, 1) AS INT) AS chunk_idx,
+             unnest(chunks) AS chunk
+      FROM (SELECT doc_id,
+                   list_transform(
+                     range(CAST(ceil(len(parts) / 8.0) AS BIGINT)),
+                     i -> array_to_string(parts[i*8+1 : i*8+8], ' ')) AS chunks
+            FROM (SELECT doc_id, str_split(text, ' ') AS parts
+                  FROM documents))"""))
+
+  val all: Seq[QueryDef] =
+    Seq(sortGlobal, topK, limitCount, rangeSource, generate, generateChunks)
 }

@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, KmvDistinct, MinHashSig, SimHash64, VecDot, WordNgrams}
+  import graft.functions.{CosineSim, KmvDistinct, MinHashSig, SimHash64, VecDot, WordChunks, WordNgrams}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -66,6 +66,15 @@ object GraftFunctions {
         case Seq(tokens, Literal(n: Int, _)) => WordNgrams(tokens, n)
         case _ => throw new IllegalArgumentException(
           "word_ngrams(tokens[, n]) requires a literal n")
+      }),
+    (FunctionIdentifier("word_chunks"),
+      info("word_chunks",
+        "word_chunks(text, n) - generator: (chunk_idx, chunk) rows of n words"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => WordChunks(text, 8)
+        case Seq(text, Literal(n: Int, _)) => WordChunks(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_chunks(text[, n]) requires a literal n")
       }))
 
   /** Defensive path: register directly into a session's function registry
