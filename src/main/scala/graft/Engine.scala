@@ -77,9 +77,11 @@ object Tables {
       df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // nanosAsLong=true surfaces NANOS parquet as Long nanos; truncate to
       // micros and rebuild a proper timestamp column (session TZ is UTC).
-      // Re-written events tables (e.g. ScaleSmoke) arrive as TIMESTAMP
-      // already and pass through.
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` keeps the arithmetic integral — `/` would detour through
+      // double, and epoch-ns values (~1.7e18) exceed double's 2^53 exact
+      // range, silently rounding sub-ms digits. Re-written events tables
+      // (e.g. ScaleSmoke) arrive as TIMESTAMP already and pass through.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

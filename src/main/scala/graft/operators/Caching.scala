@@ -62,5 +62,19 @@ object Caching {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(cachedScan, arrowAlias, kmvSketch)
+  /** Built-in HLL++ sketch (approx_count_distinct) beside the exact count —
+    * approximate → rows-only driver check; the ±5% bound and determinism are
+    * asserted in KmvSpec. */
+  val approxDistinct = QueryDef(
+    "q_agg_approx_distinct",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(cachedScan, arrowAlias, kmvSketch, approxDistinct)
 }

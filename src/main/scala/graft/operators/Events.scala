@@ -146,5 +146,45 @@ object Events {
       WHERE rn = 1
       GROUP BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(tumbling, sessionize, funnel, dedupBatch)
+  /** Spark-native `session_window` (the dedicated session operator; the
+    * manual gap-and-islands in [[sessionize]] is its window-function twin).
+    * Sessions merge while the inter-event gap is < 30 min; window end =
+    * last event + gap. Oracle mirrors that semantics exactly (note `>=` to
+    * split: merge-on-strictly-less). */
+  val sessionWindow = QueryDef(
+    "q_events_session_window",
+    (spark, dir) => {
+      Tables(spark, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("sw.start").cast("timestamp")).as("sess_start_ms"),
+          unix_millis(col("sw.end").cast("timestamp")).as("sess_end_ms"),
+          col("n_events"))
+    },
+    Some("""
+      SELECT user_id, epoch_ms(min(ts)) AS sess_start_ms,
+             epoch_ms(max(ts)) + 1800000 AS sess_end_ms,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sess_idx
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT user_id, ts, event_id,
+                   lag(ts, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+            FROM events)))
+      GROUP BY user_id, sess_idx"""))
+
+  val all: Seq[QueryDef] =
+    Seq(tumbling, sessionize, funnel, dedupBatch, sessionWindow)
 }

@@ -23,6 +23,17 @@ class KmvSpec extends GraftSpecBase {
     assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
   }
 
+  test("approx_count_distinct (HLL++) within 5% and deterministic") {
+    val run = () => SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val first = run()
+    first.foreach { case (_, a, e) =>
+      assert(math.abs(a - e).toDouble / math.max(e, 1L) < 0.05, s"$a vs $e")
+    }
+    assert(run().sameElements(first), "sketch must be deterministic")
+  }
+
   test("kmv_distinct survives shuffle (partial/merge path)") {
     val df = Tables(spark, sfDir, "lineitem")
       .repartition(8, col("l_partkey"))

@@ -49,7 +49,8 @@ class RegistrySpec extends GraftSpecBase {
     // only hash-based (engine-specific xxhash64) or approximate pipelines
     // are exempt
     assert(noOracle.toSet ==
-      Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch"),
+      Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
+        "q_agg_approx_distinct"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
