@@ -70,6 +70,21 @@ object HashKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Rolling polynomial hash of token character-lengths mod 1e9+7 —
+    * the document length-fingerprint. Matches the interpreted
+    * aggregate(toks, 0L, (acc, t) -> (acc*31 + length(t)) % p) fold and
+    * DuckDB's list_reduce mirror exactly (length = characters). */
+  def lenPolyHash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = (acc * 31L + arr.getUTF8String(i).numChars()) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
   /** k-permutation MinHash signature: one xxhash64 per element, k cheap
     * mixes — O(n·k) mixes instead of O(n·k) string hashes. */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
@@ -128,6 +143,22 @@ case class WordNgrams(child: Expression, n: Int)
       c => s"graft.functions.HashKernels.wordNgrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** len_poly_hash(tokens) — rolling polynomial hash of token lengths. */
+case class LenPolyHash(child: Expression) extends StringArrayKernelExpression {
+  override def prettyName: String = "len_poly_hash"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.lenPolyHash(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.lenPolyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LenPolyHash =
     copy(child = newChild)
 }
 

@@ -154,9 +154,7 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"),
           md5(regexp_replace(lower(trim(col("text"))), lit(" +"), lit(" "))
             .cast("binary")).as("fp"),
-          aggregate(toks(col("text")), lit(0L),
-            (acc, t) => (acc * 31L + length(t)) % 1000000007L)
-            .as("len_hash"))
+          expr("len_poly_hash(split(text, ' '))").as("len_hash"))
         .groupBy(col("source"))
         .agg(
           countDistinct(col("fp")).as("n_distinct_fp"),

@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, KmvDistinct, MinHashSig, SimHash64, VecDot, WordChunks, WordNgrams}
+  import graft.functions.{CosineSim, KmvDistinct, LenPolyHash, MinHashSig, SimHash64, VecDot, WordChunks, WordNgrams}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -67,6 +67,10 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(tokens[, n]) requires a literal n")
       }),
+    (FunctionIdentifier("len_poly_hash"),
+      info("len_poly_hash",
+        "len_poly_hash(tokens) - rolling polynomial hash of token lengths"),
+      (args: Seq[Expression]) => LenPolyHash(args.head)),
     (FunctionIdentifier("word_chunks"),
       info("word_chunks",
         "word_chunks(text, n) - generator: (chunk_idx, chunk) rows of n words"),

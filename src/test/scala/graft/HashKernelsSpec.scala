@@ -60,6 +60,15 @@ class HashKernelsSpec extends GraftSpecBase {
     assert(r(1) <= 2, s"disjoint sets should rarely agree, got ${r(1)}")
   }
 
+  test("len_poly_hash kernel is bit-identical to the HOF formulation") {
+    val pairs = docs.select(
+      expr("len_poly_hash(toks)").as("k"),
+      aggregate(col("toks"), lit(0L),
+        (acc, t) => (acc * 31L + length(t)) % 1000000007L).as("h"))
+      .collect()
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("kernel codegen and interpreted modes agree") {
     val expected = docs.select(expr("simhash64(toks)")).collect().map(_.getLong(0))
     sp.conf.set("spark.sql.codegen.wholeStage", "false")
