@@ -40,6 +40,27 @@ object Events {
       FROM events
       GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type"""))
 
+  /** Sliding 2-hour windows every hour (batch twin of the streaming sliding
+    * aggregation) — each event contributes to two windows; the oracle
+    * replicates rows into both slide offsets. */
+  val sliding = QueryDef(
+    "q_events_sliding",
+    (spark, dir) => {
+      Tables(spark, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          unix_millis(col("w.start").cast("timestamp")).as("win_start_ms"),
+          col("event_type"), col("n"))
+    },
+    Some("""
+      SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)
+                      - k * INTERVAL 1 HOUR) AS win_start_ms,
+             event_type, count(*) AS n
+      FROM (SELECT ts, event_type, unnest([0, 1]) AS k FROM events)
+      GROUP BY 1, 2"""))
+
   /** Sessionization (gap > 30 min starts a new session): lag → flag →
     * running sum → per-session aggregate. */
   val sessionize = QueryDef(
@@ -186,5 +207,5 @@ object Events {
       GROUP BY user_id, sess_idx"""))
 
   val all: Seq[QueryDef] =
-    Seq(tumbling, sessionize, funnel, dedupBatch, sessionWindow)
+    Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow)
 }

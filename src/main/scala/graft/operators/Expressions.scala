@@ -327,6 +327,38 @@ object Expressions {
       FROM (SELECT p_partkey, str_split(p_name, ' ') AS words FROM part)
       WHERE p_partkey % 13 = 0"""))
 
+  /** Map functions (nested types are row-fallback in the reference,
+    * first-class here): map_from_entries construction over collected
+    * (status, count) pairs, element_at lookup with null-on-missing,
+    * map_keys, size. The oracle computes identical values relationally. */
+  val mapFns = QueryDef(
+    "q_expr_map",
+    (spark, dir) => {
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+        .select(
+          col("o_orderpriority"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"),
+          size(col("m")).cast("long").as("n_statuses"),
+          concat_ws(",", map_keys(col("m"))).as("statuses"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN cnt END), 0)
+                  AS BIGINT) AS n_f,
+             CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN cnt END), 0)
+                  AS BIGINT) AS n_o,
+             CAST(count(*) AS BIGINT) AS n_statuses,
+             string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+            FROM orders GROUP BY 1, 2)
+      GROUP BY o_orderpriority"""))
+
   /** Null-safe equality (EqualNullSafe — ColumnarBinaryOperator.scala:38-499);
     * nulls manufactured via nullif. */
   val nullSafeEq = QueryDef.sqlSame(
@@ -354,5 +386,5 @@ object Expressions {
 
   val all: Seq[QueryDef] = Seq(
     stringFns, regexFns, mathFns, bitwiseFns, conditionalFns, castFns,
-    datetimeFns, decimalFns, jsonFns, arrayFns, nullSafeEq, inSetLike)
+    datetimeFns, decimalFns, jsonFns, arrayFns, mapFns, nullSafeEq, inSetLike)
 }
