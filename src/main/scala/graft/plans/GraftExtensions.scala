@@ -81,9 +81,11 @@ object GraftFunctions {
           "word_chunks(text[, n]) requires a literal n")
       }))
 
-  /** Defensive path: register directly into a session's function registry
-    * when that session was built without GraftExtensions (e.g. the driver's
-    * own smoke-test session). Idempotent. */
+  /** Defensive path: make a session built without GraftExtensions (e.g. the
+    * driver's own smoke-test session) able to run every registry query —
+    * register the graft functions and set the read confs Engine.configure
+    * would have set (events.parquet carries TIMESTAMP(NANOS); the fixture
+    * timestamps must load as session-TZ timestamps). Idempotent. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.Bridge.functionRegistry(spark)
     entries.foreach { case (id, inf, builder) =>
@@ -91,6 +93,10 @@ object GraftFunctions {
         reg.registerFunction(id, inf, builder)
       }
     }
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    } catch { case _: Throwable => () } // read-only conf in exotic setups
   }
 
   def register(ext: SparkSessionExtensions): Unit =
