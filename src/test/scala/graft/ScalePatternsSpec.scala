@@ -66,6 +66,47 @@ class ScalePatternsSpec extends GraftSpecBase {
     assert(got == expected)
   }
 
+  test("AQE splits a skewed join partition (skew-join at scale)") {
+    // one hot key carrying most rows on both sides of an SMJ; thresholds
+    // lowered so sf-test data trips the same machinery a 100 TB skew would
+    val keys = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> sp.conf.getOption(k)).toMap
+    sp.conf.set("spark.sql.shuffle.partitions", "100")
+    sp.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "800")
+    sp.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    sp.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "800")
+    sp.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // hot keys on both sides; the SMJ sits in the result stage (where
+      // OptimizeSkewedJoin can split without re-shuffling upstream)
+      val d1 = sp.range(0, 1000, 1, 10)
+        .select(when(col("id") < 250, 249)
+          .when(col("id") >= 750, 1000)
+          .otherwise(col("id")).as("key1"), col("id").as("value1"))
+      val d2 = sp.range(0, 1000, 1, 10)
+        .select(when(col("id") < 250, 249)
+          .otherwise(col("id")).as("key2"), col("id").as("value2"))
+      val joined = d1.hint("merge").join(d2, col("key1") === col("key2"))
+      val rows = joined.collect()
+      // hot key 249: 250x250; keys 250..749 exact 1:1; d1's 1000 unmatched
+      assert(rows.length == 63000)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
+
   test("cosineTopK custom operator plans broadcast + window, and matches brute force") {
     val e = Tables(sp, sfDir, "embeddings")
     val qs = e.filter(col("vec_id") < 4)
