@@ -106,6 +106,44 @@ object EventStreams {
       }
   }
 
+  /** Milestone record emitted by [[milestones]]. */
+  final case class Milestone(
+      user_id: Long,
+      n_events: Long,
+      total_value: Double)
+
+  /** Custom multi-output keyed state via flatMapGroupsWithState: emits one
+    * Milestone row each time a user's event count crosses a multiple of
+    * `every` — zero, one, or many output rows per invocation, the arity
+    * mapGroupsWithState can't express. State is one UserStats per key in the
+    * state store, partitioned by user_id (bounded, scales out). */
+  def milestones(
+      events: Dataset[Event],
+      every: Long = 2L): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, Milestone](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(
+            UserStats(uid, 0L, 0.0, new java.sql.Timestamp(0L)))
+          val (next, out) = batch.foldLeft((prev, List.empty[Milestone])) {
+            case ((acc, emitted), e) =>
+              val upd = UserStats(uid, acc.n_events + 1,
+                acc.total_value + e.value,
+                if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+              val hit =
+                if (upd.n_events % every == 0L)
+                  Milestone(uid, upd.n_events, upd.total_value) :: emitted
+                else emitted
+              (upd, hit)
+          }
+          state.update(next)
+          out.reverseIterator
+      }
+  }
+
   /** Default sink for tests: in-memory table in update mode. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String = "update") =
     df.writeStream.format("memory").queryName(name)

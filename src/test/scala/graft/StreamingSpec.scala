@@ -126,7 +126,7 @@ class StreamingSpec extends GraftSpecBase {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val stream = sp.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -143,6 +143,29 @@ class StreamingSpec extends GraftSpecBase {
         .collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits milestones (multi-output keyed state)") {
+    val ms = MemoryStream[Event]
+    val q = EventStreams.toMemorySink(
+      EventStreams.milestones(ms.toDS(), every = 2L).toDF(),
+      "milestones_out", "append")
+    try {
+      // batch 1: 3 events for user 42 -> one milestone (at 2 events);
+      // 1 event for user 7 -> none
+      ms.addData(Event(1, ts(0), 42, "click", 1.0),
+        Event(2, ts(1), 42, "view", 2.5),
+        Event(3, ts(2), 42, "view", 0.5),
+        Event(4, ts(0), 7, "click", 9.0))
+      q.processAllAvailable()
+      // batch 2: user 42 crosses 4, user 7 crosses 2 -> two more milestones
+      ms.addData(Event(5, ts(3), 42, "click", 1.0),
+        Event(6, ts(4), 7, "view", 1.0))
+      q.processAllAvailable()
+      val out = sp.table("milestones_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set((42L, 2L, 3.5), (42L, 4L, 5.0), (7L, 2L, 10.0)))
     } finally q.stop()
   }
 
