@@ -107,6 +107,35 @@ class ScalePatternsSpec extends GraftSpecBase {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(sp, sfDir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val fact = sp.read.parquet(dir)
+    // the dim predicate must be on a NON-join column over a real source:
+    // a join-key literal gets inferred transitively (static pruning), and a
+    // filtered LocalRelation constant-folds away — both bypass DPP
+    val mins = Tables(sp, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(min(col("o_orderkey")).as("mn"))
+    // literal threshold at the median of the per-priority minima: keeps a
+    // nonempty strict subset, and a literal comparison is the "likely
+    // selective" filter shape DPP requires
+    val cut = mins.collect().map(_.getLong(1)).sorted.apply(2)
+    val dim = mins.filter(col("mn") < cut)
+    val joined = fact.join(dim, col("o_orderpriority") === col("prio"))
+      .agg(count(lit(1)).as("n"))
+    val n = joined.collect().head.getLong(0)
+    val kept = dim.collect().map(_.getString(0)).toSeq
+    assert(kept.nonEmpty && kept.size < 5, s"want a selective dim: $kept")
+    val expected = Tables(sp, sfDir, "orders")
+      .filter(col("o_orderpriority").isin(kept: _*)).count()
+    assert(n == expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the scan:\n$plan")
+  }
+
   test("cosineTopK custom operator plans broadcast + window, and matches brute force") {
     val e = Tables(sp, sfDir, "embeddings")
     val qs = e.filter(col("vec_id") < 4)
