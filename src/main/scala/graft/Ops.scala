@@ -18,4 +18,29 @@ object ops {
         queries.queryExecution.analyzed,
         candidates.queryExecution.analyzed,
         k))
+
+  /** Interval (range) join at scale: rows of `points` whose `ptCol` falls in
+    * `[loCol, hiCol]` of `intervals`. A naive theta join plans as a nested
+    * loop (O(|L|·|R|)); this composes existing operators instead: bucketize
+    * the point, explode each interval into every bucket it overlaps, equi-
+    * join on the bucket (ONE shuffle, hash-partitioned), then apply the
+    * exact predicate. Interval rows replicate once per overlapped bucket —
+    * choose `bucketWidth` near the typical interval length so replication
+    * stays O(1) per row. Column names must be distinct across the inputs. */
+  def rangeBucketJoin(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    import org.apache.spark.sql.functions._
+    val b = "__graft_bucket"
+    val lb = points.withColumn(b,
+      floor(col(ptCol) / bucketWidth).cast("long"))
+    val rb = intervals.withColumn(b, explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    lb.join(rb, Seq(b))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop(b)
+  }
 }

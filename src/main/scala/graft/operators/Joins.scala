@@ -309,7 +309,33 @@ object Joins {
        AND p_retailprice <= s_acctbal + 5.0
       GROUP BY p_brand"""))
 
+  /** Range join via bucketized equi-join (graft.ops.rangeBucketJoin) — the
+    * scale path for interval predicates: one hash shuffle on the bucket id
+    * instead of the nested loop the raw theta join [[thetaBand]] plans.
+    * Customers counted into per-nation acctbal bands; the oracle is the
+    * plain theta join, so the rewrite is verified semantics-preserving. */
+  val rangeBucket = QueryDef(
+    "q_join_range_bucket",
+    (spark, dir) => {
+      val bands = Tables(spark, dir, "nation").select(
+        col("n_nationkey"),
+        (col("n_nationkey") * 400 - 500).cast("double").as("lo"),
+        (col("n_nationkey") * 400 + 100).cast("double").as("hi"))
+      val c = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      graft.ops.rangeBucketJoin(c, "c_acctbal", bands, "lo", "hi", 500L)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_custs"))
+    },
+    Some("""
+      SELECT n_nationkey, count(*) AS n_custs
+      FROM nation JOIN customer
+        ON c_acctbal >= n_nationkey * 400 - 500
+       AND c_acctbal <= n_nationkey * 400 + 100
+      GROUP BY n_nationkey"""))
+
   val all: Seq[QueryDef] = Seq(
     innerBhj, innerShj, innerSmj, q3TopK, q5Snowflake, leftOuter, rightOuter,
-    fullOuter, semi, anti, antiNullAware, existence, cross, thetaBand)
+    fullOuter, semi, anti, antiNullAware, existence, cross, thetaBand,
+    rangeBucket)
 }

@@ -107,6 +107,30 @@ class ScalePatternsSpec extends GraftSpecBase {
     }
   }
 
+  test("rangeBucketJoin plans an equi-join, not a nested loop") {
+    val bands = Tables(sp, sfDir, "nation").select(
+      col("n_nationkey"),
+      (col("n_nationkey") * 400 - 500).cast("double").as("lo"),
+      (col("n_nationkey") * 400 + 100).cast("double").as("hi"))
+    val c = Tables(sp, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val bucketed = graft.ops.rangeBucketJoin(c, "c_acctbal", bands,
+      "lo", "hi", 500L)
+    bucketed.collect()
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"bucketized range join must be an equi-join:\n$plan")
+    // exact same pairs as the naive theta join
+    val got = bucketed.select(col("c_custkey"), col("n_nationkey"))
+      .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toSet
+    val want = c.join(bands,
+        col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .select(col("c_custkey"), col("n_nationkey"))
+      .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
     Tables(sp, sfDir, "orders")
