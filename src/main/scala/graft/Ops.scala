@@ -19,6 +19,15 @@ object ops {
         candidates.queryExecution.analyzed,
         k))
 
+  /** As-of (nearest-prior) join — see [[graft.operators.AsOf.asOfJoin]]:
+    * union + last-ignoring-nulls window, ONE shuffle on the key, never an
+    * inequality-join blowup. */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String,
+      payload: org.apache.spark.sql.Column, payloadName: String): DataFrame =
+    graft.operators.AsOf.asOfJoin(left, right, key, ts, payload, payloadName)
+
   /** Interval (range) join at scale: rows of `points` whose `ptCol` falls in
     * `[loCol, hiCol]` of `intervals`. A naive theta join plans as a nested
     * loop (O(|L|·|R|)); this composes existing operators instead: bucketize
