@@ -131,7 +131,34 @@ object SetOps {
     },
     Some("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"))
 
+  /** unpivot/melt (Dataset.unpivot, Expand-based — the wide→long reshape;
+    * the inverse of q_pivot). Each lineitem money column becomes a
+    * (measure, cents-sum) row pair per return flag. */
+  val unpivotQ = QueryDef(
+    "q_unpivot",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sumd(col("l_quantity")).as("qty"),
+          sumd(col("l_extendedprice")).as("price"),
+          sumd(col("l_discount")).as("disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "v")
+    },
+    Some(s"""
+      SELECT l_returnflag, m.measure, m.v
+      FROM (SELECT l_returnflag,
+                   ${sumdSql("l_quantity")} AS qty,
+                   ${sumdSql("l_extendedprice")} AS price,
+                   ${sumdSql("l_discount")} AS disc
+            FROM lineitem GROUP BY l_returnflag) t
+      CROSS JOIN LATERAL (VALUES ('qty', t.qty), ('price', t.price),
+                                 ('disc', t.disc)) m(measure, v)"""))
+
   val all: Seq[QueryDef] = Seq(
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll,
-    coalescePartitions, repartitionByKey, repartitionByRangeQ)
+    coalescePartitions, repartitionByKey, repartitionByRangeQ, unpivotQ)
 }
