@@ -20,22 +20,39 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.registry
       else SparkEntry.registry.filter(q => only.contains(q.name))
-    val results = selected.map { q =>
+    // Two measured iterations per query, report the min: the first full pass
+    // doubles as JIT/codegen warm-up, so the artifact records steady-state
+    // rather than cold-start times (VERDICT r2: committed cold numbers read
+    // 2.3x DuckDB when warm truth was ~1.6x). clearCache between runs
+    // releases per-query persisted intermediates, not the JIT state.
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2)
+    def timeOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persisted intermediates between measurements
       spark.catalog.clearCache()
-      q.name -> dt
+      dt
+    }
+    val results = selected.map { q =>
+      q.name -> (1 to iters).map(_ => timeOnce(q)).min
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON goes to a file as well as stdout: round-1/2 artifacts captured
+    // only a truncated stdout tail, leaving BENCH_r*.json unparseable.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file write failed: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

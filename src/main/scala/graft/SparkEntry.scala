@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Expressions.all ++
       operators.Subqueries.all ++
       operators.Tpch.all ++
+      operators.TpchFull.all ++
       operators.AsOf.all ++
       operators.Events.all ++
       operators.Caching.all ++

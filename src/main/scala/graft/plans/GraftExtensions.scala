@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, KmvDistinct, LenPolyHash, MinHashSig, SimHash64, VecDot, WordChunks, WordNgrams}
+  import graft.functions.{CosineSim, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, VecDot, WordChunks, WordNgrams}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -51,6 +51,15 @@ object GraftFunctions {
       info("kmv_distinct",
         "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
       (args: Seq[Expression]) => KmvDistinct(args.head)),
+    (FunctionIdentifier("sign_proj"),
+      info("sign_proj",
+        "sign_proj(vec[, nbits]) - sign-random-projection LSH bucket id"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => SignProjection(v, 6)
+        case Seq(v, Literal(n: Int, _)) => SignProjection(v, n)
+        case _ => throw new IllegalArgumentException(
+          "sign_proj(vec[, nbits]) requires a literal nbits")
+      }),
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args.head)),

@@ -53,4 +53,29 @@ class DedupSpec extends GraftSpecBase {
     assert(nTotal == nUnique + nRemoved)
     assert(nTotal == Tables(spark, sfDir, "documents").count())
   }
+
+  test("componentLabels converges on a 200-diameter chain (pointer jumping)") {
+    // a path graph 0-1-2-...-200 has diameter 200: plain min-label
+    // propagation needs 200 rounds, the pointer-jumping variant O(log n).
+    // Plus a disjoint 3-cycle to check component separation.
+    val s = spark; import s.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val cycle = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L))
+    val pairs = (chain ++ cycle).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.componentLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 204)
+    (0L to 200L).foreach(d => assert(labels(d) == 0L, s"doc $d"))
+    Seq(1000L, 1001L, 1002L).foreach(d => assert(labels(d) == 1000L))
+  }
+
+  test("componentLabels throws instead of emitting wrong clusters at cap") {
+    val s = spark; import s.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // diameter 40 > 2^2: a 2-round cap must fail loudly, not return garbage
+    val e = intercept[IllegalStateException] {
+      operators.Dedup.componentLabels(pairs, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

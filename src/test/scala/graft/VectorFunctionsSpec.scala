@@ -81,4 +81,48 @@ class VectorFunctionsSpec extends GraftSpecBase {
     val got = df(Seq((v, v))).select(expr("vec_dot(a, b)")).head.getDouble(0)
     assert(got == 25.0)
   }
+
+  /** Reference model of sign_proj: the interpreted HOF formulation the
+    * kernel replaced (operators/Similarity.scala pre-r3). */
+  private def refSignProj(v: Array[Float], nBits: Int): Long = {
+    val P1 = graft.functions.SignProjection.P1
+    val P2 = graft.functions.SignProjection.P2
+    (0 until nBits).map { i =>
+      var dot = 0.0
+      v.indices.foreach { j =>
+        dot += v(j).toDouble *
+          (((i * P1 + j * P2) % 2001L - 1000L).toDouble / 1000.0)
+      }
+      if (dot > 0.0) 1L << i else 0L
+    }.sum
+  }
+
+  test("sign_proj matches the integer-hyperplane reference model") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(40)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.empty[Float]))
+    val got = df(rows).select(expr("sign_proj(a, 6)"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((v, _), g) =>
+      assert(g == refSignProj(v, 6), "bucket id must be bit-exact")
+    }
+    assert(got.toSet.size > 1, "fixture should spread across buckets")
+  }
+
+  test("sign_proj interpreted and codegen paths agree") {
+    val rows = Seq((Array.tabulate(64)(i => (i % 7 - 3).toFloat),
+      Array.empty[Float]))
+    val d = df(rows)
+    val withCodegen = d.select(expr("sign_proj(a)")).head.getLong(0)
+    val session = spark
+    session.conf.set("spark.sql.codegen.wholeStage", "false")
+    session.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = d.select(expr("sign_proj(a)")).head.getLong(0)
+      assert(withCodegen == interpreted)
+    } finally {
+      session.conf.set("spark.sql.codegen.wholeStage", "true")
+      session.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
