@@ -19,6 +19,7 @@ object SparkEntry {
       operators.SetOps.all ++
       operators.Expressions.all ++
       operators.Subqueries.all ++
+      operators.GoldenSql.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.AsOf.all ++
@@ -28,7 +29,8 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.Profiling.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.ArrowBatch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

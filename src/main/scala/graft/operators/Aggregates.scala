@@ -284,7 +284,39 @@ object Aggregates {
       SELECT l_returnflag AS flag, ${sumdSql("l_quantity")} AS sum_qty
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Decimal-NATIVE aggregation (the reference's decimal128 agg path —
+    * actions_impl.cc decimal actions with PromotePrecision/CheckOverflow).
+    * Everywhere else money sums route through exact int64 cents for speed
+    * (Oracle.scala); this query pins the decimal path itself: Spark plans
+    * sum(decimal(18,2)) with +10 precision headroom — decimal(28,2) — so a
+    * `sum_big` whose per-row values sit AT the decimal(18,2) boundary
+    * (o_orderkey·1e11 → 18 digits) and whose group totals (~3.7e18) exceed
+    * anything decimal(18,2) could hold must still come out exact. The avg is
+    * decimal-division with explicit casts so both engines round identically.
+    * Same text runs on DuckDB (which promotes to decimal(38,2) — wider, same
+    * values). */
+  val aggDecimalSum = QueryDef.sqlSame(
+    "q_agg_decimal_sum",
+    // outputs go through STRING: the exact decimal digits are the assertion
+    // (a raw decimal column degrades to float64 in the compare harness's
+    // pandas frame once DuckDB promotes the sum to DECIMAL(38,2))
+    """SELECT o_orderstatus,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+                AS sum_price,
+              CAST(sum(CAST(o_orderkey * 100000000000 AS DECIMAL(18,2)))
+                   AS STRING) AS sum_big,
+              CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DECIMAL(38,6))
+                        / CAST(count(*) AS DECIMAL(19,0)) AS DECIMAL(22,6))
+                   AS STRING) AS avg_price,
+              CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+                AS min_price,
+              CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
+                AS max_price
+       FROM orders
+       GROUP BY o_orderstatus""")
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having, pivot, percentile, aggNulls, aggTyped)
+    aggGlobal, having, pivot, percentile, aggNulls, aggTyped, aggDecimalSum)
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.QueryDef
+
+/** Edge-semantics golden corpus — the repo's equivalent of the reference's
+  * sql-tests golden files (reference: core/src/test/resources/sql-tests/
+  * inputs/decimalArithmeticOperations.sql, datetime.sql, operators.sql…,
+  * 92 files with expected outputs under results/).
+  *
+  * Each query is a constant/VALUES statement whose text runs verbatim on
+  * both Spark and DuckDB, pinning the semantics corners that silently
+  * diverge between engines when unspecified: decimal precision promotion
+  * and HALF_UP rounding, month-end clamping in date arithmetic, explicit
+  * NULLS FIRST/LAST, negative modulo sign, substring edge indexing, null
+  * propagation through || / greatest / try_cast. Statements where the two
+  * dialects genuinely disagree (Spark's `concat` ignores-nothing vs
+  * DuckDB's ignores-nulls, decimal scale-reduction casts — DuckDB
+  * truncates, Spark rounds) are *excluded by design*: this corpus pins the
+  * ANSI-portable surface the engine promises, and the exclusions are
+  * documented here so the boundary is explicit.
+  *
+  * Ordering semantics can't be pinned by the sort-normalizing hash compare,
+  * so NULLS FIRST/LAST are materialized as `row_number()` values.
+  */
+object GoldenSql {
+
+  /** Decimal arithmetic: exact promotion (p1+p2+1, s1+s2), division with an
+    * explicit result scale, HALF_UP rounding both signs, and a sum at the
+    * DECIMAL(18,2) boundary that needs the aggregate's precision headroom. */
+  val decimalArith = QueryDef.sqlSame(
+    "q_golden_decimal_arith",
+    // STRING-cast outputs: the exact digits+scale are the assertion, and a
+    // raw decimal degrades to float64 in the compare harness's pandas frame
+    """SELECT CAST(CAST(1.10 AS DECIMAL(3,2)) * CAST(2.5 AS DECIMAL(2,1))
+                   AS STRING) AS mul_exact,
+              CAST(CAST(0.1 AS DECIMAL(5,4)) + CAST(0.2 AS DECIMAL(5,4))
+                   AS STRING) AS add_exact,
+              CAST(CAST(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2))
+                        AS DECIMAL(10,6)) AS STRING) AS div_round,
+              CAST(round(CAST(2.345 AS DECIMAL(5,3)), 2) AS STRING)
+                AS half_up_pos,
+              CAST(round(CAST(-2.345 AS DECIMAL(5,3)), 2) AS STRING)
+                AS half_up_neg""")
+
+  val decimalBoundary = QueryDef.sqlSame(
+    "q_golden_decimal_boundary",
+    """SELECT CAST(sum(CAST(x AS DECIMAL(18,2))) AS STRING) AS boundary_sum,
+              count(*) AS n
+       FROM (VALUES (9999999999999999.98), (0.01)) AS t(x)""")
+
+  /** Null ordering pinned via row_number (the hash compare sorts rows, so
+    * ORDER BY alone proves nothing); plus null propagation rules. */
+  val nullOrder = QueryDef.sqlSame(
+    "q_golden_null_order",
+    """SELECT x,
+              CAST(row_number() OVER (ORDER BY x ASC NULLS FIRST) AS INT)
+                AS rn_nulls_first,
+              CAST(row_number() OVER (ORDER BY x DESC NULLS LAST) AS INT)
+                AS rn_nulls_last
+       FROM (VALUES (1), (NULL), (3), (2)) AS t(x)""")
+
+  val nullProp = QueryDef.sqlSame(
+    "q_golden_null_prop",
+    """SELECT 'a' || CAST(NULL AS STRING) AS cat_null,
+              upper(CAST(NULL AS STRING)) AS upper_null,
+              greatest(1, NULL, 3) AS greatest_skips,
+              least(CAST(NULL AS INT), NULL) AS least_all_null,
+              nullif('x', 'x') AS nullif_same,
+              coalesce(CAST(NULL AS STRING), NULL, 'z') AS coalesce3,
+              try_cast('xyz' AS INT) AS bad_int,
+              CAST(try_cast('2021-02-29' AS DATE) AS STRING) AS bad_date""")
+
+  /** Date arithmetic: month-end clamping forward/backward, leap-year
+    * clamping, and trunc boundaries (ISO week). Results go through STRING
+    * so both engines' date/timestamp carriers compare textually. */
+  val datetimeClamp = QueryDef.sqlSame(
+    "q_golden_datetime_clamp",
+    """SELECT CAST(CAST(DATE '2021-01-31' + INTERVAL 1 MONTH AS DATE)
+                   AS STRING) AS month_clamp,
+              CAST(CAST(DATE '2020-02-29' + INTERVAL 1 YEAR AS DATE)
+                   AS STRING) AS leap_clamp,
+              CAST(CAST(DATE '2021-03-31' - INTERVAL 1 MONTH AS DATE)
+                   AS STRING) AS month_clamp_back,
+              CAST(CAST(date_trunc('month',
+                     TIMESTAMP '1999-12-31 23:59:59.999') AS TIMESTAMP)
+                   AS STRING) AS trunc_month,
+              CAST(CAST(date_trunc('week',
+                     TIMESTAMP '2021-01-01 00:00:00') AS TIMESTAMP)
+                   AS STRING) AS trunc_week_iso,
+              CAST(year(DATE '2000-02-29') AS INT) AS y2k_leap_year,
+              CAST(day(DATE '2000-02-29') AS INT) AS y2k_leap_day""")
+
+  val intervalArith = QueryDef.sqlSame(
+    "q_golden_interval",
+    """SELECT CAST(TIMESTAMP '2021-03-27 23:30:00' + INTERVAL 90 MINUTE
+                   AS STRING) AS plus_90min,
+              CAST(TIMESTAMP '2021-01-01 00:00:00' - INTERVAL 1 SECOND
+                   AS STRING) AS minus_1sec,
+              CAST(TIMESTAMP '2000-01-01 00:00:00' + INTERVAL 36 HOUR
+                   AS STRING) AS plus_36h""")
+
+  /** Numeric edges: modulo sign follows the dividend, truncating integer
+    * division (dialect-split operator: Spark `div`, DuckDB `//`),
+    * whitespace-tolerant ANSI casts, floor/ceil/sign/round on doubles. */
+  private def numericShared(idivNeg: String, idivPos: String) =
+    s"""SELECT (-7) % 3 AS mod_neg_dividend,
+              7 % (-3) AS mod_neg_divisor,
+              CAST($idivNeg AS BIGINT) AS idiv_neg,
+              CAST($idivPos AS BIGINT) AS idiv_pos,
+              CAST('  -17  ' AS INT) AS cast_ws,
+              CAST(floor(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS floor_neg,
+              CAST(ceil(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS ceil_neg,
+              CAST(sign(CAST(-2.5 AS DOUBLE)) AS INT) AS sign_neg,
+              round(CAST(2.5 AS DOUBLE)) AS round_half_pos,
+              round(CAST(-2.5 AS DOUBLE)) AS round_half_neg,
+              round(CAST(2.25 AS DOUBLE), 1) AS round_quarter"""
+
+  val numericEdge = QueryDef.sql(
+    "q_golden_numeric_edge",
+    numericShared("-7 div 2", "7 div 2"),
+    numericShared("-7 // 2", "7 // 2"))
+
+  val stringEdge = QueryDef.sqlSame(
+    "q_golden_string_edge",
+    """SELECT substring('hello', -3, 2) AS sub_from_end,
+              substring('hello', 3, 99) AS sub_overrun,
+              substring('hello', 2) AS sub_tail,
+              ('a' < 'B') AS binary_cmp,
+              ('' < 'a') AS empty_lt,
+              CAST(length('') AS INT) AS len_empty,
+              trim('  pad  ') AS trim_both,
+              replace('aaa', 'aa', 'b') AS replace_greedy""")
+
+  val all: Seq[QueryDef] = Seq(
+    decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
+    intervalArith, numericEdge, stringEdge)
+}

@@ -8,8 +8,8 @@ import org.apache.spark.sql.classic
   * LogicalPlan requires `Dataset.ofRows`, which is `private[sql]`. The
   * reference uses the same technique for its plan-level classes (e.g.
   * core/src/main/scala/org/apache/spark/sql/execution/ColumnarShuffleExchangeExec.scala
-  * lives inside the org.apache.spark.sql tree). This is the only file outside
-  * the graft package namespace.
+  * lives inside the org.apache.spark.sql tree). Only this file and
+  * [[ArrowPipe]] live outside the graft package namespace.
   */
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

@@ -79,6 +79,29 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
 
+  test("sketch profile plans a single no-Expand aggregate; exact keeps it") {
+    // 4 exact countDistincts in one agg → Expand ×5 (5× the input shuffled);
+    // the default profile must stay a plain partial/final aggregate
+    val p = finalPlan("q_profile_lineitem")
+    assert(!p.contains("Expand"), s"sketch profile must not Expand:\n$p")
+    assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+    assert(finalPlan("q_profile_lineitem_exact").contains("Expand"))
+  }
+
+  test("sketch profile distinct estimates within 10% of exact") {
+    // row layout: (n_rows, col_name, n_nulls, n_distinct, min_v, max_v)
+    def grab(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val est = grab("q_profile_lineitem")
+    val exact = grab("q_profile_lineitem_exact")
+    exact.foreach { case (c, ex) =>
+      val e = est(c)
+      assert(math.abs(e - ex).toDouble <= math.max(0.10 * ex, 2.0),
+        s"$c: kmv=$e exact=$ex")
+    }
+  }
+
   test("identical exchange subplans are reused, not recomputed") {
     // self-join over the same aggregate: Spark's ReuseExchange (the
     // reference's ReuseColumnarExchange, ColumnarExchange.scala:53) must

@@ -47,10 +47,11 @@ class RegistrySpec extends GraftSpecBase {
   test("oracle coverage: every SQL-expressible query carries an oracle") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     // only hash-based (engine-specific xxhash64) or approximate pipelines
-    // are exempt
+    // are exempt (q_profile_lineitem defaults to KMV-sketch distincts; its
+    // exact twin q_profile_lineitem_exact carries the oracle)
     assert(noOracle.toSet ==
       Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
-        "q_agg_approx_distinct"),
+        "q_agg_approx_distinct", "q_profile_lineitem"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
