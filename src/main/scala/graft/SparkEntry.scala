@@ -22,6 +22,7 @@ object SparkEntry {
       operators.GoldenSql.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
+      operators.Ssb.all ++
       operators.AsOf.all ++
       operators.Events.all ++
       operators.Caching.all ++
