@@ -176,7 +176,61 @@ object Dedup {
     },
     None)
 
-  /** Embedding-cosine near-dup pairs, brute force over the bounded fixture.
+  /** Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path (this is
+    * the variant to run at 100 TB; [[embeddingNearDup]] below is the bounded
+    * brute-force baseline). Vectors hash to a 6-bit sign-projection bucket
+    * (native codegen kernel, integer-derived hyperplanes → the DuckDB
+    * oracle reproduces every bucket bit-for-bit); each vector probes its
+    * own bucket plus all hamming-1 and hamming-2 neighbors (22 probes over
+    * the 6-bit space), candidate pairs form only within probed buckets —
+    * one shuffle on bucket id, O(n·probes) pairs tested instead of O(n²).
+    * Precision is exact (every emitted pair passed the true cosine test);
+    * recall vs the brute-force truth is pinned in DedupSpec. */
+  private[operators] val probeMasks: Seq[Long] =
+    0L +: ((0 until 6).map(i => 1L << i) ++
+      (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1L << i) | (1L << j)))
+
+  val embeddingNearDupLsh = QueryDef(
+    "q_dedup_embedding_lsh",
+    (spark, dir) => {
+      val sigs = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("sign_proj(embedding, 6)").as("sig"))
+        .persist()
+      val probes = sigs.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"),
+        explode(array(probeMasks.map(m =>
+          expr(s"sig ^ ${m}L").cast("long")): _*)).as("bucket"))
+      val cands = sigs.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"), col("sig").as("bucket"))
+      probes.join(cands, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("cos", expr("cosine_sim(ea, eb)"))
+        .filter(col("cos") > 0.45)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    },
+    Some(s"""
+      WITH sigs AS (
+        SELECT vec_id, embedding, ${Similarity.duckSig("embedding")} AS sig
+        FROM embeddings),
+      probes AS (
+        SELECT vec_id AS id_a, embedding AS ea,
+               unnest([${probeMasks.map(m => s"xor(sig, $m)").mkString(", ")}])
+                 AS bucket
+        FROM sigs),
+      cands AS (
+        SELECT vec_id AS id_b, embedding AS eb, sig AS bucket FROM sigs)
+      SELECT id_a, id_b, cos FROM (
+        SELECT DISTINCT p.id_a, c.id_b,
+               ${duckCosine("p.ea", "c.eb")} AS cos
+        FROM probes p JOIN cands c ON p.bucket = c.bucket
+        WHERE p.id_a < c.id_b)
+      WHERE cos > 0.45"""))
+
+  /** Embedding-cosine near-dup pairs, brute force over the bounded fixture —
+    * the correctness BASELINE for [[embeddingNearDupLsh]] (all-pairs cross
+    * join: does not scale; kept for exact ground truth and small corpora).
     * Uses the native codegen'd cosine_sim expression
     * (graft.functions.CosineSim); the oracle folds the identical
     * double-accumulation order via DuckDB list_reduce → bit-equal doubles. */
@@ -319,6 +373,6 @@ object Dedup {
       GROUP BY cluster_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    exact, ngramJaccard, minhashLsh, simhash, embeddingNearDup,
-    connectedComponents)
+    exact, ngramJaccard, minhashLsh, simhash, embeddingNearDupLsh,
+    embeddingNearDup, connectedComponents)
 }

@@ -40,7 +40,7 @@ object Similarity {
              (CAST((${i * P1} + j * $P2) % 2001 - 1000 AS DOUBLE) / 1000.0)),
         (p, q) -> p + q)"""
 
-  private def duckSig(emb: String): String =
+  private[operators] def duckSig(emb: String): String =
     (0 until nBits)
       .map(i => s"(CASE WHEN ${duckDot(i, emb)} > 0.0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")

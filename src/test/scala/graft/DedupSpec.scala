@@ -54,6 +54,22 @@ class DedupSpec extends GraftSpecBase {
     assert(nTotal == Tables(spark, sfDir, "documents").count())
   }
 
+  test("LSH embedding near-dup: exact precision, bounded recall loss") {
+    def pairs(q: QueryDef) = q.run(spark, sfDir)
+      .select(col("id_a"), col("id_b"), col("cos")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = pairs(operators.Dedup.embeddingNearDup)
+    val lsh = pairs(operators.Dedup.embeddingNearDupLsh)
+    assert(brute.nonEmpty, "fixture should contain near-dup embeddings")
+    // precision is exact: every LSH pair is a true pair with the same cosine
+    lsh.foreach { case (k, cos) =>
+      assert(brute.contains(k) && brute(k) == cos, s"false positive $k")
+    }
+    // recall: multi-probe 6-bit buckets must find most true pairs
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${brute.size})")
+  }
+
   test("componentLabels converges on a 200-diameter chain (pointer jumping)") {
     // a path graph 0-1-2-...-200 has diameter 200: plain min-label
     // propagation needs 200 rounds, the pointer-jumping variant O(log n).
