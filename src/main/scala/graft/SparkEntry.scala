@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Sampling.all ++
       operators.Profiling.all ++
       operators.Multimodal.all ++
       operators.ArrowBatch.all

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus splitting / sampling / scrubbing — the remaining table-stakes ops
+  * of a training-data pipeline (no reference counterpart; the reference's
+  * unit is relational batches). All three are DETERMINISTIC — driven by
+  * content hashes, not engine RNG — which is (a) what a real pipeline wants
+  * (splits must be reproducible and leakage-free across reruns and engines)
+  * and (b) what makes a bit-exact DuckDB oracle possible.
+  *
+  * 100 TB shapes: hash-split is a pure map + bounded aggregate (no
+  * shuffle of the corpus, only of the tiny count matrix); stratified
+  * sampling is one shuffle on the stratum key + per-partition top-k;
+  * scrubbing is a pure codegen map stage.
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment from the first hex nibble of
+    * md5(text): 12/16 → train, 2/16 → val, 2/16 → test. Content-keyed, so
+    * exact duplicates always land in the same split (no train/test
+    * leakage) and the assignment is stable across engines and reruns. */
+  val hashSplit = QueryDef(
+    "q_sample_hash_split",
+    (spark, dir) => {
+      val trainNibbles =
+        Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      Tables(spark, dir, "documents")
+        .withColumn("nib", substring(md5(col("text").cast("binary")), 1, 1))
+        .withColumn("split",
+          when(col("nib").isin(trainNibbles: _*), "train")
+            .when(col("nib").isin("c", "d"), "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      SELECT split, lang, count(*) AS n_docs
+      FROM (SELECT lang, CASE
+              WHEN substring(md5(text), 1, 1) IN
+                ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+              WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split
+            FROM documents)
+      GROUP BY split, lang"""))
+
+  /** Stratified quota sample: exactly N docs per language, chosen in
+    * content-hash order (a deterministic stand-in for uniform-random that
+    * both engines reproduce). One shuffle on the stratum key; the window
+    * top-k never materializes more than the quota per stratum downstream. */
+  val stratified = QueryDef(
+    "q_sample_stratified",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      Tables(spark, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+    },
+    Some("""
+      SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+      FROM (SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(text), doc_id) AS rn
+            FROM documents)
+      WHERE rn <= 20"""))
+
+  /** PII-style scrubbing pass: mask digit runs and email-shaped tokens,
+    * report per-doc masked-token counts + scrubbed length. Patterns stay in
+    * the Java∩RE2 common subset so Spark and DuckDB agree byte-for-byte.
+    * (DuckDB needs the 'g' flag for replace-all; Spark replaces all by
+    * default — hence the dialect-split oracle.) */
+  val scrub = QueryDef(
+    "q_text_scrub",
+    (spark, dir) => {
+      val masked = regexp_replace(
+        regexp_replace(col("text"),
+          "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>")
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), masked.as("scrubbed"))
+        .select(
+          col("doc_id"),
+          length(col("scrubbed")).cast("long").as("scrubbed_len"),
+          ((length(col("scrubbed")) -
+            length(regexp_replace(col("scrubbed"), "<NUM>", ""))) / 5)
+            .cast("long").as("n_nums"),
+          ((length(col("scrubbed")) -
+            length(regexp_replace(col("scrubbed"), "<EMAIL>", ""))) / 7)
+            .cast("long").as("n_emails"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+             CAST((length(scrubbed) -
+                   length(replace(scrubbed, '<NUM>', ''))) / 5 AS BIGINT)
+               AS n_nums,
+             CAST((length(scrubbed) -
+                   length(replace(scrubbed, '<EMAIL>', ''))) / 7 AS BIGINT)
+               AS n_emails
+      FROM (SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+                     '[0-9]+', '<NUM>', 'g') AS scrubbed
+            FROM documents)"""))
+
+  val all: Seq[QueryDef] = Seq(hashSplit, stratified, scrub)
+}

@@ -84,6 +84,32 @@ object EventStreams {
   def enrich(events: DataFrame, users: DataFrame): DataFrame =
     events.join(broadcast(users), Seq("user_id"), "left_outer")
 
+  /** Watermarked STREAM-STREAM interval join: each purchase attributed to
+    * the same user's click that preceded it within `attribution`. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions, so Spark can expire join state — the configuration
+    * that stays bounded-memory on an unbounded 100 TB/day stream. (The
+    * reference cannot express stream-stream joins at all.) */
+  def clickAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "1 hour",
+      attribution: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+      col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attribution"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running stats.
     * The KeyValueGroupedDataset path the reference can't express natively. */
   def userRunningStats(events: Dataset[Event]): Dataset[UserStats] = {

@@ -102,6 +102,31 @@ class PlanAuditSpec extends GraftSpecBase {
     }
   }
 
+  test("tpch q2: correlated min subquery decorrelates, shared agg reused") {
+    val p = finalPlan("q_tpch_q2")
+    assert(!p.contains("CartesianProduct"), s"decorrelation failed:\n$p")
+    // the ps aggregation feeds both the outer query and the (decorrelated)
+    // min subquery — its shuffle must be computed once
+    assert(p.contains("ReusedExchange"), s"expected subquery-side reuse:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch q21: EXISTS/NOT-EXISTS chain plans as semi/anti joins") {
+    val p = finalPlan("q_tpch_q21")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
+    assert(p.contains("LeftSemi") || p.contains("ExistenceJoin") ||
+      // at tiny SF the EXISTS side may fold into the same broadcast pass
+      p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ssb star joins broadcast the derived date dim and small dims") {
+    val p = finalPlan("q_ssb_q2_1")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n >= 3, s"expected >=3 broadcast dim joins, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("identical exchange subplans are reused, not recomputed") {
     // self-join over the same aggregate: Spark's ReuseExchange (the
     // reference's ReuseColumnarExchange, ColumnarExchange.scala:53) must

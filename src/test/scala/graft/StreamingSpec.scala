@@ -112,6 +112,27 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val clicks = mkEvents(
+      Event(1, ts(0), 100, "click", 0.0),
+      Event(2, ts(40), 100, "click", 0.0), // second click, later
+      Event(3, ts(0), 200, "click", 0.0))
+    val purchases = mkEvents(
+      Event(50, ts(10), 100, "purchase", 9.99),  // within 30m of click 1
+      Event(51, ts(45), 100, "purchase", 5.00),  // within 30m of click 2 only
+      Event(52, ts(55), 200, "purchase", 1.00))  // 55m after click 3: outside
+    val q = EventStreams.toMemorySink(
+      EventStreams.clickAttribution(clicks.toDF(), purchases.toDF()),
+      "attr_out", "append")
+    try {
+      q.processAllAvailable()
+      val got = sp.table("attr_out")
+        .select(col("click_id"), col("purchase_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 50L), (2L, 51L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming replay matches the batch tumbling aggregation") {
     import org.apache.spark.sql.types._
     // events.parquet carries TIMESTAMP(NANOS) → LongType under nanosAsLong,
