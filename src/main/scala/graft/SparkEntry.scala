@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
+      operators.TpcdsShapes.all ++
       operators.AsOf.all ++
       operators.Events.all ++
       operators.Caching.all ++

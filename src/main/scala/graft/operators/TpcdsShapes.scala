@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.Exact._
+
+/** TPC-DS planner shapes (reference corpus: native-sql-engine/core/src/test/
+  * resources/tpcds/, 103 queries + plan-stability goldens). The fixture has
+  * no TPC-DS schema, so instead of transliterating queries this file covers
+  * the COMPOSITE planner shapes TPC-DS exercises and nothing else in this
+  * registry reaches — each tagged with the DS query family it stands in for:
+  *
+  *  - ds67: ROLLUP feeding a window rank (Expand → Window in one plan)
+  *  - ds11/ds74: year-over-year ratio via CTE self-join
+  *  - ds51: FULL OUTER join of two cumulative-window series
+  *  - ds88: a battery of scalar subqueries materialized into one row
+  *  - ds33/ds56: union of per-channel aggregates, re-aggregated
+  *  - ds38/ds87: multi-column INTERSECT chain under a count
+  *
+  * All exact-cents arithmetic; identical text runs on Spark and DuckDB.
+  * Scale notes: the rollup/window pass shuffles once per grouping key; the
+  * ds51 cumulative window is single-partition here (a month-grain series of
+  * ~80 rows AFTER aggregation — the window input is already reduced; at
+  * finer grains partition the running sum by year and stitch); the ds88
+  * scalar
+  * battery shares one scan per table via Spark's subquery reuse.
+  */
+object TpcdsShapes {
+
+  /** ds67: top-k per rollup level — Expand output ranked by a window. The
+    * explicit NULLS FIRST keeps the subtotal rows' tiebreak portable. */
+  val rollupRank = QueryDef.sqlSame(
+    "q_ds_rollup_rank",
+    s"""SELECT * FROM (
+         SELECT l_returnflag, l_linestatus, sum_qty,
+                CAST(rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY sum_qty DESC,
+                                           l_linestatus ASC NULLS FIRST)
+                     AS BIGINT) AS rk
+         FROM (SELECT l_returnflag, l_linestatus,
+                      ${sumdSql("l_quantity")} AS sum_qty
+               FROM lineitem
+               GROUP BY ROLLUP (l_returnflag, l_linestatus)))
+       WHERE rk <= 2""")
+
+  /** ds11/ds74: customers whose 1998 spend grew >1.5× over 1997 — the
+    * yearly CTE joined to itself on the customer key. */
+  val yoyRatio = QueryDef.sqlSame(
+    "q_ds_yoy_ratio",
+    s"""WITH yearly AS (
+         SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+                sum(${centsSql("o_totalprice")}) AS spend_c
+         FROM orders GROUP BY o_custkey, year(o_orderdate))
+       SELECT y1.o_custkey AS custkey,
+              CAST(y1.spend_c AS DOUBLE) / 100.0 AS spend_1997,
+              CAST(y2.spend_c AS DOUBLE) / 100.0 AS spend_1998,
+              CAST(y2.spend_c AS DOUBLE) / CAST(y1.spend_c AS DOUBLE)
+                AS growth
+       FROM yearly y1 JOIN yearly y2
+         ON y1.o_custkey = y2.o_custkey AND y1.yr = 1997 AND y2.yr = 1998
+       WHERE y2.spend_c * 2 > y1.spend_c * 3
+       ORDER BY growth DESC, custkey LIMIT 50""")
+
+  /** ds51: running totals of two order-status series stitched by FULL OUTER
+    * join (web vs store cumulative revenue in the original). */
+  val cumulativeFullJoin = QueryDef.sqlSame(
+    "q_ds_cumulative_fulljoin",
+    s"""WITH a AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                sum(${centsSql("o_totalprice")}) AS rev_c
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+       b AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                sum(${centsSql("o_totalprice")}) AS rev_c
+         FROM orders WHERE o_orderstatus = 'O' GROUP BY 1, 2),
+       ac AS (
+         SELECT yr, mo, CAST(sum(rev_c) OVER (ORDER BY yr, mo
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 100.0 AS cum_f FROM a),
+       bc AS (
+         SELECT yr, mo, CAST(sum(rev_c) OVER (ORDER BY yr, mo
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 100.0 AS cum_o FROM b)
+       SELECT coalesce(ac.yr, bc.yr) AS yr, coalesce(ac.mo, bc.mo) AS mo,
+              cum_f, cum_o
+       FROM ac FULL OUTER JOIN bc ON ac.yr = bc.yr AND ac.mo = bc.mo""")
+
+  /** ds88: eight independent scalar subqueries in one projected row (the
+    * "time-of-day buckets" battery); Spark plans each as a reusable
+    * subquery over the shared scan. */
+  val multiScalar = QueryDef.sqlSame(
+    "q_ds_multi_scalar",
+    """SELECT
+        (SELECT count(*) FROM lineitem WHERE l_quantity < 10.0) AS b1,
+        (SELECT count(*) FROM lineitem
+         WHERE l_quantity >= 10.0 AND l_quantity < 20.0) AS b2,
+        (SELECT count(*) FROM lineitem
+         WHERE l_quantity >= 20.0 AND l_quantity < 30.0) AS b3,
+        (SELECT count(*) FROM lineitem
+         WHERE l_quantity >= 30.0 AND l_quantity < 40.0) AS b4,
+        (SELECT count(*) FROM lineitem WHERE l_quantity >= 40.0) AS b5,
+        (SELECT count(*) FROM orders
+         WHERE o_orderpriority = '1-URGENT') AS b6,
+        (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS b7,
+        (SELECT count(DISTINCT o_custkey) FROM orders) AS b8""")
+
+  /** ds33/ds56: per-channel aggregates unioned then re-aggregated against a
+    * dimension filter (return-flag classes stand in for the channels). */
+  val unionReagg = QueryDef.sqlSame(
+    "q_ds_union_reagg",
+    s"""WITH per_channel AS (
+         SELECT l_partkey, ${centsSql("l_extendedprice")} AS rev_c,
+                'flagN' AS channel
+         FROM lineitem WHERE l_returnflag = 'N'
+         UNION ALL
+         SELECT l_partkey, ${centsSql("l_extendedprice")}, 'flagR'
+         FROM lineitem WHERE l_returnflag = 'R'
+         UNION ALL
+         SELECT l_partkey, ${centsSql("l_extendedprice")}, 'flagA'
+         FROM lineitem WHERE l_returnflag = 'A'),
+       chan_agg AS (
+         SELECT l_partkey, channel, sum(rev_c) AS rev_c
+         FROM per_channel GROUP BY l_partkey, channel)
+       SELECT p_brand, count(*) AS n_pairs,
+              CAST(sum(rev_c) AS DOUBLE) / 100.0 AS revenue
+       FROM chan_agg JOIN part ON l_partkey = p_partkey
+       WHERE p_size <= 10
+       GROUP BY p_brand""")
+
+  /** ds38/ds87: customers present in all three "channels" via a chained
+    * multi-column INTERSECT under a count. */
+  val intersectCount = QueryDef.sqlSame(
+    "q_ds_intersect_count",
+    """SELECT count(*) AS n FROM (
+        SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey, CAST(year(o_orderdate) AS INT)
+        FROM orders WHERE o_orderpriority = '2-HIGH'
+        INTERSECT
+        SELECT o_custkey, CAST(year(o_orderdate) AS INT)
+        FROM orders WHERE o_orderstatus = 'F')""")
+
+  val all: Seq[QueryDef] = Seq(
+    rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
+    intersectCount)
+}
