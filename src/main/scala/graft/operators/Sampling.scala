@@ -108,5 +108,33 @@ object Sampling {
                      '[0-9]+', '<NUM>', 'g') AS scrubbed
             FROM documents)"""))
 
-  val all: Seq[QueryDef] = Seq(hashSplit, stratified, scrub)
+  /** Sequence packing for context windows: assign documents to ~2048-token
+    * packs by running-total bucketing within each language, in
+    * deterministic content-hash order. This is the standard pre-training
+    * "pack short docs into fixed windows" pass: one shuffle on the
+    * partition key, a cumulative window, and a bounded per-pack aggregate.
+    * Token count is the whitespace approximation spelled portably
+    * (`length − length(replace(' '))+1` runs identically in both engines);
+    * a pack overshoots 2048 by at most one document, matching greedy
+    * sequential packing. */
+  val packSequences = QueryDef.sqlSame(
+    "q_pack_sequences",
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                CAST(length(text) - length(replace(text, ' ', '')) + 1
+                     AS BIGINT) AS n_tokens,
+                md5(text) AS h
+         FROM documents),
+       packed AS (
+         SELECT doc_id, lang, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                     / 2048) AS BIGINT) AS pack_id
+         FROM toks)
+       SELECT lang, pack_id, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+       FROM packed GROUP BY lang, pack_id""")
+
+  val all: Seq[QueryDef] = Seq(hashSplit, stratified, scrub, packSequences)
 }

@@ -47,7 +47,10 @@ object ScaleSmoke {
 
     val heavy = Seq("q1_agg", "q_join_q5_snowflake", "q_join_inner_smj",
       "q_tpch_q18", "q_events_sessionize", "q_window_running_sum",
-      "q_dedup_minhash_lsh", "q_union_distinct")
+      "q_dedup_minhash_lsh", "q_union_distinct",
+      // round 3: anti-join chain, SSB star, LSH near-dup, packing
+      "q_tpch_q21", "q_ssb_q4_1", "q_dedup_embedding_lsh",
+      "q_pack_sequences")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
