@@ -66,6 +66,32 @@ class ScalePatternsSpec extends GraftSpecBase {
     assert(got == expected)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (InjectRuntimeFilter) — the modern cousin of the
+    // reference's static pushdown. Thresholds lowered so fixture-scale
+    // stats qualify; broadcast disabled so the shuffle-join path (the one
+    // bloom filters target) is planned.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        sp.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        sp.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables(sp, sfDir, "lineitem")
+      val s = Tables(sp, sfDir, "supplier").filter(col("s_acctbal") > 9000.0)
+      val j = li.join(s, col("l_suppkey") === col("s_suppkey"))
+        .agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan:\n$plan")
+    } finally restore.foreach { case (k, v) => sp.conf.set(k, v) }
+  }
+
   test("AQE splits a skewed join partition (skew-join at scale)") {
     // one hot key carrying most rows on both sides of an SMJ; thresholds
     // lowered so sf-test data trips the same machinery a 100 TB skew would
