@@ -316,7 +316,35 @@ object Aggregates {
        FROM orders
        GROUP BY o_orderstatus""")
 
+  /** ObjectHashAggregate path: collect_set (a TypedImperativeAggregate with
+    * an object buffer — a physically different aggregate exec from the
+    * row-buffer HashAggregate every other query uses) plus max_by/min_by.
+    * The set is emitted sorted+joined so the oracle is order-free; the
+    * argmax keys are unique per group in the fixture (checked), so
+    * max_by/min_by are deterministic. */
+  val aggCollect = QueryDef(
+    "q_agg_collect",
+    (spark, dir) => {
+      Tables(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("prios"),
+          max_by(col("o_custkey"), col("o_totalprice")).as("best_cust"),
+          min_by(col("o_custkey"), col("o_totalprice")).as("worst_cust"),
+          count(lit(1)).as("n"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, ','
+                        ORDER BY o_orderpriority) AS prios,
+             arg_max(o_custkey, o_totalprice) AS best_cust,
+             arg_min(o_custkey, o_totalprice) AS worst_cust,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having, pivot, percentile, aggNulls, aggTyped, aggDecimalSum)
+    aggGlobal, having, pivot, percentile, aggNulls, aggTyped, aggDecimalSum,
+    aggCollect)
 }

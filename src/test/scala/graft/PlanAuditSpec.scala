@@ -102,6 +102,12 @@ class PlanAuditSpec extends GraftSpecBase {
     }
   }
 
+  test("collect_set aggregate plans on the ObjectHashAggregate path") {
+    val p = finalPlan("q_agg_collect")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), s"expected map-side partials:\n$p")
+  }
+
   test("tpch q2: correlated min subquery decorrelates, shared agg reused") {
     val p = finalPlan("q_tpch_q2")
     assert(!p.contains("CartesianProduct"), s"decorrelation failed:\n$p")
