@@ -112,11 +112,16 @@ case class CosineSim(left: Expression, right: Expression)
 /** sign_proj(v) — nBits-bit sign-random-projection LSH bucket id.
   *
   * Bit i is set iff Σ_j v[j]·h(i,j) > 0, with hyperplane coefficient
-  * h(i,j) = ((i·P1 + j·P2) mod 2001 − 1000) / 1000 ∈ [−1, 1] — pure integer
-  * arithmetic, so any engine (the DuckDB oracle included) reproduces the
-  * bucket ids bit-for-bit; no engine-specific RNG. The double accumulation
-  * is strictly j-ascending, matching the HOF formulation it replaces and
-  * DuckDB's `list_reduce` fold order.
+  * h(i,j) = ((i·P1 XOR j·P2) mod 2001 − 1000) / 1000 ∈ [−1, 1] — pure
+  * integer arithmetic, so any engine (the DuckDB oracle included)
+  * reproduces the bucket ids bit-for-bit; no engine-specific RNG. The XOR
+  * mix matters: an additive mix (i·P1 + j·P2) makes every bit's coefficient
+  * sequence a SHIFT of the same mod-2001 progression, so bits — and any
+  * multi-table split of them — correlate strongly (measured: two 6-bit
+  * tables agreed on nearly every pair's hamming distance, and buckets
+  * clustered into half the space); XOR breaks the linearity, giving
+  * independent bits and full bucket spread. The double accumulation is
+  * strictly j-ascending, matching DuckDB's `list_reduce` fold order.
   *
   * This is the codegen'd version of the interpreted
   * `aggregate(transform(sequence(...)))` lambda chain previously in
@@ -145,8 +150,8 @@ case class SignProjection(child: Expression, nBits: Int)
       var dot = 0.0
       var j = 0
       while (j < n) {
-        val coef = ((i * SignProjection.P1 + j * SignProjection.P2) % 2001L
-          - 1000L).toDouble / 1000.0
+        val coef = (((i * SignProjection.P1) ^ (j * SignProjection.P2))
+          % 2001L - 1000L).toDouble / 1000.0
         dot += a.getFloat(j).toDouble * coef
         j += 1
       }
@@ -163,8 +168,8 @@ case class SignProjection(child: Expression, nBits: Int)
       for (int i = 0; i < $nBits; i++) {
         double dot = 0.0;
         for (int j = 0; j < n; j++) {
-          double coef = (double) ((i * ${SignProjection.P1}L +
-            j * ${SignProjection.P2}L) % 2001L - 1000L) / 1000.0;
+          double coef = (double) (((i * ${SignProjection.P1}L) ^
+            (j * ${SignProjection.P2}L)) % 2001L - 1000L) / 1000.0;
           dot += (double) $a.getFloat(j) * coef;
         }
         if (dot > 0.0) sig |= (1L << i);

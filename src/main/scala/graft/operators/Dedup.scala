@@ -178,14 +178,17 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path (this is
     * the variant to run at 100 TB; [[embeddingNearDup]] below is the bounded
-    * brute-force baseline). Vectors hash to a 6-bit sign-projection bucket
-    * (native codegen kernel, integer-derived hyperplanes → the DuckDB
-    * oracle reproduces every bucket bit-for-bit); each vector probes its
-    * own bucket plus all hamming-1 and hamming-2 neighbors (22 probes over
-    * the 6-bit space), candidate pairs form only within probed buckets —
-    * one shuffle on bucket id, O(n·probes) pairs tested instead of O(n²).
-    * Precision is exact (every emitted pair passed the true cosine test);
-    * recall vs the brute-force truth is pinned in DedupSpec. */
+    * brute-force baseline). A 12-bit sign projection (native codegen
+    * kernel, integer-derived hyperplanes → the DuckDB oracle reproduces
+    * every bucket bit-for-bit) is split into TWO independent 6-bit hash
+    * tables (the classic OR-construction: a pair is a candidate if it
+    * collides in EITHER table, squaring the miss probability); each vector
+    * additionally probes all hamming≤2 neighbor buckets per table (22
+    * probes × 2 tables). Candidate pairs form only within probed buckets —
+    * one shuffle on the (table, bucket) key, O(n·probes) pairs tested
+    * instead of O(n²). Precision is exact (every emitted pair passed the
+    * true cosine test); recall vs the brute-force truth is pinned in
+    * DedupSpec. */
   private[operators] val probeMasks: Seq[Long] =
     0L +: ((0 until 6).map(i => 1L << i) ++
       (for { i <- 0 until 6; j <- i + 1 until 6 } yield (1L << i) | (1L << j)))
@@ -195,14 +198,20 @@ object Dedup {
     (spark, dir) => {
       val sigs = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          expr("sign_proj(embedding, 6)").as("sig"))
+          expr("sign_proj(embedding, 12)").as("sig"))
         .persist()
+      // table-qualified bucket key: t*64 + (6-bit slice of the signature)
+      def bucket(t: Int, mask: Long) = {
+        val slice = if (t == 0) expr("sig % 64") else expr("sig div 64")
+        (lit(t * 64L) + slice.cast("long").bitwiseXOR(lit(mask))).cast("long")
+      }
+      val probeKeys = for { t <- 0 to 1; m <- probeMasks } yield bucket(t, m)
       val probes = sigs.select(col("vec_id").as("id_a"),
         col("embedding").as("ea"),
-        explode(array(probeMasks.map(m =>
-          expr(s"sig ^ ${m}L").cast("long")): _*)).as("bucket"))
+        explode(array(probeKeys: _*)).as("bucket"))
       val cands = sigs.select(col("vec_id").as("id_b"),
-        col("embedding").as("eb"), col("sig").as("bucket"))
+        col("embedding").as("eb"),
+        explode(array(bucket(0, 0L), bucket(1, 0L))).as("bucket"))
       probes.join(cands, "bucket")
         .filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
@@ -210,23 +219,30 @@ object Dedup {
         .filter(col("cos") > 0.45)
         .select(col("id_a"), col("id_b"), col("cos"))
     },
-    Some(s"""
+    Some {
+      val duckProbeKeys = (for { t <- 0 to 1; m <- probeMasks } yield {
+        val slice = if (t == 0) "sig % 64" else "sig // 64"
+        s"${t * 64} + xor($slice, $m)"
+      }).mkString(", ")
+      s"""
       WITH sigs AS (
-        SELECT vec_id, embedding, ${Similarity.duckSig("embedding")} AS sig
+        SELECT vec_id, embedding, ${Similarity.duckSig("embedding", 12)} AS sig
         FROM embeddings),
       probes AS (
         SELECT vec_id AS id_a, embedding AS ea,
-               unnest([${probeMasks.map(m => s"xor(sig, $m)").mkString(", ")}])
-                 AS bucket
+               unnest([$duckProbeKeys]) AS bucket
         FROM sigs),
       cands AS (
-        SELECT vec_id AS id_b, embedding AS eb, sig AS bucket FROM sigs)
+        SELECT vec_id AS id_b, embedding AS eb,
+               unnest([0 + sig % 64, 64 + sig // 64]) AS bucket
+        FROM sigs)
       SELECT id_a, id_b, cos FROM (
         SELECT DISTINCT p.id_a, c.id_b,
                ${duckCosine("p.ea", "c.eb")} AS cos
         FROM probes p JOIN cands c ON p.bucket = c.bucket
         WHERE p.id_a < c.id_b)
-      WHERE cos > 0.45"""))
+      WHERE cos > 0.45"""
+    })
 
   /** Embedding-cosine near-dup pairs, brute force over the bounded fixture —
     * the correctness BASELINE for [[embeddingNearDupLsh]] (all-pairs cross

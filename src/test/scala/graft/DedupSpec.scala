@@ -65,9 +65,10 @@ class DedupSpec extends GraftSpecBase {
     lsh.foreach { case (k, cos) =>
       assert(brute.contains(k) && brute(k) == cos, s"false positive $k")
     }
-    // recall: multi-probe 6-bit buckets must find most true pairs
+    // recall: two decorrelated 6-bit tables with hamming<=2 multi-probe
+    // must find the large majority of true pairs
     val recall = lsh.size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall (${lsh.size}/${brute.size})")
+    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${brute.size})")
   }
 
   test("componentLabels converges on a 200-diameter chain (pointer jumping)") {

@@ -91,7 +91,7 @@ class VectorFunctionsSpec extends GraftSpecBase {
       var dot = 0.0
       v.indices.foreach { j =>
         dot += v(j).toDouble *
-          (((i * P1 + j * P2) % 2001L - 1000L).toDouble / 1000.0)
+          ((((i * P1) ^ (j * P2)) % 2001L - 1000L).toDouble / 1000.0)
       }
       if (dot > 0.0) 1L << i else 0L
     }.sum
