@@ -130,16 +130,19 @@ object Windows {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
-  /** ntile + percent_rank over a global ordering (dimension-table sized). */
+  /** ntile + percent_rank + cume_dist over a global ordering
+    * (dimension-table sized). With a unique-key tiebreak both rank
+    * fractions are exact integer ratios → bit-identical doubles. */
   val ntileQ = QueryDef.sqlSame(
     "q_window_ntile",
     """SELECT tile, count(*) AS n,
               min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
-              max(pr) AS max_pr
+              max(pr) AS max_pr, max(cd) AS max_cd
        FROM (
          SELECT c_acctbal,
                 CAST(ntile(4) OVER w AS BIGINT) AS tile,
-                percent_rank() OVER w AS pr
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
          FROM customer
          WINDOW w AS (ORDER BY c_acctbal, c_custkey))
        GROUP BY tile""")
