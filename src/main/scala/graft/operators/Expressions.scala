@@ -387,7 +387,71 @@ object Expressions {
                          'Brand#11','Brand#12','Brand#13')
        GROUP BY p_brand""")
 
+  /** Higher-order functions over arrays — transform/filter/aggregate/
+    * zip_with, the lambda surface the reference row-falls-back entirely
+    * (ARRAY is columnar-unsupported, ConverterUtils.scala:494-508). Lists
+    * are built ordered by l_linenumber (collect_list alone has no order
+    * guarantee: sort structs, then project) and values are exact cents, so
+    * the DuckDB twin (list_transform/list_filter/list_reduce/list_zip)
+    * matches element-for-element. */
+  val hofFns = QueryDef(
+    "q_expr_hof",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        // the sort key is (linenumber, qty, price) on BOTH lists and BOTH
+        // engines: linenumber alone ties within an order, and each engine
+        // breaks ties differently — the composite key is total, so the
+        // permutation is unique and qts/prices stay positionally aligned
+        .agg(
+          expr("""transform(
+                    array_sort(collect_list(named_struct(
+                      'k1', l_linenumber,
+                      'k2', CAST(round(l_quantity * 100, 0) AS BIGINT),
+                      'k3', CAST(round(l_extendedprice * 100, 0) AS BIGINT)))),
+                    s -> s.k2)""").as("qts"),
+          expr("""transform(
+                    array_sort(collect_list(named_struct(
+                      'k1', l_linenumber,
+                      'k2', CAST(round(l_quantity * 100, 0) AS BIGINT),
+                      'k3', CAST(round(l_extendedprice * 100, 0) AS BIGINT)))),
+                    s -> s.k3)""").as("prices"))
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(
+          col("l_orderkey"),
+          size(col("qts")).cast("long").as("n_items"),
+          expr("transform(qts, x -> x * 2)").as("doubled"),
+          expr("filter(qts, x -> x > 2500)").as("big"),
+          expr("aggregate(qts, CAST(0 AS BIGINT), (a, b) -> a + b)")
+            .as("total_q"),
+          expr("zip_with(qts, prices, (a, b) -> a + b)").as("zipped"))
+    },
+    Some("""
+      WITH arrs AS (
+        SELECT l_orderkey,
+               list(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                    ORDER BY l_linenumber,
+                             CAST(round(l_quantity * 100, 0) AS BIGINT),
+                             CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS qts,
+               list(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    ORDER BY l_linenumber,
+                             CAST(round(l_quantity * 100, 0) AS BIGINT),
+                             CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 AS prices
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT l_orderkey,
+             len(qts) AS n_items,
+             list_transform(qts, x -> x * 2) AS doubled,
+             list_filter(qts, x -> x > 2500) AS big,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), qts),
+                         (a, b) -> a + b) AS total_q,
+             list_transform(list_zip(qts, prices), t -> t[1] + t[2])
+               AS zipped
+      FROM arrs WHERE l_orderkey % 97 = 0"""))
+
   val all: Seq[QueryDef] = Seq(
     stringFns, regexFns, mathFns, bitwiseFns, conditionalFns, castFns,
-    datetimeFns, decimalFns, jsonFns, arrayFns, mapFns, nullSafeEq, inSetLike)
+    datetimeFns, decimalFns, jsonFns, arrayFns, mapFns, nullSafeEq, inSetLike,
+    hofFns)
 }
