@@ -110,6 +110,33 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** LEFT OUTER stream-stream join: like [[clickAttribution]] but
+    * unconverted clicks are ALSO emitted (purchase columns null) — which
+    * the engine can only do once the watermark proves no matching purchase
+    * can still arrive, so each unmatched row is held in state exactly until
+    * click_ts + attribution + watermark passes. The canonical funnel-drop
+    * query shape on an unbounded stream. */
+  def clickAttributionOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      attribution: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+      col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attribution"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running stats.
     * The KeyValueGroupedDataset path the reference can't express natively. */
   def userRunningStats(events: Dataset[Event]): Dataset[UserStats] = {

@@ -133,6 +133,31 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched clicks after watermark") {
+    val clicks = mkEvents(
+      Event(1, ts(0), 100, "click", 0.0),   // converts (purchase at :10)
+      Event(2, ts(1), 200, "click", 0.0))   // never converts
+    val purchases = mkEvents(
+      Event(50, ts(10), 100, "purchase", 9.99))
+    val q = EventStreams.toMemorySink(
+      EventStreams.clickAttributionOuter(clicks.toDF(), purchases.toDF()),
+      "attr_outer_out", "append")
+    try {
+      q.processAllAvailable()
+      // push both watermarks far past click2's join window (:01 + 30m + 10m)
+      clicks.addData(Event(3, ts(59), 300, "click", 0.0))
+      purchases.addData(Event(51, ts(59), 300, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = sp.table("attr_outer_out")
+        .select(col("click_id"), col("purchase_id")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got(1L) == 50L, s"converted click must join: $got")
+      assert(got(2L) == -1L,
+        s"unconverted click must emit null-extended after watermark: $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming replay matches the batch tumbling aggregation") {
     import org.apache.spark.sql.types._
     // events.parquet carries TIMESTAMP(NANOS) → LongType under nanosAsLong,
