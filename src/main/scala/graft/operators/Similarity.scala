@@ -27,13 +27,12 @@ object Similarity {
   private val P1 = graft.functions.SignProjection.P1
   private val P2 = graft.functions.SignProjection.P2
 
-  /** LSH bucket id via the native codegen'd SignProjection kernel (one
-    * JIT-compiled nBits×dims loop per row; replaces the interpreted
-    * aggregate(transform(sequence…)) lambda chain — VERDICT r2 perf #3).
-    * Hyperplanes h(i,j) = ((i·P1 XOR j·P2) mod 2001 − 1000)/1000: pure
-    * integer arithmetic, reproducible in any engine (see SignProjection's
-    * scaladoc for why the mix is XOR, not addition). */
-  private def sparkSig: Column = expr(s"sign_proj(embedding, $nBits)")
+  // Bucketing uses the native codegen'd SignProjection kernel (one
+  // JIT-compiled nBits×dims loop per row; replaced the interpreted
+  // aggregate(transform(sequence…)) lambda chain — VERDICT r2 perf #3).
+  // Hyperplanes h(i,j) = ((i·P1 XOR j·P2) mod 2001 − 1000)/1000: pure
+  // integer arithmetic, reproducible in any engine (see SignProjection's
+  // scaladoc for why the mix is XOR, not addition).
 
   private def duckDot(i: Int, emb: String): String =
     s"""list_reduce(list_transform(range(len($emb)),
@@ -82,49 +81,155 @@ object Similarity {
           WHERE q.vec_id < 8 AND c.vec_id >= 8))
       WHERE rn <= 10"""))
 
-  /** Multi-probe LSH ANN: exact bucket + hamming-1 probes, exact re-rank. */
+  /** Multi-probe LSH ANN: a 12-bit sign projection split into two
+    * independent 6-bit hash tables (OR-construction — a candidate is
+    * examined if it collides with the query in EITHER table), each probed
+    * at hamming≤2 (22 buckets/table; probe fan-out is per-QUERY, so
+    * widening costs nothing per candidate), exact cosine re-rank inside
+    * probed buckets. Same index shape as the dedup scale path
+    * (Dedup.embeddingNearDupLsh); recall@10 vs brute force is pinned in
+    * SimilaritySpec. */
   val lshAnn = QueryDef(
     "q_sim_ann_lsh",
     (spark, dir) => {
       val (q, c) = split(spark, dir)
+      def bucket(t: Int, mask: Long) = {
+        val slice = if (t == 0) expr("sig % 64") else expr("sig div 64")
+        (lit(t * 64L) + slice.cast("long").bitwiseXOR(lit(mask)))
+          .cast("long")
+      }
       val cands = c.select(col("vec_id").as("cand_id"),
-        col("embedding").as("ec"), sparkSig.as("bucket"))
+        col("embedding").as("ec"),
+        expr(s"sign_proj(embedding, 12)").as("sig"))
+        .select(col("cand_id"), col("ec"),
+          explode(array(bucket(0, 0L), bucket(1, 0L))).as("bucket"))
+      val probeKeys =
+        for { t <- 0 to 1; m <- Dedup.probeMasks } yield bucket(t, m)
       val probes = q.select(col("vec_id").as("query_id"),
-        col("embedding").as("eq"), sparkSig.as("sig"))
-        .select(col("query_id"), col("eq"), explode(array(
-          col("sig") +: (0 until nBits).map(p =>
-            expr(s"sig ^ ${1 << p}").cast("long")): _*)).as("bucket"))
+        col("embedding").as("eq"),
+        expr(s"sign_proj(embedding, 12)").as("sig"))
+        .select(col("query_id"), col("eq"),
+          explode(array(probeKeys: _*)).as("bucket"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("cand_id"))
       broadcast(probes).join(cands, "bucket")
+        .dropDuplicates("query_id", "cand_id")
         .withColumn("cos", expr("cosine_sim(eq, ec)"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
     },
-    Some(s"""
+    Some {
+      val duckProbeKeys = (for { t <- 0 to 1; m <- Dedup.probeMasks } yield {
+        val slice = if (t == 0) "sig % 64" else "sig // 64"
+        s"${t * 64} + xor($slice, $m)"
+      }).mkString(", ")
+      s"""
       WITH cands AS (
-        SELECT vec_id AS cand_id, embedding AS ec,
-               ${duckSig("embedding")} AS bucket
-        FROM embeddings WHERE vec_id >= 8),
+        SELECT cand_id, ec, unnest([0 + sig % 64, 64 + sig // 64]) AS bucket
+        FROM (SELECT vec_id AS cand_id, embedding AS ec,
+                     ${duckSig("embedding", 12)} AS sig
+              FROM embeddings WHERE vec_id >= 8)),
       qsig AS (
         SELECT vec_id AS query_id, embedding AS eq,
-               ${duckSig("embedding")} AS sig
+               ${duckSig("embedding", 12)} AS sig
         FROM embeddings WHERE vec_id < 8),
       probes AS (
-        SELECT query_id, eq,
-               unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4),
-                       xor(sig, 8), xor(sig, 16), xor(sig, 32)]) AS bucket
-        FROM qsig)
+        SELECT query_id, eq, unnest([$duckProbeKeys]) AS bucket
+        FROM qsig),
+      pairs AS (
+        SELECT DISTINCT p.query_id, c.cand_id
+        FROM probes p JOIN cands c ON p.bucket = c.bucket)
+      SELECT query_id, cand_id, cos, rn FROM (
+        SELECT pr.query_id, pr.cand_id,
+               ${Dedup.duckCosine("q.embedding", "e.embedding")} AS cos,
+               CAST(row_number() OVER (PARTITION BY pr.query_id
+                 ORDER BY ${Dedup.duckCosine("q.embedding", "e.embedding")}
+                          DESC, pr.cand_id) AS BIGINT) AS rn
+        FROM pairs pr
+        JOIN embeddings q ON q.vec_id = pr.query_id
+        JOIN embeddings e ON e.vec_id = pr.cand_id)
+      WHERE rn <= 10"""
+    })
+
+  /** IVF (inverted-file) ANN — the second scale path the pipeline brief
+    * names besides LSH. Build: every candidate is assigned to its nearest
+    * coarse centroid (one linear pass over the corpus — the standard IVF
+    * build cost; centroids here are a deterministic subset, vec_id % 50 = 0,
+    * standing in for a k-means codebook so the DuckDB oracle can reproduce
+    * the exact cells). Search: each query probes its nprobe=3 nearest
+    * cells and re-ranks exactly inside them. At 100 TB: the cell
+    * assignment shuffles the corpus once on cell id and persists as the
+    * index; queries broadcast; per-query work is |corpus|·nprobe/|cells|.
+    * All similarity math is the codegen'd cosine kernel; assignments and
+    * ranks tie-break on ids, so the whole index is bit-deterministic. */
+  val ivfAnn = QueryDef(
+    "q_sim_ann_ivf",
+    (spark, dir) => {
+      val (q, c) = split(spark, dir)
+      val cents = Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val cands = c.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ec"))
+      val wAssign = Window.partitionBy(col("cand_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val cells = cands.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("cosine_sim(ec, ce)"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("cand_id"), col("ec"), col("cid"))
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcos").desc, col("cid"))
+      val probes = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("eq"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qcos", expr("cosine_sim(eq, ce)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select(col("query_id"), col("eq"), col("cid"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(probes).join(cells, "cid")
+        .withColumn("cos", expr("cosine_sim(eq, ec)"))
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
+    },
+    Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id % 50 = 0),
+      cands AS (
+        SELECT vec_id AS cand_id, embedding AS ec FROM embeddings
+        WHERE vec_id >= 8),
+      assign AS (
+        SELECT cand_id, ec, cid FROM (
+          SELECT cand_id, ec, cid,
+                 row_number() OVER (PARTITION BY cand_id
+                                    ORDER BY ccos DESC, cid) AS arn
+          FROM (SELECT cand_id, ec, cid,
+                       ${Dedup.duckCosine("ec", "ce")} AS ccos
+                FROM cands, cents))
+        WHERE arn = 1),
+      qprobe AS (
+        SELECT query_id, eq, cid FROM (
+          SELECT query_id, eq, cid,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qcos DESC, cid) AS prn
+          FROM (SELECT q.vec_id AS query_id, q.embedding AS eq, cid,
+                       ${Dedup.duckCosine("q.embedding", "ce")} AS qcos
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE vec_id < 8) q, cents))
+        WHERE prn <= 3)
       SELECT query_id, cand_id, cos, rn FROM (
         SELECT query_id, cand_id, cos,
                CAST(row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, cand_id) AS BIGINT)
                  AS rn
-        FROM (
-          SELECT p.query_id, c.cand_id,
-                 ${Dedup.duckCosine("p.eq", "c.ec")} AS cos
-          FROM probes p JOIN cands c ON p.bucket = c.bucket))
+        FROM (SELECT p.query_id, a.cand_id,
+                     ${Dedup.duckCosine("p.eq", "a.ec")} AS cos
+              FROM qprobe p JOIN assign a ON p.cid = a.cid))
       WHERE rn <= 10"""))
 
   /** Dot-product ranking via the native vec_dot expression (exercises the
@@ -168,5 +273,6 @@ object Similarity {
     },
     bruteForceTopK.oracle)
 
-  val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, dotTopK, planTopK)
+  val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, ivfAnn, dotTopK,
+    planTopK)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN quality checks: both approximate paths (LSH multi-probe, IVF
+  * nprobe) against the brute-force ground truth. The DuckDB oracle already
+  * pins each path bit-exactly; these pin the *retrieval quality* so an
+  * index change that silently tanks recall fails the build. */
+class SimilaritySpec extends GraftSpecBase {
+
+  private def topk(q: QueryDef): Map[Long, Set[Long]] =
+    q.run(spark, sfDir)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  test("IVF and LSH ANN recall vs brute-force top-10") {
+    val brute = topk(operators.Similarity.bruteForceTopK)
+    assert(brute.nonEmpty)
+    Seq("ivf" -> operators.Similarity.ivfAnn,
+      "lsh" -> operators.Similarity.lshAnn).foreach { case (name, q) =>
+      val approx = topk(q)
+      val recalls = brute.map { case (qid, truth) =>
+        approx.getOrElse(qid, Set.empty).intersect(truth).size.toDouble /
+          truth.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.5, s"$name mean recall@10 $mean")
+    }
+  }
+
+  test("approximate results are always true neighbors (no fabrications)") {
+    // every (query, cand, cos) an index returns must carry the exact cosine
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val byId = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def refCos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    operators.Similarity.ivfAnn.run(spark, sfDir)
+      .select(col("query_id"), col("cand_id"), col("cos")).collect()
+      .foreach { r =>
+        val want = refCos(byId(r.getLong(0)), byId(r.getLong(1)))
+        assert(r.getDouble(2) == want, s"cos mismatch for $r")
+      }
+  }
+}
