@@ -142,7 +142,44 @@ object TpcdsShapes {
         SELECT o_custkey, CAST(year(o_orderdate) AS INT)
         FROM orders WHERE o_orderstatus = 'F')""")
 
+  /** ds36: rank within the rollup LEVEL — the window partitions on
+    * grouping(a)+grouping(b), so detail rows, subtotals, and the grand
+    * total each rank among their own kind (Expand output feeding a window
+    * keyed by the grouping flags; explicit NULLS FIRST keeps subtotal
+    * tiebreaks portable). */
+  val rollupGroupingRank = QueryDef.sqlSame(
+    "q_ds_grouping_rank",
+    s"""SELECT l_returnflag, l_linestatus, margin, lochierarchy,
+              CAST(rank() OVER (PARTITION BY lochierarchy
+                                ORDER BY margin DESC,
+                                         l_returnflag NULLS FIRST,
+                                         l_linestatus NULLS FIRST)
+                   AS BIGINT) AS rk
+       FROM (SELECT l_returnflag, l_linestatus,
+                    CAST(sum(${centsSql("l_extendedprice")}
+                             - ${centsSql("l_quantity")} * 100) AS DOUBLE)
+                      / 100.0 AS margin,
+                    CAST(grouping(l_returnflag) + grouping(l_linestatus)
+                         AS INT) AS lochierarchy
+             FROM lineitem
+             GROUP BY ROLLUP (l_returnflag, l_linestatus))""")
+
+  /** ds23: frequent-buyer semi-filter (HAVING-gated IN) combined with an
+    * uncorrelated scalar cap derived from a nested aggregate. */
+  val frequentBuyers = QueryDef.sqlSame(
+    "q_ds_frequent_buyers",
+    s"""WITH freq AS (
+         SELECT o_custkey FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 15)
+       SELECT count(*) AS n_lines,
+              ${sumdSql("l_extendedprice")} AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_custkey IN (SELECT o_custkey FROM freq)
+         AND l_quantity < (SELECT CAST(max(cnt) AS DOUBLE) / 4.0
+                           FROM (SELECT count(*) AS cnt FROM orders
+                                 GROUP BY o_custkey))""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
-    intersectCount)
+    intersectCount, rollupGroupingRank, frequentBuyers)
 }
