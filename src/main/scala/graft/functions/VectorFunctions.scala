@@ -53,15 +53,22 @@ case class VecDot(left: Expression, right: Expression)
     dot
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // all locals via ctx.freshName: with a non-nullable child the snippet is
+  // emitted unscoped, so two vector kernels in one WSCG scope would
+  // otherwise declare duplicate locals → Janino failure + interpreted
+  // fallback (ADVICE r3)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double dot = 0.0;
-      for (int i = 0; i < n; i++) {
-        dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $dot = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
       }
-      ${ev.value} = dot;
+      ${ev.value} = $dot;
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -91,18 +98,23 @@ case class CosineSim(left: Expression, right: Expression)
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i"); val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int n = Math.min($a.numElements(), $b.numElements());
-      double dot = 0.0, na = 0.0, nb = 0.0;
-      for (int i = 0; i < n; i++) {
-        double x = (double) $a.getFloat(i);
-        double y = (double) $b.getFloat(i);
-        dot += x * y; na += x * x; nb += y * y;
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $x = (double) $a.getFloat($i);
+        double $y = (double) $b.getFloat($i);
+        $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
       }
-      ${ev.value} = (na == 0.0 || nb == 0.0)
-        ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+      ${ev.value} = ($na == 0.0 || $nb == 0.0)
+        ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -161,21 +173,25 @@ case class SignProjection(child: Expression, nBits: Int)
     sig
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+    val dot = ctx.freshName("dot"); val coef = ctx.freshName("coef")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
     nullSafeCodeGen(ctx, ev, a => s"""
-      int n = $a.numElements();
-      long sig = 0L;
-      for (int i = 0; i < $nBits; i++) {
-        double dot = 0.0;
-        for (int j = 0; j < n; j++) {
-          double coef = (double) (((i * ${SignProjection.P1}L) ^
-            (j * ${SignProjection.P2}L)) % 2001L - 1000L) / 1000.0;
-          dot += (double) $a.getFloat(j) * coef;
+      int $n = $a.numElements();
+      long $sig = 0L;
+      for (int $i = 0; $i < $nBits; $i++) {
+        double $dot = 0.0;
+        for (int $j = 0; $j < $n; $j++) {
+          double $coef = (double) ((($i * ${SignProjection.P1}L) ^
+            ($j * ${SignProjection.P2}L)) % 2001L - 1000L) / 1000.0;
+          $dot += (double) $a.getFloat($j) * $coef;
         }
-        if (dot > 0.0) sig |= (1L << i);
+        if ($dot > 0.0) $sig |= (1L << $i);
       }
-      ${ev.value} = sig;
+      ${ev.value} = $sig;
     """)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): SignProjection = copy(child = newChild)

@@ -290,8 +290,11 @@ object Aggregates {
     * (Oracle.scala); this query pins the decimal path itself: Spark plans
     * sum(decimal(18,2)) with +10 precision headroom — decimal(28,2) — so a
     * `sum_big` whose per-row values sit AT the decimal(18,2) boundary
-    * (o_orderkey·1e11 → 18 digits) and whose group totals (~3.7e18) exceed
-    * anything decimal(18,2) could hold must still come out exact. The avg is
+    * (o_orderkey%1e5·1e11 → up to 16 integer digits, the type's max; the
+    * modulus keeps the per-row value inside the cast at EVERY scale factor —
+    * ADVICE r3: the unbounded key overflowed beyond sf0.01) and whose group
+    * totals exceed anything decimal(18,2) could hold must still come out
+    * exact. The avg is
     * decimal-division with explicit casts so both engines round identically.
     * Same text runs on DuckDB (which promotes to decimal(38,2) — wider, same
     * values). */
@@ -303,7 +306,8 @@ object Aggregates {
     """SELECT o_orderstatus,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING)
                 AS sum_price,
-              CAST(sum(CAST(o_orderkey * 100000000000 AS DECIMAL(18,2)))
+              CAST(sum(CAST(o_orderkey % 100000 * 100000000000
+                            AS DECIMAL(18,2)))
                    AS STRING) AS sum_big,
               CAST(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                              AS DECIMAL(38,6))

@@ -196,6 +196,9 @@ object Dedup {
   val embeddingNearDupLsh = QueryDef(
     "q_dedup_embedding_lsh",
     (spark, dir) => {
+      // persisted for the probe/candidate double-read; released by the
+      // runner's per-query clearCache (Verify's finally, Bench's timeOnce) —
+      // ad-hoc callers embedding this plan long-term should clearCache too
       val sigs = Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           expr("sign_proj(embedding, 12)").as("sig"))

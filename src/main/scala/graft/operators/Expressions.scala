@@ -420,11 +420,17 @@ object Expressions {
         .select(
           col("l_orderkey"),
           size(col("qts")).cast("long").as("n_items"),
-          expr("transform(qts, x -> x * 2)").as("doubled"),
-          expr("filter(qts, x -> x > 2500)").as("big"),
+          // arrays are joined to strings: the driver's comparer hashes cell
+          // values and cannot sort/hash array-typed cells (r3: numpy
+          // unhashable), so every list output ships as a canonical CSV
+          expr("array_join(transform(qts, x -> CAST(x * 2 AS STRING)), ',')")
+            .as("doubled"),
+          expr("array_join(transform(filter(qts, x -> x > 2500)," +
+            " x -> CAST(x AS STRING)), ',')").as("big"),
           expr("aggregate(qts, CAST(0 AS BIGINT), (a, b) -> a + b)")
             .as("total_q"),
-          expr("zip_with(qts, prices, (a, b) -> a + b)").as("zipped"))
+          expr("array_join(transform(zip_with(qts, prices, (a, b) -> a + b)," +
+            " x -> CAST(x AS STRING)), ',')").as("zipped"))
     },
     Some("""
       WITH arrs AS (
@@ -442,11 +448,13 @@ object Expressions {
         FROM lineitem GROUP BY l_orderkey)
       SELECT l_orderkey,
              len(qts) AS n_items,
-             list_transform(qts, x -> x * 2) AS doubled,
-             list_filter(qts, x -> x > 2500) AS big,
+             array_to_string(list_transform(qts, x -> x * 2), ',') AS doubled,
+             coalesce(array_to_string(list_filter(qts, x -> x > 2500), ','),
+                      '') AS big,
              list_reduce(list_prepend(CAST(0 AS BIGINT), qts),
                          (a, b) -> a + b) AS total_q,
-             list_transform(list_zip(qts, prices), t -> t[1] + t[2])
+             array_to_string(list_transform(list_zip(qts, prices),
+                                            t -> t[1] + t[2]), ',')
                AS zipped
       FROM arrs WHERE l_orderkey % 97 = 0"""))
 

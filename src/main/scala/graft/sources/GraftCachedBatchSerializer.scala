@@ -144,7 +144,8 @@ class GraftCachedBatchSerializer extends SimpleMetricsCachedBatchSerializer {
           val raw = out.toByteArray
           // stats layout must match ColumnStatisticsSchema: per attribute
           // (lowerBound, upperBound, nullCount:Int, count:Int, size:Long)
-          val perColSize = if (n == 0) 0L else raw.length.toLong / fields
+          val perColSize =
+            if (n == 0 || fields == 0) 0L else raw.length.toLong / fields
           val statsVals = (0 until fields).flatMap(i =>
             Seq(lower(i), upper(i), nullCnt(i), n, perColSize)).toArray
           GraftCachedBatch(n, raw.length, compressor.compress(raw),
