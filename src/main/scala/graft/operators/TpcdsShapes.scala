@@ -15,6 +15,10 @@ import graft.Exact._
   *  - ds88: a battery of scalar subqueries materialized into one row
   *  - ds33/ds56: union of per-channel aggregates, re-aggregated
   *  - ds38/ds87: multi-column INTERSECT chain under a count
+  *  - ds47/ds57: aggregated series vs trailing moving-average window
+  *  - ds10/ds35/ds69: stacked correlated EXISTS / NOT EXISTS conjunction
+  *  - ds54/ds58: fact restricted to a subquery-derived date set
+  *  - ds78: LEFT-joined year-over-year cohorts incl. the lapsed bucket
   *
   * All exact-cents arithmetic; identical text runs on Spark and DuckDB.
   * Scale notes: the rollup/window pass shuffles once per grouping key; the
@@ -179,7 +183,88 @@ object TpcdsShapes {
                            FROM (SELECT count(*) AS cnt FROM orders
                                  GROUP BY o_custkey))""")
 
+  /** ds47/ds57: monthly series vs its trailing moving average — aggregate,
+    * then a ROWS-frame window over the aggregated series, then a ratio
+    * filter. All comparisons in integer cents (rev·cnt vs sum·125) so the
+    * row set is bit-stable; the emitted ratio is one int→double division.
+    * Scale: the window input is the post-aggregate month grain (bounded),
+    * partitioned by flag — the 100 TB fact scan reduces first. */
+  val movingAvg = QueryDef.sqlSame(
+    "q_ds_moving_avg",
+    s"""SELECT flag, yr, mo,
+              CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+              CAST(rev_c * cnt AS DOUBLE) / CAST(sum_c AS DOUBLE) AS ratio
+       FROM (
+         SELECT flag, yr, mo, rev_c,
+                sum(rev_c) OVER w AS sum_c,
+                CAST(count(*) OVER w AS BIGINT) AS cnt
+         FROM (
+           SELECT l_returnflag AS flag,
+                  CAST(year(l_shipdate) AS INT) AS yr,
+                  CAST(month(l_shipdate) AS INT) AS mo,
+                  sum(${centsSql("l_extendedprice")}) AS rev_c
+           FROM lineitem
+           GROUP BY l_returnflag, year(l_shipdate), month(l_shipdate))
+         WINDOW w AS (PARTITION BY flag ORDER BY yr, mo
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+       WHERE cnt = 3 AND rev_c * cnt * 100 > sum_c * 105""")
+
+  /** ds10/ds35/ds69: a conjunction of correlated EXISTS / EXISTS-with-join /
+    * NOT EXISTS predicates on the same outer row — the decorrelation stress
+    * none of the single-flavor subquery or join queries reach (three
+    * semi and anti joins stacked on one customer scan). */
+  val multiExists = QueryDef.sqlSame(
+    "q_ds_multi_exists",
+    """SELECT c_mktsegment, count(*) AS n_cust
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND year(o_orderdate) = 1997)
+         AND EXISTS (SELECT 1 FROM lineitem JOIN orders
+                       ON l_orderkey = o_orderkey
+                     WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment""")
+
+  /** ds54/ds58: fact rows restricted to a date SET derived by a subquery
+    * (here: every order date an urgent March-1995 order shipped on) — a
+    * semi join on a non-key, low-cardinality column, broadcast-able. */
+  val dateInSubquery = QueryDef.sqlSame(
+    "q_ds_date_in",
+    s"""SELECT o_orderpriority, count(*) AS n,
+              ${sumdSql("o_totalprice")} AS revenue
+       FROM orders
+       WHERE o_orderdate IN (SELECT o_orderdate FROM orders
+                             WHERE o_orderpriority = '1-URGENT'
+                               AND year(o_orderdate) = 1995
+                               AND month(o_orderdate) = 3)
+       GROUP BY o_orderpriority""")
+
+  /** ds78: year-over-year cohorts where the next year may be ABSENT — LEFT
+    * join of the two yearly CTEs, CASE over the null side, integer-exact
+    * growth compare (cohort 'grew' ⇔ 1998 ≥ 1.5 × 1997 spend). yoyRatio
+    * above is the inner-join variant; this pins the outer+null-bucket plan. */
+  val lapsedCohorts = QueryDef.sqlSame(
+    "q_ds_lapsed_cohorts",
+    s"""WITH y97 AS (
+         SELECT o_custkey AS k, sum(${centsSql("o_totalprice")}) AS s
+         FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+       y98 AS (
+         SELECT o_custkey AS k, sum(${centsSql("o_totalprice")}) AS s
+         FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+       SELECT CASE WHEN y98.k IS NULL THEN 'lapsed'
+                   WHEN y98.s * 2 >= y97.s * 3 THEN 'grew'
+                   ELSE 'flat' END AS cohort,
+              count(*) AS n_cust,
+              CAST(sum(y97.s) AS DOUBLE) / 100.0 AS spend_1997,
+              CAST(sum(coalesce(y98.s, 0)) AS DOUBLE) / 100.0 AS spend_1998
+       FROM y97 LEFT JOIN y98 ON y97.k = y98.k
+       GROUP BY 1""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
-    intersectCount, rollupGroupingRank, frequentBuyers)
+    intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
+    multiExists, dateInSubquery, lapsedCohorts)
 }
