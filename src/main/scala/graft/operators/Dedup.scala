@@ -215,12 +215,17 @@ object Dedup {
       val cands = sigs.select(col("vec_id").as("id_b"),
         col("embedding").as("eb"),
         explode(array(bucket(0, 0L), bucket(1, 0L))).as("bucket"))
+      // cosine BEFORE dedup: the codegen kernel is ~100 flops/pair, so
+      // re-scoring a pair per colliding probe is cheap, while dedup-first
+      // shuffles every candidate row WITH both 64-float embedding columns;
+      // filtering to survivors first makes the dedup exchange near-empty
+      // (sf0.1 probe: 3.5s → sub-second, identical result set)
       probes.join(cands, "bucket")
         .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
         .withColumn("cos", expr("cosine_sim(ea, eb)"))
         .filter(col("cos") > 0.45)
         .select(col("id_a"), col("id_b"), col("cos"))
+        .dropDuplicates("id_a", "id_b")
     },
     Some {
       val duckProbeKeys = (for { t <- 0 to 1; m <- probeMasks } yield {
