@@ -105,4 +105,19 @@ class CachedBatchSerializerSpec extends GraftSpecBase {
     val comp = cached.map(_.sizeInBytes).sum
     assert(comp < raw, s"expected compression, got $comp >= $raw")
   }
+
+  test("zero-column schema caches without dividing by zero (ADVICE r3)") {
+    // df.select().cache().count() produces rows with no fields; the stats
+    // size computation must not divide by the field count
+    val df = spark.range(100).toDF().select()
+    val qe = df.queryExecution
+    val attrs = qe.executedPlan.output
+    assert(attrs.isEmpty)
+    val cached = ser.convertInternalRowToCachedBatch(
+      qe.toRdd, attrs, StorageLevel.MEMORY_ONLY, conf).collect()
+    assert(cached.map(_.numRows.toLong).sum == 100L)
+    val back = ser.convertCachedBatchToInternalRow(
+      spark.sparkContext.parallelize(cached, 1), attrs, attrs, conf)
+    assert(back.map(_ => 1L).reduce(_ + _) == 100L)
+  }
 }

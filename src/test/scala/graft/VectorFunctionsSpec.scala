@@ -109,6 +109,30 @@ class VectorFunctionsSpec extends GraftSpecBase {
     assert(got.toSet.size > 1, "fixture should spread across buckets")
   }
 
+  test("multiple vector kernels share one codegen scope (fresh locals)") {
+    // ADVICE r3: fixed local names made two kernels in one generated
+    // function declare duplicate variables → Janino failure + silent
+    // interpreted fallback. CODEGEN_ONLY turns that failure into a hard
+    // error, so this test fails loudly if local names regress.
+    val rows = Seq((Array.tabulate(64)(i => (i % 5 - 2).toFloat),
+      Array.tabulate(64)(i => (i % 3 - 1).toFloat)))
+    val d = df(rows)
+    val session = spark
+    session.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = d.select(
+        expr("sign_proj(a, 6)"), expr("sign_proj(b, 6)"),
+        expr("cosine_sim(a, b)"), expr("cosine_sim(b, a)"),
+        expr("vec_dot(a, b)"), expr("vec_dot(a, a)")).head
+      assert(r.getLong(0) == d.select(expr("sign_proj(a, 6)")).head.getLong(0))
+      assert(r.getDouble(2) == r.getDouble(3), "cosine is symmetric")
+      assert(r.getDouble(4) ==
+        d.select(expr("vec_dot(a, b)")).head.getDouble(0))
+    } finally {
+      session.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("sign_proj interpreted and codegen paths agree") {
     val rows = Seq((Array.tabulate(64)(i => (i % 7 - 3).toFloat),
       Array.empty[Float]))
