@@ -131,7 +131,53 @@ object GoldenSql {
               trim('  pad  ') AS trim_both,
               replace('aaa', 'aa', 'b') AS replace_greedy""")
 
+  /** Aggregate null semantics: nulls are skipped (not zeroed) by sum/avg,
+    * count(col) vs count(*), the all-null column aggregates to NULL, and
+    * the standard FILTER clause gates input rows. */
+  val aggNull = QueryDef.sqlSame(
+    "q_golden_agg_null",
+    """SELECT count(*) AS n_rows,
+              count(x) AS n_nonnull,
+              CAST(sum(x) AS BIGINT) AS sum_skips_null,
+              CAST(avg(x) AS DOUBLE) AS avg_skips_null,
+              CAST(min(x) AS INT) AS min_x,
+              count(y) AS n_all_null,
+              CAST(sum(y) AS BIGINT) AS sum_all_null,
+              count(*) FILTER (WHERE x > 1) AS n_filtered
+       FROM (VALUES (1, CAST(NULL AS INT)),
+                    (CAST(NULL AS INT), CAST(NULL AS INT)),
+                    (3, CAST(NULL AS INT))) AS t(x, y)""")
+
+  /** Three-valued IN / NOT IN logic: a NULL in the list makes a miss
+    * UNKNOWN (never TRUE), NOT IN against a set containing NULL filters
+    * everything, and DISTINCT collapses NULLs to one group. */
+  val inNull = QueryDef.sqlSame(
+    "q_golden_in_null",
+    """SELECT (1 IN (1, NULL)) AS in_hit_with_null,
+              ((1 IN (2, NULL)) IS NULL) AS in_miss_unknown,
+              ((1 NOT IN (2, NULL)) IS NULL) AS notin_unknown,
+              ((NULL = NULL) IS NULL) AS eq_null_unknown,
+              (SELECT count(*)
+               FROM (VALUES (1), (2)) AS s(v)
+               WHERE v NOT IN (SELECT w FROM (VALUES (2), (CAST(NULL AS INT)))
+                               AS u(w))) AS notin_null_set_empty,
+              (SELECT count(*)
+               FROM (SELECT DISTINCT z
+                     FROM (VALUES (CAST(NULL AS INT)), (CAST(NULL AS INT)),
+                                  (1)) AS d(z)) dz) AS distinct_null_one""")
+
+  /** Set-operation type widening (INT ∪ BIGINT → BIGINT) and NULL as a
+    * grouping key: the null row groups, it does not disappear. */
+  val unionWiden = QueryDef.sqlSame(
+    "q_golden_union_widen",
+    """SELECT CAST(x AS BIGINT) AS x, count(*) AS n
+       FROM (SELECT CAST(1 AS INT) AS x
+             UNION ALL SELECT CAST(1 AS BIGINT)
+             UNION ALL SELECT CAST(NULL AS INT)
+             UNION ALL SELECT CAST(2147483648 AS BIGINT)) u
+       GROUP BY x""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
-    intervalArith, numericEdge, stringEdge)
+    intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden)
 }
