@@ -263,8 +263,66 @@ object TpcdsShapes {
        FROM y97 LEFT JOIN y98 ON y97.k = y98.k
        GROUP BY 1""")
 
+  /** ds30/ds81: rows exceeding 1.2× their GROUP's average — the correlated
+    * aggregate-over-aggregate decorrelation (the scalar subqueries aggregate
+    * an already-aggregated CTE per outer group). The compare is kept in
+    * integer cents (tot·cnt·10 > sum·12), so no cross-engine double-avg
+    * drift can flip a row. */
+  val aboveGroupAvg = QueryDef.sqlSame(
+    "q_ds_above_group_avg",
+    s"""WITH cust_tot AS (
+         SELECT o_custkey, c_nationkey,
+                sum(${centsSql("o_totalprice")}) AS tot_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY o_custkey, c_nationkey)
+       SELECT c_nationkey, count(*) AS n_cust,
+              CAST(sum(tot_c) AS DOUBLE) / 100.0 AS spend
+       FROM cust_tot a
+       WHERE tot_c * (SELECT count(*) FROM cust_tot b
+                      WHERE b.c_nationkey = a.c_nationkey) * 10
+             > (SELECT sum(tot_c) FROM cust_tot b
+                WHERE b.c_nationkey = a.c_nationkey) * 12
+       GROUP BY c_nationkey""")
+
+  /** ds49: one aggregate ranked under TWO different window orderings, rows
+    * kept when they medal in EITHER — two Window operators (distinct sort
+    * orders) over one shuffled child. */
+  val dualRank = QueryDef.sqlSame(
+    "q_ds_dual_rank",
+    s"""SELECT * FROM (
+         SELECT n_name,
+                CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+                n_orders,
+                CAST(rank() OVER (ORDER BY rev_c DESC, n_name) AS BIGINT)
+                  AS rk_rev,
+                CAST(rank() OVER (ORDER BY n_orders DESC, n_name) AS BIGINT)
+                  AS rk_cnt
+         FROM (
+           SELECT n_name,
+                  sum(${centsSql("o_totalprice")}) AS rev_c,
+                  count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+                       JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name))
+       WHERE rk_rev <= 5 OR rk_cnt <= 5""")
+
+  /** ds95: correlated EXISTS over a SELF-join of the fact (orders shipped
+    * by at least two distinct suppliers) — the exists-subquery itself
+    * contains a join, so decorrelation must pull a joined subtree into the
+    * semi join. */
+  val existsSelfJoin = QueryDef.sqlSame(
+    "q_ds_exists_selfjoin",
+    """SELECT o_orderpriority, count(*) AS n_multi_supp
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                       ON l1.l_orderkey = l2.l_orderkey
+                          AND l1.l_suppkey <> l2.l_suppkey
+                     WHERE l1.l_orderkey = o_orderkey)
+       GROUP BY o_orderpriority""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
-    multiExists, dateInSubquery, lapsedCohorts)
+    multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
+    existsSelfJoin)
 }
