@@ -36,6 +36,24 @@ object ops {
     * exact predicate. Interval rows replicate once per overlapped bucket —
     * choose `bucketWidth` near the typical interval length so replication
     * stays O(1) per row. Column names must be distinct across the inputs. */
+  /** MinHash + LSH near-dup candidate pairs over any document frame — see
+    * [[graft.operators.Dedup.minHashNearDup]]: shingle → k minhashes →
+    * banded bucket join → agreement-score filter; one shuffle on the band
+    * hash, never all-pairs. Returns `(doc_a, doc_b, est_jaccard)`. */
+  def minHashNearDup(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.25, hashes: Int = 32, bands: Int = 8): DataFrame =
+    graft.operators.Dedup.minHashNearDup(
+      docs, idCol, textCol, threshold, hashes, bands)
+
+  /** Connected components over an undirected `(doc_a, doc_b)` pair list —
+    * see [[graft.operators.Dedup.componentLabels]]: min-label propagation
+    * with pointer jumping, O(log diameter) rounds, hard failure instead of
+    * silently-wrong clusters at the round cap. Compose after
+    * [[minHashNearDup]] to turn candidate pairs into dedup groups. */
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
+    graft.operators.Dedup.componentLabels(pairs, maxRounds)
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

@@ -116,35 +116,51 @@ object Dedup {
       .persist()
   }
 
-  /** MinHash + LSH banding: shingle → 32 minhashes → 8 bands of 4 →
-    * bucket-join on band hash → candidate pairs → signature-agreement
-    * estimate. No SQL oracle (xxhash64 is Spark-specific); the ScalaTest spec
+  /** Library API: MinHash + LSH near-dup candidate pairs over any document
+    * frame — shingle → `hashes` minhashes → `bands` bands → bucket-join on
+    * band hash → signature-agreement estimate ≥ `threshold`. One shuffle on
+    * the band hash, pairs form only within buckets (O(n·bands), never
+    * all-pairs). The signature is carried through the band explode so pairs
+    * need no re-join against the signature table, the agreement score is
+    * computed BEFORE pair dedup (scoring is cheap; deduping first would
+    * shuffle both 32-long signatures per candidate row), and survivors —
+    * ids + score only — dedup in a near-empty exchange. */
+  def minHashNearDup(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.25, hashes: Int = 32, bands: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(hashes % bands == 0, s"bands ($bands) must divide hashes ($hashes)")
+    val rows = hashes / bands
+    val sigs = docs
+      .select(col(idCol).as("doc_id"),
+        shingles(toks(col(textCol))).as("grams"))
+      .select(col("doc_id"), expr(s"minhash_sig(grams, $hashes)").as("sig"))
+      .persist()
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until bands).map(bnd => xxhash64(
+        (lit(bnd) +: (0 until rows).map(j =>
+          element_at(col("sig"), bnd * rows + j + 1))): _*)): _*))
+      .as(Seq("band_id", "band_hash")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("x.sig"), col("y.sig"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / hashes.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding over the documents fixture via [[minHashNearDup]].
+    * No SQL oracle (xxhash64 is Spark-specific); the ScalaTest spec
     * cross-checks recall against exact Jaccard ground truth. */
   val minhashLsh = QueryDef(
     "q_dedup_minhash_lsh",
-    (spark, dir) => {
-      val sigs = minhashSignatures(spark, dir)
-      // carry the signature through the band explode so candidate pairs need
-      // no re-join against the signature table
-      val bands = sigs.select(col("doc_id"), col("sig"), posexplode(
-        array((0 until numBands).map(bnd => xxhash64(
-          (lit(bnd) +: (0 until rowsPerBand).map(j =>
-            element_at(col("sig"), bnd * rowsPerBand + j + 1))): _*)): _*))
-        .as(Seq("band_id", "band_hash")))
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-        .dropDuplicates("doc_a", "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _)
-            .cast("double") / numHashes.toDouble).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.25)
-    },
+    (spark, dir) => minHashNearDup(
+      Tables(spark, dir, "documents"), "doc_id", "text"),
     None)
 
   /** SimHash: 64-bit token-hash majority fingerprint; candidate pairs via

@@ -65,8 +65,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimHash64(args.head)),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
-        "minhash_sig(shingles) - 32-permutation MinHash signature"),
-      (args: Seq[Expression]) => MinHashSig(args.head)),
+        "minhash_sig(shingles[, k]) - k-permutation MinHash signature (default 32)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(shingles) => MinHashSig(shingles)
+        case Seq(shingles, Literal(k: Int, _)) => MinHashSig(shingles, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(shingles[, k]) requires a literal k")
+      }),
     (FunctionIdentifier("word_ngrams"),
       info("word_ngrams",
         "word_ngrams(tokens, n) - distinct word n-grams, insertion-ordered"),
