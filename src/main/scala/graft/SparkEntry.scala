@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.DocPipeline.all ++
       operators.Sampling.all ++
       operators.Profiling.all ++
       operators.Multimodal.all ++

@@ -48,10 +48,12 @@ class RegistrySpec extends GraftSpecBase {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     // only hash-based (engine-specific xxhash64) or approximate pipelines
     // are exempt (q_profile_lineitem defaults to KMV-sketch distincts; its
-    // exact twin q_profile_lineitem_exact carries the oracle)
+    // exact twin q_profile_lineitem_exact carries the oracle;
+    // q_docs_pipeline embeds the xxhash near-dup stage — its invariants
+    // live in DocPipelineSpec)
     assert(noOracle.toSet ==
       Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
-        "q_agg_approx_distinct", "q_profile_lineitem"),
+        "q_agg_approx_distinct", "q_profile_lineitem", "q_docs_pipeline"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
