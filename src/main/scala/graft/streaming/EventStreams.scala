@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event row as consumed by the typed stateful operators. */
 final case class Event(
@@ -195,6 +195,46 @@ object EventStreams {
           state.update(next)
           out.reverseIterator
       }
+  }
+
+  /** Spark-4 arbitrary-state v2: the same per-user running stats as
+    * [[userRunningStats]], but on the `transformWithState` /
+    * [[StatefulProcessor]] API — named state variables resolved from a
+    * handle (here one ValueState; a processor can hold several, plus
+    * list/map state, TTL, and timers), the state-management surface the
+    * mapGroupsWithState generation cannot express. Requires the RocksDB
+    * state-store provider (bundled). Output parity with the v1 operator is
+    * pinned in StreamingSpec. */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, Event, UserStats] {
+    @transient private var stats: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[UserStats]("stats",
+        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev =
+        if (stats.exists()) stats.get()
+        else UserStats(uid, 0L, 0.0, new java.sql.Timestamp(0L))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserStats(uid, acc.n_events + 1, acc.total_value + e.value,
+          if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+      }
+      stats.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[userRunningStats]] on the transformWithState API (state store v2). */
+  def userRunningStatsV2(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Default sink for tests: in-memory table in update mode. */

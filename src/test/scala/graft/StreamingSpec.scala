@@ -231,4 +231,35 @@ class StreamingSpec extends GraftSpecBase {
       assert(rows.toSet == Set((7L, 2L, 4.0)))
     } finally q.stop()
   }
+
+  test("transformWithState (state v2) matches the mapGroupsWithState stats") {
+    // the v2 arbitrary-state API requires the RocksDB provider; scope it to
+    // this query and restore the default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.toMemorySink(
+      EventStreams.userRunningStatsV2(ms.toDS()).toDF(), "user_stats_v2")
+    try {
+      ms.addData(Event(1, ts(0), 7, "click", 1.5),
+        Event(2, ts(1), 42, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts(5), 7, "view", 2.5))
+      q.processAllAvailable()
+      val rows = sp.table("user_stats_v2")
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n"),
+          max(col("total_value")).as("tv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // same per-user end state the v1 operator produces on this input
+      assert(rows.toSet == Set((7L, 2L, 4.0), (42L, 1L, 2.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
 }
