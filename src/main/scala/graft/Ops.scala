@@ -46,6 +46,15 @@ object ops {
     graft.operators.Dedup.minHashNearDup(
       docs, idCol, textCol, threshold, hashes, bands)
 
+  /** SimHash near-dup candidate pairs over any document frame — see
+    * [[graft.operators.Dedup.simHashNearDup]]: 64-bit majority fingerprint,
+    * 4×16-bit pigeonhole chunk buckets, exact hamming verification.
+    * Returns `(doc_a, doc_b, hamming)`. */
+  def simHashNearDup(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.simHashNearDup(docs, idCol, textCol, maxHamming)
+
   /** Connected components over an undirected `(doc_a, doc_b)` pair list —
     * see [[graft.operators.Dedup.componentLabels]]: min-label propagation
     * with pointer jumping, O(log diameter) rounds, hard failure instead of

@@ -166,30 +166,41 @@ object Dedup {
   /** SimHash: 64-bit token-hash majority fingerprint; candidate pairs via
     * 4×16-bit chunk buckets (pigeonhole: hamming≤3 ⇒ ≥1 chunk equal);
     * verified with bit_count(xor) ≤ 3. Spark-only (xxhash64). */
+  /** Library API: SimHash near-dup pairs over any document frame. 64-bit
+    * token-hash majority fingerprint (native codegen kernel — one
+    * JIT-compiled vote loop, not interpreted lambdas); candidates via
+    * 4×16-bit chunk buckets (pigeonhole: hamming ≤ `maxHamming` ≤ 3 ⇒ ≥1
+    * chunk equal), verified with bit_count(xor). Hamming filter runs
+    * BEFORE pair dedup so the distinct shuffles survivors only. */
+  def simHashNearDup(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole guarantee holds only for maxHamming <= 3, got $maxHamming")
+    // persist — the chunk self-join reads it twice
+    val sim = docs
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("toks"))
+      .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
+      .persist()
+    val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(k =>
+        expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
+      .as(Seq("chunk_id", "chunk_val")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val simhash = QueryDef(
     "q_dedup_simhash",
-    (spark, dir) => {
-      // native SimHash64 kernel (graft.functions.HashKernels) — one
-      // JIT-compiled vote loop instead of interpreted per-element lambdas;
-      // persist — the chunk self-join reads it twice
-      val sim = Tables(spark, dir, "documents")
-        .select(col("doc_id"), toks(col("text")).as("toks"))
-        .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
-        .persist()
-      val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
-        array((0 until 4).map(k =>
-          expr(s"shiftright(simhash, ${16 * k}) & 65535")): _*))
-        .as(Seq("chunk_id", "chunk_val")))
-      chunks.as("x")
-        .join(chunks.as("y"),
-          col("x.chunk_id") === col("y.chunk_id") &&
-            col("x.chunk_val") === col("y.chunk_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-    },
+    (spark, dir) => simHashNearDup(
+      Tables(spark, dir, "documents"), "doc_id", "text"),
     None)
 
   /** Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path (this is
