@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event row as consumed by the typed stateful operators. */
 final case class Event(
@@ -235,6 +235,71 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One closed session emitted by [[timedSessions]]. */
+  final case class SessionOut(
+      user_id: Long, n_events: Long, total_value: Double, last_ts_ms: Long)
+
+  /** Event-time TIMER-driven sessionization on the v2 API: accumulate
+    * per-user stats in ValueState and register a watermark timer at
+    * last-event-time + gap on every input; when the watermark passes the
+    * timer ([[handleExpiredTimer]]) the closed session is emitted and state
+    * cleared. This is the state-expiry pattern the v1 API could only
+    * approximate with GroupStateTimeout — here the timer registry is
+    * explicit, per-key, and watermark-exact. State is bounded: one
+    * UserStats + one timer per active user. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var sess: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[UserStats]("session",
+        org.apache.spark.sql.Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val prev =
+        if (sess.exists()) sess.get()
+        else UserStats(uid, 0L, 0.0, new java.sql.Timestamp(0L))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserStats(uid, acc.n_events + 1, acc.total_value + e.value,
+          if (e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+      }
+      sess.update(next)
+      // slide the gap timer: drop any previously registered expiry, arm at
+      // the new last-event-time + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(next.last_ts.getTime + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out =
+        if (sess.exists()) {
+          val s = sess.get()
+          Iterator.single(
+            SessionOut(uid, s.n_events, s.total_value, s.last_ts.getTime))
+        } else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** Timer-driven sessions over a watermarked event stream (v2 API). */
+  def timedSessions(
+      events: Dataset[Event],
+      watermark: String = "0 seconds",
+      gapMs: Long = 30000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Default sink for tests: in-memory table in update mode. */

@@ -262,4 +262,40 @@ class StreamingSpec extends GraftSpecBase {
       }
     }
   }
+
+  test("v2 event-time timers close sessions when the watermark passes") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    // zero watermark delay: watermark = max event time seen in prior batches
+    val q = EventStreams.toMemorySink(
+      EventStreams.timedSessions(ms.toDS(), "0 seconds", gapMs = 10000L)
+        .toDF(), "timed_sessions", "append")
+    try {
+      // batch 1: two events for user 7 within the gap; timer armed at
+      // ts(1) + 10s; nothing can close yet (watermark is behind)
+      ms.addData(Event(1, ts(0), 7, "click", 1.5),
+        Event(2, ts(1), 7, "view", 2.5))
+      q.processAllAvailable()
+      assert(sp.table("timed_sessions").count() == 0)
+      // batch 2: a far-future event for user 42 pushes the watermark past
+      // user 7's timer -> 7's session closes with both events aggregated
+      ms.addData(Event(3, ts(120), 42, "click", 9.0))
+      q.processAllAvailable()
+      ms.addData(Event(4, ts(121), 42, "view", 1.0))
+      q.processAllAvailable()
+      val closed = sp.table("timed_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(closed == Set((7L, 2L, 4.0)),
+        s"expected user 7's session closed, got $closed")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
 }
