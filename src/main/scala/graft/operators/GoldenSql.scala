@@ -177,7 +177,31 @@ object GoldenSql {
              UNION ALL SELECT CAST(2147483648 AS BIGINT)) u
        GROUP BY x""")
 
+  /** Date difference / epoch / calendar functions — a dialect-split pair
+    * (Spark `datediff(end, start)` vs DuckDB `datediff('day', start, end)`;
+    * Spark `dayofweek` is 1=Sunday while DuckDB's is 0=Sunday): same
+    * values, different spellings, pinned via QueryDef.sql. */
+  val dateDiff = QueryDef.sql(
+    "q_golden_datediff",
+    """SELECT CAST(datediff(DATE '2021-03-01', DATE '2021-01-30') AS INT)
+                AS days_diff,
+              CAST(unix_timestamp(TIMESTAMP '2021-01-01 00:00:00') AS BIGINT)
+                AS epoch_s,
+              CAST(last_day(DATE '2021-02-10') AS STRING) AS eom_feb,
+              CAST(DATE '2021-12-31' + 1 AS STRING) AS next_day,
+              CAST(dayofweek(DATE '2021-01-04') AS INT) AS dow_mon,
+              CAST(weekofyear(DATE '2021-01-04') AS INT) AS iso_week""",
+    """SELECT CAST(datediff('day', DATE '2021-01-30', DATE '2021-03-01')
+                   AS INT) AS days_diff,
+              CAST(epoch(TIMESTAMP '2021-01-01 00:00:00') AS BIGINT)
+                AS epoch_s,
+              CAST(last_day(DATE '2021-02-10') AS STRING) AS eom_feb,
+              CAST(DATE '2021-12-31' + 1 AS STRING) AS next_day,
+              CAST(dayofweek(DATE '2021-01-04') + 1 AS INT) AS dow_mon,
+              CAST(weekofyear(DATE '2021-01-04') AS INT) AS iso_week""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
-    intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden)
+    intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
+    dateDiff)
 }
