@@ -263,6 +263,39 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("stateful query resumes from checkpoint with state intact") {
+    // the property that matters on a real cluster: a stateful query
+    // restarted against its checkpointLocation must carry keyed state
+    // across the restart, not recount from zero. The memory sink refuses
+    // recovery, so this runs against a fault-tolerant parquet file sink
+    // with the Append-mode milestones operator.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val ms = MemoryStream[Event]
+    def start() = EventStreams.milestones(ms.toDS(), every = 2L).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      // 3 events -> one milestone at n=2 (value 3.5); one event in state
+      ms.addData(Event(1, ts(0), 42, "click", 1.0),
+        Event(2, ts(1), 42, "view", 2.5),
+        Event(3, ts(2), 42, "view", 0.5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // one more event -> n crosses 4 ONLY if the pre-restart count of 3
+      // was recovered; lost state would restart the count at 1
+      ms.addData(Event(4, ts(3), 42, "click", 1.0))
+      q2.processAllAvailable()
+      val rows = sp.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((42L, 2L, 3.5), (42L, 4L, 5.0)),
+        s"state lost across restart: $rows")
+    } finally q2.stop()
+  }
+
   test("v2 event-time timers close sessions when the watermark passes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = sp.conf.getOption(key)
