@@ -64,5 +64,27 @@ object Profiling {
       selects.mkString(" UNION ALL ")
     })
 
-  val all: Seq[QueryDef] = Seq(profileLineitem, profileLineitemExact)
+  /** Equi-width histogram profile: fixed-bound buckets computed with pure
+    * integer arithmetic (cents ÷ width), so it is one partial/final
+    * aggregate — a single scan, no Expand, bucket cardinality bounded by
+    * the bucket count — and bit-exact against the DuckDB oracle. Fixed
+    * literal bounds (not a min/max subquery) keep it one pass; a real
+    * deployment profiles bounds once and reuses them. */
+  val profileHistogram = QueryDef.sqlSame(
+    "q_profile_histogram",
+    """SELECT bucket,
+              count(*) AS n,
+              CAST(sum(price_c) AS DOUBLE) / 100.0 AS sum_price,
+              CAST(min(price_c) AS DOUBLE) / 100.0 AS min_price,
+              CAST(max(price_c) AS DOUBLE) / 100.0 AS max_price
+       FROM (
+         SELECT CAST(least(floor(CAST(round(l_extendedprice * 100, 0)
+                                      AS BIGINT) / 1000000.0), 9) AS INT)
+                  AS bucket,
+                CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+         FROM lineitem)
+       GROUP BY bucket""")
+
+  val all: Seq[QueryDef] =
+    Seq(profileLineitem, profileLineitemExact, profileHistogram)
 }
