@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event row as consumed by the typed stateful operators. */
 final case class Event(
@@ -300,6 +300,47 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new SessionTimeoutProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** One (user, event_type) running count emitted by [[typeCounts]]. */
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState coverage on the v2 API: per-user map of event_type → count.
+    * The map lives in the state store KEYED BY (grouping key, user map key)
+    * — only touched entries read/write per batch, unlike a ValueState
+    * holding a whole Map (which would deserialize every entry every time).
+    * Emits the updated (type, count) entries of each batch. */
+  class TypeCountProcessor
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val next =
+          (if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+           else 0L) + 1L
+        counts.updateValue(e.event_type, next)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(uid, t, counts.getValue(t)))
+    }
+  }
+
+  /** Per-user per-type running counts on MapState (state store v2). */
+  def typeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Default sink for tests: in-memory table in update mode. */

@@ -296,6 +296,37 @@ class StreamingSpec extends GraftSpecBase {
     } finally q2.stop()
   }
 
+  test("v2 MapState keeps per-user per-type counts across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.toMemorySink(
+      EventStreams.typeCounts(ms.toDS()).toDF(), "type_counts")
+    try {
+      ms.addData(Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(1), 7, "view", 1.0),
+        Event(3, ts(2), 7, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(4, ts(3), 7, "click", 1.0),
+        Event(5, ts(3), 42, "view", 1.0))
+      q.processAllAvailable()
+      val latest = sp.table("type_counts")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(latest == Set((7L, "click", 3L), (7L, "view", 1L),
+        (42L, "view", 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
+
   test("v2 event-time timers close sessions when the watermark passes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = sp.conf.getOption(key)
