@@ -150,6 +150,39 @@ object GraftCapabilityAudit extends ColumnarRule with Logging {
         }
       }
     }
+    ScaleGuard.findings(plan).foreach(f => logWarning(s"[graft scale] $f"))
     plan
+  }
+}
+
+/** Static scale audit: flags the plan shapes that are fine on a test
+  * fixture but become cluster-killers at 100 TB. Advisory only (logged as
+  * warnings by [[GraftCapabilityAudit]]) — a global window or a labeled
+  * cross join can be deliberate (`q_window_ntile`, the brute-force near-dup
+  * baseline) — but every occurrence should be a choice, not an accident. */
+object ScaleGuard {
+  import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  def findings(plan: SparkPlan): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    plan.foreach {
+      // AQE wraps the real operators; audit the current inner plan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        out ++= findings(a.executedPlan)
+      case c: CartesianProductExec =>
+        out += s"CartesianProduct: O(|L|*|R|) row pairing " +
+          s"(${c.left.nodeName} x ${c.right.nodeName}) - bucketize or " +
+          "block the join key (ops.rangeBucketJoin, LSH buckets)"
+      case b: BroadcastNestedLoopJoinExec =>
+        out += s"BroadcastNestedLoopJoin(${b.joinType}): per-row scan of " +
+          "the broadcast side - rewrite the predicate to an equi-join " +
+          "component if possible"
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        out += "Window with empty PARTITION BY: the whole input serializes " +
+          "through ONE task - partition the window or pre-aggregate"
+      case _ =>
+    }
+    out.result()
   }
 }
