@@ -320,9 +320,29 @@ object TpcdsShapes {
                      WHERE l1.l_orderkey = o_orderkey)
        GROUP BY o_orderpriority""")
 
+  /** ds31: one aggregated CTE self-joined THREE ways (consecutive-year
+    * chain) — with no CTE materialization Spark inlines the subtree per
+    * reference, so the planner must recognize the repeated agg via
+    * exchange/subquery reuse; the growth chain compares in integer cents. */
+  val cteTripleSelfJoin = QueryDef.sqlSame(
+    "q_ds_cte_triple",
+    s"""WITH ny AS (
+         SELECT c_nationkey AS nk, CAST(year(o_orderdate) AS INT) AS yr,
+                sum(${centsSql("o_totalprice")}) AS rev
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey, year(o_orderdate))
+       SELECT a.nk AS nationkey,
+              CAST(a.rev AS DOUBLE) / 100.0 AS rev_1996,
+              CAST(b.rev AS DOUBLE) / 100.0 AS rev_1997,
+              CAST(c.rev AS DOUBLE) / 100.0 AS rev_1998
+       FROM ny a
+       JOIN ny b ON a.nk = b.nk AND a.yr = 1996 AND b.yr = 1997
+       JOIN ny c ON b.nk = c.nk AND c.yr = 1998
+       WHERE c.rev > b.rev AND b.rev > a.rev""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
-    existsSelfJoin)
+    existsSelfJoin, cteTripleSelfJoin)
 }
