@@ -200,8 +200,21 @@ object GoldenSql {
               CAST(dayofweek(DATE '2021-01-04') + 1 AS INT) AS dow_mon,
               CAST(weekofyear(DATE '2021-01-04') AS INT) AS iso_week""")
 
+  /** Overflowing casts under try_cast: every narrowing that exceeds the
+    * target range is NULL, never a wrapped/saturated value, on both
+    * engines. (Excluded: decimal-string → INT, where DuckDB rounds '12.5'
+    * to 13 and Spark nulls it — a real divergence, not worth pinning.) */
+  val tryOverflow = QueryDef.sqlSame(
+    "q_golden_try_overflow",
+    """SELECT try_cast(3000000000 AS INTEGER) AS int_overflow,
+              try_cast(40000 AS SMALLINT) AS smallint_overflow,
+              try_cast(200 AS TINYINT) AS tinyint_overflow,
+              try_cast(2147483647 AS INTEGER) AS int_max_ok,
+              try_cast('-129' AS TINYINT) AS tinyint_under,
+              try_cast('127' AS TINYINT) AS tinyint_max_ok""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
-    dateDiff)
+    dateDiff, tryOverflow)
 }
