@@ -149,4 +149,38 @@ class PlanAuditSpec extends GraftSpecBase {
       "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size <= 1,
       s"expected exchange reuse:\n$p")
   }
+
+  test("q21 single-pass rewrite scans lineitem once, no semi/anti joins") {
+    val p = finalPlan("q_tpch_q21_fast")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"rewrite must scan the fact exactly once:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"the EXISTS pair must be gone:\n$p")
+    assert(p.contains("Window"), p)
+    // the canonical formulation, by contrast, scans the fact three times
+    val canonical = finalPlan("q_tpch_q21")
+    assert("lineitem\\.parquet".r.findAllIn(canonical).size == 3, canonical)
+  }
+
+  test("stacked EXISTS decorrelates to semi/semi/anti join chain") {
+    val p = finalPlan("q_ds_multi_exists")
+    assert("LeftSemi".r.findAllIn(p).size == 2, p)
+    assert("LeftAnti".r.findAllIn(p).size == 1, p)
+  }
+
+  test("curation pipeline: gate reaches the scan, drop-list is anti-join") {
+    val p = finalPlan("q_docs_pipeline")
+    assert(p.contains("In(lang"),
+      s"language whitelist should reach parquet pushdown:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"exact dedup should use the rank-limit pushdown:\n$p")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("histogram profile is one no-Expand partial/final aggregate") {
+    val p = finalPlan("q_profile_histogram")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
 }
