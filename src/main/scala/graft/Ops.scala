@@ -63,6 +63,37 @@ object ops {
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 25): DataFrame =
     graft.operators.Dedup.componentLabels(pairs, maxRounds)
 
+  /** Deterministic content-keyed train/val/test split column — see
+    * [[graft.operators.Sampling.withHashSplit]]: duplicate-safe, engine-
+    * stable, pure map stage. */
+  def withHashSplit(
+      df: DataFrame, contentCol: String, splitCol: String = "split",
+      trainNibbles: Int = 12, valNibbles: Int = 2): DataFrame =
+    graft.operators.Sampling.withHashSplit(
+      df, contentCol, splitCol, trainNibbles, valNibbles)
+
+  /** Deterministic stratified quota sample — see
+    * [[graft.operators.Sampling.stratifiedSample]]: n rows per stratum in
+    * content-hash order, rank limit pushed ahead of the shuffle. */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, contentCol: String,
+      tiebreakCol: String, n: Int): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      df, stratumCol, contentCol, tiebreakCol, n)
+
+  /** PII-style scrub column (emails, digit runs) — see
+    * [[graft.operators.Sampling.scrubbed]]. */
+  def scrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.operators.Sampling.scrubbed(text)
+
+  /** End-to-end document curation (gate → exact dedup → near-dup cluster
+    * representatives) — see [[graft.operators.DocPipeline.curatedDocs]]. */
+  def curatedDocs(
+      docs: DataFrame, minQuality: Double = 0.7,
+      langs: Seq[String] = Seq("en", "fr", "es", "de"),
+      jaccard: Double = 0.5): DataFrame =
+    graft.operators.DocPipeline.curatedDocs(docs, minQuality, langs, jaccard)
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

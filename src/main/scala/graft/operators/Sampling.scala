@@ -18,21 +18,55 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic train/val/test assignment from the first hex nibble of
-    * md5(text): 12/16 → train, 2/16 → val, 2/16 → test. Content-keyed, so
-    * exact duplicates always land in the same split (no train/test
-    * leakage) and the assignment is stable across engines and reruns. */
+  private val hexNibbles = "0123456789abcdef".map(_.toString)
+
+  /** Library API: deterministic content-keyed train/val/test assignment —
+    * the first hex nibble of md5(content) buckets each row
+    * (`trainNibbles`/16 → train, `valNibbles`/16 → val, rest → test).
+    * Content-keyed means exact duplicates always land in the same split
+    * (no train/test leakage) and the assignment is stable across engines,
+    * reruns, and repartitioning. Pure map stage — no shuffle. */
+  def withHashSplit(
+      df: org.apache.spark.sql.DataFrame,
+      contentCol: String, splitCol: String = "split",
+      trainNibbles: Int = 12, valNibbles: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(trainNibbles + valNibbles < 16, "need at least one test nibble")
+    val nib = substring(md5(col(contentCol).cast("binary")), 1, 1)
+    df.withColumn(splitCol,
+      when(nib.isin(hexNibbles.take(trainNibbles): _*), "train")
+        .when(nib.isin(
+          hexNibbles.slice(trainNibbles, trainNibbles + valNibbles): _*),
+          "val")
+        .otherwise("test"))
+  }
+
+  /** Library API: deterministic stratified quota sample — exactly `n` rows
+    * per stratum, chosen in content-hash order (a reproducible stand-in
+    * for uniform-random). One shuffle on the stratum key; the rank limit
+    * is pushed ahead of the shuffle (WindowGroupLimit). */
+  def stratifiedSample(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String, contentCol: String, tiebreakCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(contentCol).cast("binary")), col(tiebreakCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Library API: PII-style scrub column — masks email-shaped tokens then
+    * digit runs. Patterns stay in the Java∩RE2 common subset. */
+  def scrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(text, "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+
+  /** Deterministic train/val/test assignment via [[withHashSplit]]
+    * (12/16 train, 2/16 val, 2/16 test), summarized per (split, lang). */
   val hashSplit = QueryDef(
     "q_sample_hash_split",
     (spark, dir) => {
-      val trainNibbles =
-        Seq("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
-      Tables(spark, dir, "documents")
-        .withColumn("nib", substring(md5(col("text").cast("binary")), 1, 1))
-        .withColumn("split",
-          when(col("nib").isin(trainNibbles: _*), "train")
-            .when(col("nib").isin("c", "d"), "val")
-            .otherwise("test"))
+      withHashSplit(Tables(spark, dir, "documents"), "text")
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
     },
@@ -53,11 +87,8 @@ object Sampling {
   val stratified = QueryDef(
     "q_sample_stratified",
     (spark, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
-      Tables(spark, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20)
+      stratifiedSample(
+        Tables(spark, dir, "documents"), "lang", "text", "doc_id", 20)
         .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
     },
     Some("""
@@ -76,12 +107,8 @@ object Sampling {
   val scrub = QueryDef(
     "q_text_scrub",
     (spark, dir) => {
-      val masked = regexp_replace(
-        regexp_replace(col("text"),
-          "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
-        "[0-9]+", "<NUM>")
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), masked.as("scrubbed"))
+        .select(col("doc_id"), scrubbed(col("text")).as("scrubbed"))
         .select(
           col("doc_id"),
           length(col("scrubbed")).cast("long").as("scrubbed_len"),
