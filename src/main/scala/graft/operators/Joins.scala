@@ -241,12 +241,16 @@ object Joins {
                       AND o_orderpriority = '1-URGENT')
       GROUP BY c_mktsegment"""))
 
-  /** LEFT ANTI join (NOT EXISTS): customers with no orders at all. */
+  /** LEFT ANTI join (NOT EXISTS): customers with no 1998 orders. (The
+    * original "no orders at all" predicate matched nothing at sf0.01 —
+    * every customer has orders — certifying the anti join on two empty
+    * sets; the year restriction keeps ~350 survivor rows.) */
   val anti = QueryDef(
     "q_join_anti",
     (spark, dir) => {
       val c = Tables(spark, dir, "customer")
       val o = Tables(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orderless"))
@@ -254,7 +258,9 @@ object Joins {
     Some("""
       SELECT c_nationkey, count(*) AS n_orderless
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND year(o_orderdate) = 1998)
       GROUP BY c_nationkey"""))
 
   /** Null-aware anti join (NOT IN) — kernel `conditionedProbeArraysAnti_true`
