@@ -206,6 +206,30 @@ object Events {
             FROM events)))
       GROUP BY user_id, sess_idx"""))
 
+  /** Day-over-day retention: per active day, how many users return the
+    * next day — the canonical cohort/engagement query of event analytics.
+    * Distinct user-days reduce first (one shuffle), then a self equi-join
+    * on (user, day+1) — bounded by actives, never the raw event volume.
+    * Days are integer epoch-days (ms ÷ 86400000 in exact integer space);
+    * the timestamp spelling is the only dialect split. */
+  val retention = {
+    def text(epochMs: String) =
+      s"""WITH d AS (
+           SELECT DISTINCT user_id,
+                  CAST(floor($epochMs / 86400000) AS BIGINT) AS day
+           FROM events)
+         SELECT a.day AS day,
+                count(*) AS n_active,
+                CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_retained_next
+         FROM d a LEFT JOIN d b
+           ON a.user_id = b.user_id AND b.day = a.day + 1
+         GROUP BY a.day"""
+    QueryDef.sql("q_events_retention",
+      text("unix_millis(ts)"), text("epoch_ms(ts)"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow)
+    Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
+      retention)
 }
