@@ -174,5 +174,31 @@ object TextAnalysis {
       FROM documents
       GROUP BY source"""))
 
-  val all: Seq[QueryDef] = Seq(tokenCount, quality, langId, fingerprint)
+  /** Approximate frequent tokens per language via the Space-Saving
+    * `freq_sketch` UDAF (graft.functions.FreqSketch): tokens explode, one
+    * partial/merge/final aggregate ships ≤k counters per language, and the
+    * per-language top-10 unpacks from the sketch map — the frequency
+    * profile a tokenizer-vocabulary pass runs at 100 TB without a
+    * full-width groupBy on the token. Approximate → rows-only for the
+    * driver; the heavy-hitter guarantees are pinned in FreqSketchSpec. */
+  val freqTokens = QueryDef(
+    "q_text_freq_tokens",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(expr("freq_sketch(tok, 32)").as("sketch"))
+        .select(col("lang"), explode(col("sketch")).as(Seq("token", "est")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("est").desc, col("token"))))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("token"), col("est"),
+          col("rk").cast("long").as("rk"))
+    },
+    None)
+
+  val all: Seq[QueryDef] =
+    Seq(tokenCount, quality, langId, fingerprint, freqTokens)
 }

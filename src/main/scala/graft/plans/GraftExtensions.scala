@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, VecDot, WordChunks, WordNgrams}
+  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, VecDot, WordChunks, WordNgrams}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -51,6 +51,15 @@ object GraftFunctions {
       info("kmv_distinct",
         "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
       (args: Seq[Expression]) => KmvDistinct(args.head)),
+    (FunctionIdentifier("freq_sketch"),
+      info("freq_sketch",
+        "freq_sketch(col[, k]) - approximate top-k item frequencies (Space-Saving)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => FreqSketch(c)
+        case Seq(c, Literal(k: Int, _)) => FreqSketch(c, k)
+        case _ => throw new IllegalArgumentException(
+          "freq_sketch(col[, k]) requires a literal k")
+      }),
     (FunctionIdentifier("sign_proj"),
       info("sign_proj",
         "sign_proj(vec[, nbits]) - sign-random-projection LSH bucket id"),
