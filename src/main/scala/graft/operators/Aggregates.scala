@@ -249,6 +249,24 @@ object Aggregates {
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** approx_percentile beside the exact percentiles — Spark's built-in
+    * Greenwald-Khanna quantile sketch (bounded state per group, one
+    * partial/merge/final pass; the scale path where exact percentile's
+    * full-sort-per-group is not affordable). Approximate → rows-only for
+    * the driver; the accuracy bound vs the exact values is pinned in
+    * KmvSpec alongside the other sketch bounds. */
+  val aggApproxPercentile = QueryDef(
+    "q_agg_approx_percentile",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"),
+          count(lit(1)).as("n"))
+    },
+    None)
+
   /** Aggregation over genuinely-null inputs: count(col) skips nulls,
     * sum of an all-null slice is NULL, avg ignores nulls. */
   val aggNulls = QueryDef.sqlSame(
@@ -349,6 +367,6 @@ object Aggregates {
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having, pivot, percentile, aggNulls, aggTyped, aggDecimalSum,
-    aggCollect)
+    aggGlobal, having, pivot, percentile, aggApproxPercentile, aggNulls,
+    aggTyped, aggDecimalSum, aggCollect)
 }

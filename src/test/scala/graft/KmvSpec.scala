@@ -45,4 +45,24 @@ class KmvSpec extends GraftSpecBase {
       assert(math.abs(a - e) / math.max(e, 1.0) < 0.10, s"$a vs $e")
     }
   }
+
+  test("approx_percentile tracks exact percentiles within rank tolerance") {
+    // GK sketch at accuracy 1000: rank error ≤ n/1000, so on l_quantity
+    // (integral 1..50) the value error at sf0.001 is at most one step
+    val rows = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"),
+        expr("percentile(l_quantity, 0.9)").as("p90"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 1.0,
+        s"p50: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 1.0,
+        s"p90: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+  }
 }

@@ -53,8 +53,8 @@ class RegistrySpec extends GraftSpecBase {
     // live in DocPipelineSpec)
     assert(noOracle.toSet ==
       Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
-        "q_agg_approx_distinct", "q_profile_lineitem", "q_docs_pipeline",
-        "q_text_freq_tokens"),
+        "q_agg_approx_distinct", "q_agg_approx_percentile",
+        "q_profile_lineitem", "q_docs_pipeline", "q_text_freq_tokens"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
