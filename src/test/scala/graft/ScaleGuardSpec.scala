@@ -39,6 +39,30 @@ class ScaleGuardSpec extends GraftSpecBase {
     assert(f.exists(_.contains("empty PARTITION BY")), f.mkString("; "))
   }
 
+  test("registry-wide: only the documented-deliberate queries trigger") {
+    // every ScaleGuard hit across all ~175 queries must be a CHOICE:
+    // labeled brute-force baselines, broadcast-bounded ANN shapes (query
+    // side or centroid codebook is broadcast-sized by construction), the
+    // cartesian/theta coverage queries themselves, and global windows over
+    // already-reduced or constant inputs. Anything new showing up here is
+    // an accidental scale hazard — fix the plan, don't grow this list.
+    val deliberate = Set(
+      "q_join_cross", "q_join_theta_band",          // cartesian/theta coverage
+      "q_window_ntile", "q_golden_null_order",      // global windows: bounded
+      "q_ds_cumulative_fulljoin", "q_ds_dual_rank", //   post-agg series
+      "q_dedup_embedding", "q_sim_topk_brute",      // labeled baselines
+      "q_sim_ann_ivf", "q_sim_dot_topk",            // broadcast-bounded ANN
+      "q_sim_topk_plan")
+    val flagged = SparkEntry.registry.flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan
+      if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None
+    }.toSet
+    val accidental = flagged -- deliberate
+    assert(accidental.isEmpty, s"accidental scale hazards: $accidental")
+    val stale = deliberate -- flagged
+    assert(stale.isEmpty, s"whitelist entries no longer flagged: $stale")
+  }
+
   test("silent on partitioned window + equi-join + aggregate plans") {
     val li = Tables(spark, sfDir, "lineitem")
     val orders = Tables(spark, sfDir, "orders")
