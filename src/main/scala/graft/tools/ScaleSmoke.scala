@@ -20,10 +20,19 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     val dims = Seq("region", "nation", "customer", "supplier", "part",
-      "documents", "embeddings")
+      "embeddings")
     dims.foreach { t =>
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // documents replicate as a FACT with unchanged text: every replica is
+    // an exact duplicate of its original — the heavily-duplicated-corpus
+    // stress for the dedup path (exact dedup must collapse the replicas
+    // BEFORE the near-dup stage, keeping LSH pair counts bounded)
+    val documents = Tables(spark, src, "documents")
+    (0 until factor).map(i => documents
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // replicate facts with shifted keys: each replica keeps referential
     // integrity to the same dims but multiplies fact-side cardinality
     val oMax = 10000000L
@@ -51,8 +60,10 @@ object ScaleSmoke {
       // round 3: anti-join chain, SSB star, LSH near-dup, packing
       "q_tpch_q21", "q_ssb_q4_1", "q_dedup_embedding_lsh",
       "q_pack_sequences",
-      // round 4: the single-pass q21 rewrite beside the self-join original
-      "q_tpch_q21_fast")
+      // round 4: the single-pass q21 rewrite beside the self-join original,
+      // plus the dedup chain against the now-replicated documents fact
+      "q_tpch_q21_fast", "q_dedup_exact", "q_dedup_clusters",
+      "q_docs_pipeline", "q_text_freq_tokens")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
