@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event row as consumed by the typed stateful operators. */
 final case class Event(
@@ -340,6 +340,48 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** One rolling-window summary row emitted by [[recentWindow]]. */
+  final case class RecentOut(
+      user_id: Long, n_recent: Long, recent_sum: Double, newest_ms: Long)
+
+  /** ListState coverage on the v2 API: each user's last `keep` event
+    * values as an explicit bounded list in the state store. ListState
+    * appends without deserializing the existing list (unlike a
+    * ValueState[Seq]), and the processor re-writes the trimmed tail only
+    * when the cap is exceeded — the rolling-window-of-raw-events pattern
+    * (fraud windows, rate limiters) that aggregate state can't express. */
+  class RecentWindowProcessor(keep: Int)
+      extends StatefulProcessor[Long, Event, RecentOut] {
+    @transient private var recent: ListState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Double)]("recent",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RecentOut] = {
+      rows.foreach(e => recent.appendValue((e.ts.getTime, e.value)))
+      val all = recent.get().toSeq.sortBy(_._1)
+      val kept = all.takeRight(keep)
+      if (kept.size != all.size) recent.put(kept.toArray)
+      Iterator.single(RecentOut(uid, kept.size.toLong,
+        kept.map(_._2).sum, kept.map(_._1).max))
+    }
+  }
+
+  /** Per-user rolling window of the last `keep` events (state store v2). */
+  def recentWindow(events: Dataset[Event], keep: Int = 3)
+      : Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentWindowProcessor(keep),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -327,6 +327,37 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("v2 ListState holds a bounded rolling window of raw events") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.toMemorySink(
+      EventStreams.recentWindow(ms.toDS(), keep = 3).toDF(), "recent_win")
+    try {
+      ms.addData(Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(1), 7, "view", 2.0))
+      q.processAllAvailable()
+      // two more events: the window must hold the LAST 3 (values 2,3,4)
+      ms.addData(Event(3, ts(2), 7, "view", 3.0),
+        Event(4, ts(3), 7, "click", 4.0))
+      q.processAllAvailable()
+      val latest = sp.table("recent_win")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_recent")).as("n"), max(col("recent_sum")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(latest.toSet == Set((7L, 3L, 9.0)),
+        s"expected last-3 window (2+3+4), got ${latest.toSet}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
+
   test("v2 event-time timers close sessions when the watermark passes") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = sp.conf.getOption(key)
