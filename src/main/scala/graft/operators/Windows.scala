@@ -172,7 +172,20 @@ object Windows {
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")
 
+  /** Partitioned distribution functions — percent_rank/cume_dist keyed by
+    * market segment (q_window_ntile covers the GLOBAL variants; this pins
+    * the per-partition path, the one that scales). Exact-rational outputs:
+    * both functions are ratios of integer ranks, identical across engines. */
+  val distFns = QueryDef.sqlSame(
+    "q_window_dist",
+    """SELECT c_mktsegment, c_custkey,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal, c_custkey)""")
+
   val all: Seq[QueryDef] = Seq(
     rank, rowNumber, runningSum, rangeFrame, lagLead, ntileQ, partitionFrame,
-    valueFns)
+    valueFns, distFns)
 }
