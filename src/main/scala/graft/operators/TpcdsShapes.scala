@@ -340,9 +340,31 @@ object TpcdsShapes {
        JOIN ny c ON b.nk = c.nk AND c.yr = 1998
        WHERE c.rev > b.rev AND b.rev > a.rev""")
 
+  /** [[existsSelfJoin]] rewritten for scale, against the SAME canonical
+    * EXISTS-over-self-join oracle: "an order shipped by ≥2 suppliers" is a
+    * per-order distinct count, so one lineitem aggregate + semi join
+    * replaces the fact self-join inside the EXISTS (two fact scans → one).
+    * Same rewrite discipline as q_tpch_q21_fast. */
+  val existsSelfJoinFast = QueryDef.sql(
+    "q_ds_exists_selfjoin_fast",
+    """SELECT o_orderpriority, count(*) AS n_multi_supp
+       FROM orders
+       JOIN (SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey
+             HAVING count(DISTINCT l_suppkey) >= 2) m
+         ON o_orderkey = m.l_orderkey
+       GROUP BY o_orderpriority""",
+    """SELECT o_orderpriority, count(*) AS n_multi_supp
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                       ON l1.l_orderkey = l2.l_orderkey
+                          AND l1.l_suppkey <> l2.l_suppkey
+                     WHERE l1.l_orderkey = o_orderkey)
+       GROUP BY o_orderpriority""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
-    existsSelfJoin, cteTripleSelfJoin)
+    existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin)
 }
