@@ -94,6 +94,16 @@ object ops {
       jaccard: Double = 0.5): DataFrame =
     graft.operators.DocPipeline.curatedDocs(docs, minQuality, langs, jaccard)
 
+  /** Z-order (Morton) multi-column clustering for write-side scan pruning —
+    * see [[graft.operators.Layout.zorderWrite]]: min-max bucketize each
+    * column, sort by the codegen'd bit-interleave, ONE range shuffle.
+    * Tightens per-file min-max ranges on EVERY participating column so box
+    * predicates skip files on all dimensions at once. */
+  def zorderWrite(
+      df: DataFrame, cols: Seq[String], path: String,
+      files: Int, bits: Int = 8): Unit =
+    graft.operators.Layout.zorderWrite(df, cols, path, files, bits)
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

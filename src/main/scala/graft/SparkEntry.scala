@@ -32,6 +32,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.DocPipeline.all ++
       operators.Sampling.all ++
+      operators.Layout.all ++
       operators.Profiling.all ++
       operators.Multimodal.all ++
       operators.ArrowBatch.all

@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, VecDot, WordChunks, WordNgrams}
+  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, VecDot, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -94,6 +94,16 @@ object GraftFunctions {
       info("len_poly_hash",
         "len_poly_hash(tokens) - rolling polynomial hash of token lengths"),
       (args: Seq[Expression]) => LenPolyHash(args.head)),
+    (FunctionIdentifier("zvalue"),
+      info("zvalue",
+        "zvalue(c0, c1, ..., bits) - Morton (Z-order) bit-interleave of " +
+          "bucketized integral columns into one BIGINT layout sort key"),
+      (args: Seq[Expression]) => args match {
+        case init :+ Literal(bits: Int, _) if init.nonEmpty =>
+          ZValue(init, bits)
+        case _ => throw new IllegalArgumentException(
+          "zvalue(cols..., bits) requires >=1 column and a literal bits")
+      }),
     (FunctionIdentifier("word_chunks"),
       info("word_chunks",
         "word_chunks(text, n) - generator: (chunk_idx, chunk) rows of n words"),
