@@ -94,6 +94,18 @@ object ops {
       jaccard: Double = 0.5): DataFrame =
     graft.operators.DocPipeline.curatedDocs(docs, minQuality, langs, jaccard)
 
+  /** Incremental admission of a new document batch against an already
+    * deduplicated corpus — see [[graft.operators.Dedup.admitBatch]]:
+    * intra-batch exact dedup, fingerprint anti-join vs the corpus, then a
+    * MinHash-LSH near-dup check against the corpus band index (batch×corpus
+    * candidates only, never corpus×corpus). Returns the genuinely new rows. */
+  def admitBatch(
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.25, hashes: Int = 32, bands: Int = 8): DataFrame =
+    graft.operators.Dedup.admitBatch(
+      corpus, batch, idCol, textCol, threshold, hashes, bands)
+
   /** Z-order (Morton) multi-column clustering for write-side scan pruning —
     * see [[graft.operators.Layout.zorderWrite]]: min-max bucketize each
     * column, sort by the codegen'd bit-interleave, ONE range shuffle.

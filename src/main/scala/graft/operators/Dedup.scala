@@ -423,7 +423,105 @@ object Dedup {
       FROM (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
       GROUP BY cluster_id"""))
 
+  /** (doc_id, sig, band_id, band_hash) LSH band index of a document frame —
+    * the join side of every MinHash lookup. In a production deployment this
+    * is a PERSISTED table for the corpus (recomputing 100 TB of signatures
+    * per increment defeats the point); here it is derived on the fly so the
+    * join shape — the part that matters — is exercised end-to-end. */
+  private def bandIndex(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      hashes: Int, bands: Int): org.apache.spark.sql.DataFrame = {
+    val rows = hashes / bands
+    docs
+      .select(col(idCol).as("doc_id"),
+        shingles(toks(col(textCol))).as("grams"))
+      .select(col("doc_id"), expr(s"minhash_sig(grams, $hashes)").as("sig"))
+      .select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(bnd => xxhash64(
+          (lit(bnd) +: (0 until rows).map(j =>
+            element_at(col("sig"), bnd * rows + j + 1))): _*)): _*))
+        .as(Seq("band_id", "band_hash")))
+  }
+
+  /** Library API: exact-dedup admission of a new batch against an already
+    * deduplicated corpus — the steady-state shape of pipeline dedup. At
+    * 100 TB the corpus is curated ONCE; every increment must dedup (a)
+    * within itself and (b) against the corpus, without ever re-shuffling
+    * corpus content. Stage 1 keeps the lowest-id row per batch fingerprint
+    * (one shuffle of the batch); stage 2 anti-joins the survivors against
+    * the corpus FINGERPRINTS only — 16 bytes/doc cross the wire, never text
+    * (in production the fingerprint column is a stored index). */
+  def exactAdmit(
+      corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__fp").orderBy(col(idCol))
+    batch
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .join(corpus.select(md5(col(textCol).cast("binary")).as("__fp"))
+        .distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Library API: full incremental admission — [[exactAdmit]] plus a
+    * MinHash-LSH near-dup check of the surviving batch docs against the
+    * corpus band index. Candidate pairs form only between BATCH and CORPUS
+    * rows sharing a band bucket (never corpus×corpus — that work was paid
+    * once when the corpus was curated); with a small increment AQE
+    * broadcasts the batch band table and the corpus index never shuffles.
+    * Returns the batch rows that are genuinely new. */
+  def admitBatch(
+      corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.25, hashes: Int = 32, bands: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(hashes % bands == 0, s"bands ($bands) must divide hashes ($hashes)")
+    val fresh = exactAdmit(corpus, batch, idCol, textCol)
+    val nearHits = bandIndex(fresh, idCol, textCol, hashes, bands).as("x")
+      .join(bandIndex(corpus, idCol, textCol, hashes, bands).as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .filter(aggregate(zip_with(col("x.sig"), col("y.sig"),
+        (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _)
+        .cast("double") / hashes.toDouble >= threshold)
+      .select(col("x.doc_id").as(idCol)).distinct()
+    fresh.join(nearHits, Seq(idCol), "left_anti")
+  }
+
+  /** Oracle-checked incremental admission over the fixture: every fourth
+    * doc plays the incoming batch, the rest the curated corpus. The exact
+    * stages ([[exactAdmit]]) are ANSI-expressible, so the admitted count is
+    * pinned against DuckDB; the LSH near stage is Spark-only (xxhash64) and
+    * is bound by DedupSpec's planted-near-dup fixture instead. */
+  val incremental = QueryDef(
+    "q_dedup_incremental",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val stats = batch.groupBy().agg(
+        count(lit(1)).as("n_batch"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_batch_unique"))
+      val admitted = exactAdmit(corpus, batch, "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n_admitted"))
+      stats.crossJoin(admitted)
+    },
+    Some("""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+           batch  AS (SELECT * FROM documents WHERE doc_id % 4 = 0)
+      SELECT (SELECT count(*) FROM batch) AS n_batch,
+             (SELECT count(DISTINCT md5(text)) FROM batch) AS n_batch_unique,
+             (SELECT count(*)
+              FROM (SELECT md5(text) AS fp, min(doc_id) AS keeper
+                    FROM batch GROUP BY md5(text)) b
+              WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                                WHERE md5(c.text) = b.fp)) AS n_admitted"""))
+
   val all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, minhashLsh, simhash, embeddingNearDupLsh,
-    embeddingNearDup, connectedComponents)
+    embeddingNearDup, connectedComponents, incremental)
 }

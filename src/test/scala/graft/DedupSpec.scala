@@ -95,4 +95,41 @@ class DedupSpec extends GraftSpecBase {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  // --- incremental admission -------------------------------------------
+
+  private val baseText = ("the quick brown fox jumps over a lazy dog while " +
+    "seventy distinct tokens keep the shingle space busy enough for " +
+    "minhash signatures to estimate jaccard similarity with useful " +
+    "resolution across this deliberately repetitive sentence").trim
+
+  test("exactAdmit drops intra-batch and vs-corpus exact duplicates only") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, baseText + " alpha"), (2L, baseText + " beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, baseText + " alpha"), // exact dup of corpus 1 → dropped
+      (101L, baseText + " gamma"), // new → kept
+      (102L, baseText + " gamma"), // intra-batch dup of 101 → dropped
+      (103L, baseText.replace("quick", "rapid") + " alpha") // near-dup → KEPT (exact stage only)
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.exactAdmit(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(101L, 103L))
+  }
+
+  test("admitBatch additionally drops near-duplicates of corpus docs") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, baseText + " alpha"), (2L, baseText + " beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, baseText + " alpha"),                           // exact vs corpus
+      (101L, "completely unrelated content about maritime navigation and " +
+        "celestial charts drawn by eighteenth century cartographers"),
+      (103L, baseText.replace("quick", "rapid") + " alpha")  // near-dup of 1
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.admitBatch(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(101L), s"got $got")
+  }
 }
