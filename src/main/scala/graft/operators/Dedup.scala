@@ -500,15 +500,25 @@ object Dedup {
   val incremental = QueryDef(
     "q_dedup_incremental",
     (spark, dir) => {
+      // single-pass twin of exactAdmit's two stages: rank within batch
+      // fingerprint + existence-marker outer join against corpus
+      // fingerprints, then ONE aggregate — no 1×1 cross join of separate
+      // count plans (ScaleGuard-clean by construction)
       val docs = Tables(spark, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 4 =!= 0)
       val batch = docs.filter(col("doc_id") % 4 === 0)
-      val stats = batch.groupBy().agg(
-        count(lit(1)).as("n_batch"),
-        countDistinct(md5(col("text").cast("binary"))).as("n_batch_unique"))
-      val admitted = exactAdmit(corpus, batch, "doc_id", "text")
-        .groupBy().agg(count(lit(1)).as("n_admitted"))
-      stats.crossJoin(admitted)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy("doc_id")
+      batch
+        .withColumn("__fp", md5(col("text").cast("binary")))
+        .withColumn("__rk", row_number().over(w))
+        .join(corpus.select(md5(col("text").cast("binary")).as("__fp"),
+          lit(1).as("__hit")).distinct(), Seq("__fp"), "left_outer")
+        .groupBy()
+        .agg(count(lit(1)).as("n_batch"),
+          countDistinct(col("__fp")).as("n_batch_unique"),
+          count(when(col("__rk") === 1 && col("__hit").isNull, 1))
+            .as("n_admitted"))
     },
     Some("""
       WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),

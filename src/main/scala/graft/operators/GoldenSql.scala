@@ -213,8 +213,126 @@ object GoldenSql {
               try_cast('-129' AS TINYINT) AS tinyint_under,
               try_cast('127' AS TINYINT) AS tinyint_max_ok""")
 
+  /** CASE evaluation: a NULL condition is skipped (not an error), the
+    * simple form matches by equality so a NULL operand never matches
+    * (three-valued =), and a CASE with no ELSE and no hit yields NULL. */
+  val caseWhen = QueryDef.sqlSame(
+    "q_golden_case_when",
+    """SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 'null-cond'
+                   WHEN 1 = 1 THEN 'first-true' ELSE 'else' END
+                AS searched_skips_null,
+              CASE 2 WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'other' END
+                AS simple_match,
+              CASE CAST(NULL AS INT) WHEN NULL THEN 'null-eq'
+                   ELSE 'no-match' END AS null_never_matches,
+              CASE WHEN 1 = 2 THEN 'x' END AS no_else_null,
+              coalesce(CASE WHEN 1 = 2 THEN 1 END, -1) AS coalesce_case""")
+
+  /** ROWS vs RANGE framing: RANGE includes ALL peers of the current order
+    * value (the duplicate k=2 rows share one range_cum), ROWS counts
+    * physical rows (fully tiebroken so peer order is deterministic), and
+    * numeric RANGE offsets form value windows, not row windows. */
+  val windowFrames = QueryDef.sqlSame(
+    "q_golden_window_frames",
+    """SELECT k, v,
+              CAST(sum(v) OVER (ORDER BY k, v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS rows_cum,
+              CAST(sum(v) OVER (ORDER BY k
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS range_cum,
+              CAST(sum(v) OVER (ORDER BY k, v
+                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+                AS rows_win,
+              CAST(sum(v) OVER (ORDER BY k
+                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT)
+                AS range_win
+       FROM (VALUES (1, 10), (2, 20), (2, 200), (3, 30), (5, 50))
+         AS t(k, v)""")
+
+  /** LIKE semantics: ESCAPE with a non-backslash escape char (backslash
+    * literal processing differs between the dialects' string parsers, so a
+    * portable pin must choose its own), wildcard vs literal `_`/`%`, and
+    * case sensitivity. Booleans come out as 1/0 ints to sidestep carrier
+    * differences. */
+  val likeEscape = QueryDef.sqlSame(
+    "q_golden_like_escape",
+    """SELECT CASE WHEN 'a_c' LIKE 'a!_c' ESCAPE '!' THEN 1 ELSE 0 END
+                AS esc_lit_underscore,
+              CASE WHEN 'abc' LIKE 'a!_c' ESCAPE '!' THEN 1 ELSE 0 END
+                AS esc_not_wild,
+              CASE WHEN 'abc' LIKE 'a_c' THEN 1 ELSE 0 END
+                AS plain_underscore,
+              CASE WHEN '50%' LIKE '50!%' ESCAPE '!' THEN 1 ELSE 0 END
+                AS esc_percent,
+              CASE WHEN 'ABC' LIKE 'abc' THEN 1 ELSE 0 END AS case_sens,
+              CASE WHEN 'abc' LIKE '%b%' THEN 1 ELSE 0 END AS infix""")
+
+  /** Standard-form string functions: TRIM(BOTH/LEADING/TRAILING ... FROM),
+    * pad truncation and fill, POSITION(IN), character (not byte) length of
+    * non-ASCII. */
+  val stringFns = QueryDef.sqlSame(
+    "q_golden_string_fns",
+    """SELECT trim(BOTH 'x' FROM 'xxhixx') AS trim_both,
+              trim(LEADING 'x' FROM 'xxhixx') AS trim_lead,
+              trim(TRAILING 'x' FROM 'xxhixx') AS trim_trail,
+              lpad('abc', 2, '*') AS lpad_trunc,
+              rpad('ab', 5, '*') AS rpad_fill,
+              repeat('ab', 3) AS rep3,
+              reverse('abc') AS rev,
+              replace('banana', 'an', 'AN') AS repl,
+              CAST(position('b' IN 'abcb') AS INT) AS pos_first,
+              left('abcdef', 3) AS left3,
+              right('abcdef', 2) AS right2,
+              CAST(length('héllo') AS INT) AS char_len""")
+
+  /** Three-valued logic truth table + IS [NOT] DISTINCT FROM (the
+    * null-safe comparators). */
+  val boolLogic = QueryDef.sqlSame(
+    "q_golden_bool_logic",
+    """SELECT CAST(TRUE AND CAST(NULL AS BOOLEAN) AS STRING) AS t_and_n,
+              CAST(FALSE AND CAST(NULL AS BOOLEAN) AS STRING) AS f_and_n,
+              CAST(TRUE OR CAST(NULL AS BOOLEAN) AS STRING) AS t_or_n,
+              CAST(FALSE OR CAST(NULL AS BOOLEAN) AS STRING) AS f_or_n,
+              CAST(NOT CAST(NULL AS BOOLEAN) AS STRING) AS not_n,
+              CAST(NULL = NULL AS STRING) AS eq_nn,
+              CAST(NULL IS DISTINCT FROM NULL AS STRING) AS distinct_nn,
+              CAST(1 IS DISTINCT FROM CAST(NULL AS INT) AS STRING)
+                AS distinct_1n,
+              CAST(1 IS NOT DISTINCT FROM 1 AS STRING) AS notdistinct_11""")
+
+  /** Aggregate FILTER clauses and DISTINCT aggregates: an all-filtered
+    * aggregate is NULL (not 0), DISTINCT collapses before summing. */
+  val aggFilter = QueryDef.sqlSame(
+    "q_golden_agg_filter",
+    """SELECT k,
+              count(*) AS n_all,
+              count(*) FILTER (WHERE v > 10) AS n_big,
+              CAST(sum(v) FILTER (WHERE v % 2 = 0) AS BIGINT) AS sum_even,
+              CAST(sum(v) FILTER (WHERE 1 = 2) AS BIGINT) AS sum_none,
+              CAST(sum(DISTINCT v) AS BIGINT) AS sum_distinct,
+              CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+       FROM (VALUES (1, 10), (1, 20), (1, 20), (2, 5)) AS t(k, v)
+       GROUP BY k""")
+
+  /** date_trunc boundaries (ISO week → Monday, quarter, month from a
+    * timestamp) + EXTRACT fields + last_day. */
+  val dateTrunc = QueryDef.sqlSame(
+    "q_golden_date_trunc",
+    """SELECT CAST(CAST(date_trunc('week', DATE '2021-06-17') AS DATE)
+                   AS STRING) AS trunc_week,
+              CAST(CAST(date_trunc('quarter', DATE '2021-05-20') AS DATE)
+                   AS STRING) AS trunc_quarter,
+              CAST(CAST(date_trunc('month', TIMESTAMP '2021-05-20 13:14:15')
+                        AS DATE) AS STRING) AS trunc_month_ts,
+              CAST(extract(QUARTER FROM DATE '2021-11-03') AS INT) AS q4,
+              CAST(extract(HOUR FROM TIMESTAMP '2021-05-20 13:14:15') AS INT)
+                AS hr,
+              CAST(last_day(DATE '2021-02-10') AS STRING) AS feb_last""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
-    dateDiff, tryOverflow)
+    dateDiff, tryOverflow, caseWhen, windowFrames, likeEscape, stringFns,
+    boolLogic, aggFilter, dateTrunc)
 }

@@ -362,9 +362,46 @@ object TpcdsShapes {
                      WHERE l1.l_orderkey = o_orderkey)
        GROUP BY o_orderpriority""")
 
+  /** Single-scan fast twin of [[multiScalar]] for the lineitem buckets:
+    * five conditional counts as FILTER aggregates over ONE pass of the fact
+    * table. The ds88 battery written as independent subqueries reads the
+    * fact once per bucket (Spark dedups the scan but still runs five
+    * aggregates); at 100 TB the only acceptable plan is one scan + one
+    * aggregate, which is exactly what this query plans to. */
+  val bucketCountsFast = QueryDef.sqlSame(
+    "q_ds_bucket_fast",
+    """SELECT count(*) FILTER (WHERE l_quantity < 10.0) AS b1,
+              count(*) FILTER (WHERE l_quantity >= 10.0
+                               AND l_quantity < 20.0) AS b2,
+              count(*) FILTER (WHERE l_quantity >= 20.0
+                               AND l_quantity < 30.0) AS b3,
+              count(*) FILTER (WHERE l_quantity >= 30.0
+                               AND l_quantity < 40.0) AS b4,
+              count(*) FILTER (WHERE l_quantity >= 40.0) AS b5
+       FROM lineitem""")
+
+  /** ds97: channel-overlap census — distinct buyer sets of two periods
+    * FULL OUTER joined, classifying both/left-only/right-only in one
+    * aggregate. The DS original does store vs catalog; the fixture's years
+    * play the channels. */
+  val channelOverlap = QueryDef.sqlSame(
+    "q_ds_channel_overlap",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE year(o_orderdate) = 1994),
+            b AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE year(o_orderdate) = 1995)
+       SELECT count(*) FILTER (WHERE a.o_custkey IS NOT NULL
+                               AND b.o_custkey IS NOT NULL) AS both_years,
+              count(*) FILTER (WHERE a.o_custkey IS NOT NULL
+                               AND b.o_custkey IS NULL) AS only_first,
+              count(*) FILTER (WHERE a.o_custkey IS NULL
+                               AND b.o_custkey IS NOT NULL) AS only_second
+       FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
-    existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin)
+    existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin, bucketCountsFast,
+    channelOverlap)
 }
