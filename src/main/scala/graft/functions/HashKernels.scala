@@ -85,6 +85,23 @@ object HashKernels {
     acc
   }
 
+  /** Tokens present in a fixed word set — one hash-set probe per token.
+    * Replaces `size(filter(toks, t => t.isin(...)))`: the higher-order
+    * lambda evaluates interpreted per element AND knocks the whole
+    * projection out of whole-stage codegen; this stays a codegen'd call. */
+  def countInSet(
+      arr: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    val len = arr.numElements()
+    var n = 0L
+    var i = 0
+    while (i < len) {
+      if (set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** k-permutation MinHash signature: one xxhash64 per element, k cheap
     * mixes — O(n·k) mixes instead of O(n·k) string hashes. */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
@@ -160,6 +177,34 @@ case class LenPolyHash(child: Expression) extends StringArrayKernelExpression {
 
   override protected def withNewChildInternal(newChild: Expression): LenPolyHash =
     copy(child = newChild)
+}
+
+/** count_in_set(tokens, 'w1,w2,…') — tokens matching a fixed word set.
+  * The set is a query-constant reference object, probed in one codegen'd
+  * loop (the stopword-score hot path of q_text_langid / q_text_quality). */
+case class TokenSetCount(child: Expression, words: Seq[String])
+    extends StringArrayKernelExpression {
+  override def prettyName: String = "count_in_set"
+  override def dataType: DataType = LongType
+
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    words.foreach(w =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.countInSet(input.asInstanceOf[ArrayData], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.countInSet($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenSetCount = copy(child = newChild)
 }
 
 /** minhash_sig(shingles) — 32-permutation MinHash signature (array<long>). */

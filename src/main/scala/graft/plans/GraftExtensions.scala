@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, VecDot, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, TokenSetCount, VecDot, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -89,6 +89,15 @@ object GraftFunctions {
         case Seq(tokens, Literal(n: Int, _)) => WordNgrams(tokens, n)
         case _ => throw new IllegalArgumentException(
           "word_ngrams(tokens[, n]) requires a literal n")
+      }),
+    (FunctionIdentifier("count_in_set"),
+      info("count_in_set",
+        "count_in_set(tokens, 'w1,w2,...') - tokens matching a fixed word set"),
+      (args: Seq[Expression]) => args match {
+        case Seq(tokens, Literal(csv, StringType)) =>
+          TokenSetCount(tokens, csv.toString.split(",").toSeq)
+        case _ => throw new IllegalArgumentException(
+          "count_in_set(tokens, csv) requires a literal csv word list")
       }),
     (FunctionIdentifier("len_poly_hash"),
       info("len_poly_hash",

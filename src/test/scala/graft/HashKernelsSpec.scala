@@ -69,6 +69,31 @@ class HashKernelsSpec extends GraftSpecBase {
     pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("count_in_set kernel is bit-identical to the filter(isin) HOF") {
+    val words = Seq("the", "a", "of", "and", "to", "in", "is")
+    val both = docs.select(
+      col("doc_id"),
+      expr(s"count_in_set(toks, '${words.mkString(",")}')").as("kernel"),
+      size(filter(col("toks"), t => t.isin(words.map(x => x: Any): _*)))
+        .cast("long").as("hof")).collect()
+    assert(both.nonEmpty)
+    assert(both.exists(_.getLong(1) > 0), "fixture must exercise the set")
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.get(0)}"))
+  }
+
+  test("count_in_set codegen and interpreted modes agree") {
+    def run() = docs
+      .select(expr("count_in_set(toks, 'the,of')")).collect().map(_.getLong(0))
+    val expected = run()
+    sp.conf.set("spark.sql.codegen.wholeStage", "false")
+    sp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(expected.toSeq == run().toSeq)
+    finally {
+      sp.conf.set("spark.sql.codegen.wholeStage", "true")
+      sp.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("kernel codegen and interpreted modes agree") {
     val expected = docs.select(expr("simhash64(toks)")).collect().map(_.getLong(0))
     sp.conf.set("spark.sql.codegen.wholeStage", "false")
