@@ -30,6 +30,8 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Retrieval.all ++
+      operators.Mutations.all ++
       operators.DocPipeline.all ++
       operators.Sampling.all ++
       operators.Layout.all ++

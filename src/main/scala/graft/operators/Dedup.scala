@@ -531,7 +531,77 @@ object Dedup {
               WHERE NOT EXISTS (SELECT 1 FROM corpus c
                                 WHERE md5(c.text) = b.fp)) AS n_admitted"""))
 
+  /** Benchmark decontamination — the cross-corpus overlap check every
+    * training-data pipeline runs before shipping a corpus: which held-out
+    * (test/benchmark) documents share verbatim word n-grams with the
+    * training corpus. The industry-standard mechanic (overlapping n-gram
+    * hit counting, as published for GPT-3/The Pile/FineWeb decontamination)
+    * re-expressed as one blocked equi-join:
+    *
+    *  - per-doc DISTINCT 4-grams via the codegen [[graft.functions.WordNgrams]]
+    *    kernel (one pass, no interpreted lambdas);
+    *  - grams with train-side document frequency > 1000 are dropped before
+    *    the join — boilerplate phrases otherwise create quadratic hot keys
+    *    (the exact skew ScaleGuard flags); at the fixture scale the cap is
+    *    inert, at 100 TB it is the difference between a bounded join and a
+    *    cluster-killer;
+    *  - ONE shuffle on the gram; two distinct-aggregations (shared grams,
+    *    implicated train docs) joined on the test doc — no Expand, both
+    *    benefit from partial aggregation.
+    *
+    * Output: one row per CONTAMINATED test doc. The driver's oracle runs the
+    * identical set logic in DuckDB list functions. */
+  val decontaminate = QueryDef(
+    "q_decontaminate",
+    (spark, dir) => {
+      val grams = Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graft.Bridge.column(
+            graft.functions.WordNgrams(
+              org.apache.spark.sql.graft.Bridge.expression(
+                split(col("text"), " ")), 4))).as("gram"))
+      val test = grams.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("test_id"), col("gram"))
+      val train = grams.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gram"))
+      // rows are (doc, gram)-distinct by construction → count(*) per gram
+      // IS the document frequency; cap hot grams before the join
+      val keep = train.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000)
+        .select(col("gram"))
+      val pairs = test.join(train.join(keep, "gram"), "gram")
+      val sharedGrams = pairs.select(col("test_id"), col("gram")).distinct()
+        .groupBy(col("test_id")).agg(count(lit(1)).as("n_shared_grams"))
+      val sharedDocs = pairs.select(col("test_id"), col("train_id")).distinct()
+        .groupBy(col("test_id")).agg(count(lit(1)).as("n_train_docs"))
+      sharedGrams.join(sharedDocs, "test_id")
+        .select(col("test_id").as("doc_id"),
+          col("n_shared_grams"), col("n_train_docs"))
+    },
+    Some {
+      val g4 =
+        """list_distinct(list_transform(range(len(str_split(text, ' ')) - 3),
+           i -> str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2]
+                || ' ' || str_split(text, ' ')[i+3] || ' '
+                || str_split(text, ' ')[i+4]))"""
+      s"""
+      WITH g AS (SELECT doc_id, unnest($g4) AS gram FROM documents),
+      test AS (SELECT doc_id AS test_id, gram FROM g WHERE doc_id % 17 = 0),
+      train0 AS (SELECT doc_id AS train_id, gram FROM g
+                 WHERE doc_id % 17 <> 0),
+      train AS (SELECT * FROM train0 WHERE gram IN
+                (SELECT gram FROM train0 GROUP BY gram
+                 HAVING count(*) <= 1000)),
+      p AS (SELECT t.test_id, t.gram, r.train_id
+            FROM test t JOIN train r USING (gram))
+      SELECT sg.test_id AS doc_id, sg.n_shared_grams, sd.n_train_docs
+      FROM (SELECT test_id, count(DISTINCT gram) AS n_shared_grams
+            FROM p GROUP BY test_id) sg
+      JOIN (SELECT test_id, count(DISTINCT train_id) AS n_train_docs
+            FROM p GROUP BY test_id) sd USING (test_id)"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, minhashLsh, simhash, embeddingNearDupLsh,
-    embeddingNearDup, connectedComponents, incremental)
+    embeddingNearDup, connectedComponents, incremental, decontaminate)
 }

@@ -229,7 +229,55 @@ object Events {
       text("unix_millis(ts)"), text("epoch_ms(ts)"))
   }
 
+  /** Time-series gap-fill + forward-fill — the resample step of a metrics
+    * pipeline: per-user daily activity, with MISSING days materialized at
+    * zero events and the last observed daily value carried forward. The
+    * scale shape: per-key day spans explode bounded by each key's own range
+    * (never a global calendar cross join), one left join on (user, day), one
+    * forward-fill window per user partition. Value sums are exact cents. */
+  val gapfill = QueryDef(
+    "q_events_gapfill",
+    (spark, dir) => {
+      val daily = Tables(spark, dir, "events")
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("day_cents"))
+      val days = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_cents"), ignoreNulls = true).over(w)
+            .as("ffill_cents"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+        FROM events WHERE user_id < 10 GROUP BY user_id, CAST(ts AS DATE)),
+      days AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1,
+                 INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY user_id)),
+      filled AS (
+        SELECT d.user_id, d.day, coalesce(y.n_events, 0) AS n_events,
+               last_value(y.day_cents IGNORE NULLS)
+                 OVER (PARTITION BY d.user_id ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ffill_cents
+        FROM days d LEFT JOIN daily y
+          ON d.user_id = y.user_id AND d.day = y.day)
+      SELECT user_id, CAST(day AS VARCHAR) AS day, n_events, ffill_cents
+      FROM filled"""))
+
   val all: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
-      retention)
+      retention, gapfill)
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO (upsert) semantics expressed Spark-first: a parquet lake has
+  * no transactional merge, so the canonical batch pattern is ONE full-outer
+  * join of base vs. change-set on the key, classifying every row as
+  * keep / update / insert and coalescing the payload — exactly what table
+  * formats (Delta/Iceberg) execute under the hood for copy-on-write merge.
+  * At 100 TB both sides hash-shuffle once on the key (or zero shuffles if
+  * both are bucketed on it — ScalePatternsSpec pins that layout); the
+  * change-set is usually broadcast-sized, which AQE demotes to BHJ
+  * automatically. Money stays in exact int64 cents.
+  */
+object Mutations {
+
+  val mergeUpsert = QueryDef(
+    "q_merge_upsert",
+    (spark, dir) => {
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+      // change-set: a 10% price bump on every 13th order, plus brand-new
+      // orders derived from every 31st key (disjoint id space)
+      val upd = base.filter(col("k") % 13 === 0)
+        .select(col("k"), col("st"), expr("pc * 110 div 100").as("pc"))
+        .unionAll(base.filter(col("k") % 31 === 0)
+          .select((col("k") + lit(100000000L)).as("k"), lit("N").as("st"),
+            col("pc")))
+      val merged = base.as("b")
+        .join(upd.as("u"), col("b.k") === col("u.k"), "full_outer")
+        .select(
+          when(col("u.k").isNull, "keep")
+            .when(col("b.k").isNull, "insert")
+            .otherwise("update").as("action"),
+          coalesce(col("u.st"), col("b.st")).as("status"),
+          coalesce(col("u.pc"), col("b.pc")).as("pc"))
+      merged.groupBy(col("action"), col("status"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("pc")).cast("double") / lit(100.0)).as("total_price"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        FROM orders),
+      upd AS (
+        SELECT k, st, pc * 110 // 100 AS pc FROM base WHERE k % 13 = 0
+        UNION ALL
+        SELECT k + 100000000, 'N', pc FROM base WHERE k % 31 = 0),
+      m AS (
+        SELECT CASE WHEN u.k IS NULL THEN 'keep'
+                    WHEN b.k IS NULL THEN 'insert'
+                    ELSE 'update' END AS action,
+               coalesce(u.st, b.st) AS status,
+               coalesce(u.pc, b.pc) AS pc
+        FROM base b FULL OUTER JOIN upd u ON b.k = u.k)
+      SELECT action, status, count(*) AS n,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS total_price
+      FROM m GROUP BY action, status"""))
+
+  /** SCD-Type-2 history build from the same change-set: updated keys close
+    * their current version (is_current=false) and open a new one; untouched
+    * keys stay current. Pure union + projection — no iterative logic, one
+    * pass over each side. */
+  val scd2 = QueryDef(
+    "q_merge_scd2",
+    (spark, dir) => {
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val updKeys = base.filter(col("k") % 13 === 0)
+      val untouched = base.join(updKeys.select(col("k")), Seq("k"),
+        "left_anti")
+        .select(col("k"), col("st"), col("pc"),
+          lit(1L).as("version"), lit(true).as("is_current"))
+      val closed = updKeys
+        .select(col("k"), col("st"), col("pc"),
+          lit(1L).as("version"), lit(false).as("is_current"))
+      val opened = updKeys
+        .select(col("k"), col("st"), expr("pc * 110 div 100").as("pc"),
+          lit(2L).as("version"), lit(true).as("is_current"))
+      untouched.unionAll(closed).unionAll(opened)
+        .groupBy(col("is_current"), col("version"), col("st").as("status"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("pc")).cast("double") / lit(100.0)).as("total_price"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        FROM orders),
+      hist AS (
+        SELECT k, st, pc, 1 AS version, false AS is_current
+        FROM base WHERE k % 13 = 0
+        UNION ALL
+        SELECT k, st, pc * 110 // 100, 2, true FROM base WHERE k % 13 = 0
+        UNION ALL
+        SELECT k, st, pc, 1, true FROM base WHERE k % 13 <> 0)
+      SELECT is_current, CAST(version AS BIGINT) AS version, st AS status,
+             count(*) AS n,
+             CAST(sum(pc) AS DOUBLE) / 100.0 AS total_price
+      FROM hist GROUP BY is_current, version, st"""))
+
+  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2)
+}

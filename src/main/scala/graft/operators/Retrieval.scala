@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-retrieval surface over the `documents` fixture: inverted index,
+  * TF-IDF and BM25 ranking — the lexical half of a data-curation / RAG
+  * pipeline (the dense half is operators/Similarity.scala).
+  *
+  * Scale shape shared by all three: ONE explode of the corpus into
+  * (doc, term) pairs, aggregated with map-side partial combine on the
+  * (doc_id, term) then (term) keys — the classic inverted-index build,
+  * embarrassingly parallel, shuffling only (id, count) pairs. Scoring math
+  * is exact-integer (TF-IDF) or fixed-operand-order IEEE doubles (BM25), so
+  * the DuckDB oracle reproduces every value bit-for-bit.
+  */
+object Retrieval {
+
+  /** Fixed retrieval query for the ranked variants — three mid-frequency
+    * corpus terms. */
+  private val terms = Seq("join", "hash", "vector")
+
+  /** (doc_id, term, tf) restricted to the query terms. */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  private val duckTd =
+    s"""SELECT doc_id, tok AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN (${terms.map("'" + _ + "'").mkString(",")})
+        GROUP BY doc_id, tok"""
+
+  /** Inverted-index build: per-term document frequency, total term
+    * frequency, and the head of the postings list (5 lowest doc ids) for
+    * the 10 highest-df terms. The postings head comes from a per-term
+    * min-k window (row_number ≤ 5), NOT from collecting the full postings
+    * array and slicing — at 100 TB a hot term's postings list is itself a
+    * large dataset and must never pass through one aggregation buffer. */
+  val invertedIndex = QueryDef(
+    "q_text_inverted_index",
+    (spark, dir) => {
+      val td = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val agg = td.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val heads = td
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("term"))
+        .agg(array_join(
+          transform(sort_array(collect_list(col("doc_id"))),
+            d => d.cast("string")), ",").as("postings_head"))
+      agg.join(heads, "term")
+        .orderBy(col("df").desc, col("term"))
+        .limit(10)
+        .select(col("term"), col("df"), col("total_tf"), col("postings_head"))
+    },
+    Some("""
+      WITH td AS (
+        SELECT tok AS term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok, doc_id),
+      agg AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM td GROUP BY term),
+      heads AS (
+        SELECT term,
+               array_to_string(list_sort(list(doc_id))[1:5], ',')
+                 AS postings_head
+        FROM (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                       AS rn
+              FROM td)
+        WHERE rn <= 5 GROUP BY term)
+      SELECT term, df, total_tf, postings_head
+      FROM agg JOIN heads USING (term)
+      ORDER BY df DESC, term LIMIT 10"""))
+
+  /** TF-IDF ranking in EXACT integer arithmetic: idf is the scaled integer
+    * 1000000·N div df (integer division — no transcendental log whose last
+    * ulp could differ between engines), score = Σ tf·idf. Top 15 docs. */
+  val tfidf = QueryDef(
+    "q_text_tfidf",
+    (spark, dir) => {
+      val td = termFreqs(spark, dir)
+      val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables(spark, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      td.join(broadcast(dfs), "term")
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * expr("1000000 * n_docs div df")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH td AS ($duckTd),
+      dfs AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id,
+             CAST(sum(tf * (1000000 * n_docs // df)) AS BIGINT) AS score
+      FROM td JOIN dfs USING (term), n
+      GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15"""))
+
+  /** BM25 ranking (k1=1.2, b=0.75) with a rational idf
+    * (N−df+0.5)/(df+0.5) instead of the usual log — log's last ulp is
+    * libm-dependent, while +,−,×,÷ are exactly-rounded IEEE in both
+    * engines, so with a FIXED operand order the scores are bit-identical.
+    * The per-term scores land in per-doc COLUMNS (conditional aggregation)
+    * and are added in one fixed-order projection — a row-wise double sum
+    * would depend on shuffle arrival order. */
+  val bm25 = QueryDef(
+    "q_text_bm25",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val td = termFreqs(spark, dir)
+      def tfOf(t: String): Column =
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t")
+      val wide = td.groupBy(col("doc_id"))
+        .agg(tfOf(terms(0)), tfOf(terms(1)), tfOf(terms(2)))
+      val dfs = td.groupBy(col("term")).agg(count(lit(1)).as("tdf"))
+        .agg(sum(when(col("term") === terms(0), col("tdf")).otherwise(0L))
+          .as(s"df_${terms(0)}"),
+          sum(when(col("term") === terms(1), col("tdf")).otherwise(0L))
+            .as(s"df_${terms(1)}"),
+          sum(when(col("term") === terms(2), col("tdf")).otherwise(0L))
+            .as(s"df_${terms(2)}"))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("sum_dl"),
+        count(lit(1)).as("n_docs"))
+      def ts(t: String): Column = {
+        val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5))
+        val denom = col(s"tf_$t") +
+          lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * (col("dl") /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double"))))
+        idf * ((col(s"tf_$t") * lit(2.2)) / denom)
+      }
+      wide.join(dl, "doc_id")
+        .crossJoin(broadcast(dfs))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (ts(terms(0)) + ts(terms(1)) + ts(terms(2))).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some {
+      // literals in e-notation: DuckDB types a bare `0.5` as DECIMAL and
+      // would round the whole chain differently in its last ulp; `5e-1`
+      // parses as DOUBLE in both dialects
+      def tsSql(t: String) =
+        s"""((n_docs - df_$t + 5e-1) / (df_$t + 5e-1)) *
+            ((tf_$t * 2.2e0) /
+             (tf_$t + 1.2e0 * (1e0 - 7.5e-1 +
+              7.5e-1 * (dl / (CAST(sum_dl AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))))))"""
+      s"""
+      WITH td AS ($duckTd),
+      wide AS (
+        SELECT doc_id,
+               ${terms.map(t =>
+                  s"CAST(sum(CASE WHEN term = '$t' THEN tf ELSE 0 END) " +
+                  s"AS BIGINT) AS tf_$t").mkString(", ")}
+        FROM td GROUP BY doc_id),
+      dfs AS (
+        SELECT ${terms.map(t =>
+                  s"CAST(sum(CASE WHEN term = '$t' THEN tdf ELSE 0 END) " +
+                  s"AS BIGINT) AS df_$t").mkString(", ")}
+        FROM (SELECT term, count(*) AS tdf FROM td GROUP BY term)),
+      dls AS (SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+                       count(*) AS n_docs FROM dls)
+      SELECT doc_id,
+             ${tsSql(terms(0))} + ${tsSql(terms(1))} + ${tsSql(terms(2))}
+               AS score
+      FROM wide JOIN dls USING (doc_id), dfs, stats
+      ORDER BY score DESC, doc_id LIMIT 15"""
+    })
+
+  val all: Seq[QueryDef] = Seq(invertedIndex, tfidf, bm25)
+}

@@ -398,10 +398,67 @@ object TpcdsShapes {
                                AND b.o_custkey IS NOT NULL) AS only_second
        FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""")
 
+  /** ds2: calendar-bucket PIVOT (conditional aggregation into 7 columns)
+    * self-joined across years into per-bucket ratios — the "week-over-week
+    * by weekday column" shape. `day(date) % 7` is the dialect-portable
+    * stand-in for the DS weekday (Spark and DuckDB disagree on dayofweek
+    * numbering); cents stay integer until the final double division. */
+  val weekdayPivotRatio = QueryDef.sqlSame(
+    "q_ds_weekday_pivot_ratio",
+    s"""WITH wk AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                ${(0 to 6).map(d =>
+                   s"sum(${centsSql("o_totalprice")}) FILTER " +
+                   s"(WHERE day(o_orderdate) % 7 = $d) AS d$d")
+                  .mkString(", ")}
+         FROM orders GROUP BY year(o_orderdate))
+       SELECT ${(0 to 6).map(d =>
+                  s"CAST(a.d$d AS DOUBLE) / CAST(b.d$d AS DOUBLE) " +
+                  s"AS r$d").mkString(", ")}
+       FROM wk a JOIN wk b ON a.yr = 1997 AND b.yr = 1996""")
+
+  /** ds39: statistical-volatility filter — per (supplier, month) quantity
+    * mean/variance, keep groups with coefficient of variation > 0.2, then
+    * self-join CONSECUTIVE months. The CoV predicate is kept in EXACT
+    * integer arithmetic (cov² > 1/25 ⇔ 25·n·(n·Σx²−(Σx)²) > (n−1)·(Σx)²),
+    * so no engine-specific stddev accumulation order can flip a boundary
+    * group (at 100 TB swap the BIGINT products for decimal — Σx² grows with
+    * n²). */
+  val covSelfJoin = QueryDef.sqlSame(
+    "q_ds_cov_selfjoin",
+    """WITH m AS (
+         SELECT l_suppkey, CAST(month(l_shipdate) AS INT) AS mo,
+                count(*) AS n,
+                sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS s,
+                sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                    * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS ss
+         FROM lineitem WHERE year(l_shipdate) = 1997
+         GROUP BY l_suppkey, month(l_shipdate)),
+       f AS (
+         SELECT l_suppkey, mo FROM m
+         WHERE n > 1 AND 25 * n * (n * ss - s * s) > (n - 1) * s * s)
+       SELECT a.mo AS mo1, count(*) AS n_volatile_pairs
+       FROM f a JOIN f b
+         ON a.l_suppkey = b.l_suppkey AND b.mo = a.mo + 1
+       GROUP BY a.mo""")
+
+  /** ds72: equi-join with a RESIDUAL range predicate — follow-up orders of
+    * the same customer within 30 days. The planner must keep custkey as the
+    * shuffle key and evaluate the interval bound as a post-join filter (a
+    * pure theta formulation would plan a nested loop). */
+  val followupWindow = QueryDef.sqlSame(
+    "q_ds_followup_window",
+    """SELECT o1.o_orderpriority, count(*) AS n_followups
+       FROM orders o1 JOIN orders o2
+         ON o1.o_custkey = o2.o_custkey
+        AND o2.o_orderdate > o1.o_orderdate
+        AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+       GROUP BY o1.o_orderpriority""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
     existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin, bucketCountsFast,
-    channelOverlap)
+    channelOverlap, weekdayPivotRatio, covSelfJoin, followupWindow)
 }
