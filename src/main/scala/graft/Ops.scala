@@ -116,6 +116,22 @@ object ops {
       files: Int, bits: Int = 8): Unit =
     graft.operators.Layout.zorderWrite(df, cols, path, files, bits)
 
+  /** Per-group top-k via the custom physical operator
+    * [[graft.plans.TopKPerGroupExec]]: ONE hash shuffle on the group key,
+    * then bounded per-group min-heaps — O(n log k) with k×groups state,
+    * instead of the window formulation's full per-partition sort. `tieCol`
+    * must be unique within a group (defines the exact top-k set). Rows come
+    * back unordered; sort afterwards if presentation order matters. */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    Bridge.ofRows(
+      df.sparkSession,
+      graft.plans.TopKPerGroup(groupCols, valueCol, tieCol, k,
+        df.queryExecution.analyzed))
+  }
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

@@ -102,6 +102,30 @@ object SortLimit {
             FROM (SELECT doc_id, str_split(text, ' ') AS parts
                   FROM documents))"""))
 
+  /** Per-GROUP top-k via the custom physical operator
+    * (graft.plans.TopKPerGroupExec — logical node + SparkStrategy +
+    * UnaryExecNode with its own doExecute; SURVEY §7 step (c) machinery in
+    * full): one hash shuffle, bounded per-group heaps, O(n log k) instead
+    * of the window formulation's full per-group sort. The oracle is that
+    * exact window formulation. */
+  val topKPerGroup = QueryDef(
+    "q_topk_per_group",
+    (spark, dir) => {
+      graft.ops.topKPerGroup(
+        Tables(spark, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", k = 3)
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rn
+        FROM orders) WHERE rn <= 3"""))
+
   val all: Seq[QueryDef] =
-    Seq(sortGlobal, topK, limitCount, rangeSource, generate, generateChunks)
+    Seq(sortGlobal, topK, limitCount, rangeSource, generate, generateChunks,
+      topKPerGroup)
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectColumnar(_ => GraftCapabilityAudit)
     ext.injectResolutionRule(_ => ResolveCosineTopK)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
     GraftFunctions.register(ext)
   }
 }
@@ -135,6 +136,7 @@ object GraftFunctions {
         reg.registerFunction(id, inf, builder)
       }
     }
+    org.apache.spark.sql.graft.Bridge.ensureStrategy(spark, GraftStrategies)
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom WHOLE-OPERATOR machinery — SURVEY §7 step (c) in full: a logical
+  * node, a planner [[SparkStrategy]], and a physical [[UnaryExecNode]] with
+  * its own `doExecute`, registered via `SparkSessionExtensions`
+  * (the layer the reference implements for every operator it overrides,
+  * e.g. core/.../ColumnarShuffledHashJoinExec.scala; here it adds an
+  * operator Spark LACKS rather than re-implementing one it has).
+  *
+  * Semantics: for each group (equality on `groupCols`), the k rows with the
+  * highest `valueCol`, ties broken by the lowest `tieCol` — i.e. exactly
+  * `row_number() OVER (PARTITION BY g ORDER BY v DESC, tie) <= k`, provided
+  * `tieCol` is unique within a group (making the top-k set well-defined).
+  *
+  * Why a custom physical operator: the window formulation SORTS every
+  * group completely (O(n log n) per partition, full materialization of the
+  * sort buffer) to keep k rows; this operator streams each input row once
+  * into a bounded per-group min-heap — O(n log k), no sort, memory
+  * k × (groups per partition), after ONE hash shuffle on the group key
+  * (declared via `requiredChildDistribution`, so EnsureRequirements plans
+  * the exchange and AQE still coalesces it). At 100 TB: groups spread
+  * across partitions by hash; per-partition state is k·|G|/P rows — the
+  * same bound a hash aggregate carries. For unbounded |G| with huge k,
+  * fall back to the window.
+  */
+case class TopKPerGroup(
+    groupCols: Seq[String], valueCol: String, tieCol: String, k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  // the operator emits every child column (they're named, not Attribute-
+  // bound, until planning) — without this, ColumnPruning sees zero
+  // references and rewrites the child to an empty Project
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): TopKPerGroup = copy(child = newChild)
+}
+
+/** Plans [[TopKPerGroup]] → [[TopKPerGroupExec]]. Injected via
+  * `injectPlannerStrategy` (GraftExtensions) and, defensively, through
+  * `experimental.extraStrategies` (GraftFunctions.ensureRegistered). */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t: TopKPerGroup =>
+      def attr(name: String): Attribute =
+        t.child.output.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"topKPerGroup: no column '$name' in ${t.child.output.map(_.name)}"))
+      TopKPerGroupExec(t.groupCols.map(attr), attr(t.valueCol),
+        attr(t.tieCol), t.k, planLater(t.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupAttrs: Seq[Attribute], valueAttr: Attribute, tieAttr: Attribute,
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** One hash shuffle on the group key — all rows of a group meet in one
+    * partition, so per-partition heaps are globally correct. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupAttrs) :: Nil
+
+  private val heapOrder: Seq[SortOrder] = Seq(
+    SortOrder(valueAttr, Descending), SortOrder(tieAttr, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupExprs = groupAttrs
+    val order = heapOrder
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      // generated ordering: negative compare(a, b) = a ranks BETTER
+      val better = RowOrdering.create(order, childOutput)
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          better.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
+          heaps.put(key.copy(), pq)
+        }
+        if (pq.size() < kk) pq.add(row.copy())
+        else if (better.compare(row, pq.peek()) < 0) {
+          pq.poll(); pq.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): TopKPerGroupExec = copy(child = newChild)
+}

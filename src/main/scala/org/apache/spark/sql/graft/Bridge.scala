@@ -24,6 +24,17 @@ object Bridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Defensive planner-strategy mount for sessions built WITHOUT
+    * spark.sql.extensions=graft.plans.GraftExtensions: adds the strategy to
+    * `experimental.extraStrategies` once (idempotent). */
+  def ensureStrategy(
+      spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** Session-local function registry (private[sql]); used to register the
     * graft functions defensively when the session wasn't built with
     * spark.sql.extensions=graft.plans.GraftExtensions. */
