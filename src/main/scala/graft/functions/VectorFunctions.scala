@@ -201,3 +201,102 @@ object SignProjection {
   val P1 = 73856093L
   val P2 = 19349663L
 }
+
+/** Static loops for the int8 quantization kernels (called from codegen). */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** Symmetric per-vector int8 quantization: q_i = floor(x_i·127/m + 0.5)
+    * with m = max|x_i| (all-zero in, all-zero out). floor(v+0.5) — not
+    * Math.round via any other path — because DuckDB `floor(v + 5e-1)`
+    * reproduces it exactly, making the quantized index oracle-checkable. */
+  def quantizeI8(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(arr.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(
+          arr.getFloat(i).toDouble * 127.0 / m + 0.5).toByte
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Exact integer dot product of two int8 vectors. */
+  def vecDotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    dot
+  }
+}
+
+/** quantize_i8(vec) — symmetric per-vector int8 quantization of an
+  * embedding: 4× smaller than float32 in every shuffle/cache/index, with
+  * EXACT-integer downstream scoring (vec_dot_i8). The 100 TB lever: ANN
+  * candidate generation over a quantized index, full-precision re-rank only
+  * for survivors. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quantize_i8"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.quantizeI8($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): QuantizeI8 = copy(child = newChild)
+}
+
+/** vec_dot_i8(a, b) — exact BIGINT inner product of int8 vectors. */
+case class VecDotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "vec_dot_i8"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<tinyint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.vecDotI8(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.vecDotI8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotI8 =
+    copy(left = newLeft, right = newRight)
+}

@@ -238,6 +238,59 @@ object Similarity {
               FROM qprobe p JOIN assign a ON p.cid = a.cid))
       WHERE rn <= 10"""))
 
+  /** Int8-QUANTIZED retrieval — the memory lever for a 100 TB vector
+    * corpus: `quantize_i8` shrinks the candidate index 4× (every shuffle,
+    * cache and broadcast moves bytes, not floats) and `vec_dot_i8` scores
+    * in EXACT integer arithmetic, so ranking is bit-deterministic and the
+    * DuckDB oracle reproduces the whole index (floor(x·127/m + 0.5)
+    * mirrors the kernel exactly). Per-query top-k runs on the custom
+    * [[graft.plans.TopKPerGroupExec]] operator — bounded heaps, no window
+    * sort. Production shape: quantized candidate generation, then
+    * full-precision re-rank of the survivors (SimilaritySpec pins recall
+    * vs. the float ranking). */
+  val quantizedTopK = QueryDef(
+    "q_sim_quantized_topk",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), expr("quantize_i8(embedding)").as("q"))
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"))
+      val cs = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("cand_id"), col("q").as("qb"))
+      val scored = broadcast(qs).crossJoin(cs)
+        .withColumn("dot", expr("vec_dot_i8(qa, qb)"))
+        .select(col("query_id"), col("cand_id"), col("dot"))
+      graft.ops.topKPerGroup(scored, Seq("query_id"), "dot", "cand_id", 10)
+    },
+    Some("""
+      WITH qv AS (
+        SELECT vec_id,
+               CASE WHEN m = 0e0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 127e0 / m + 5e-1)
+                                AS BIGINT))
+               END AS q
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS m
+              FROM embeddings)),
+      probes AS (SELECT vec_id AS query_id, q AS qa FROM qv
+                 WHERE vec_id < 8),
+      cands AS (SELECT vec_id AS cand_id, q AS qb FROM qv
+                WHERE vec_id >= 8),
+      scored AS (
+        SELECT query_id, cand_id,
+               CAST(list_reduce(list_transform(range(len(qa)),
+                      i -> qa[i+1] * qb[i+1]), (p, x) -> p + x) AS BIGINT)
+                 AS dot
+        FROM probes, cands)
+      SELECT query_id, cand_id, dot FROM (
+        SELECT query_id, cand_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= 10"""))
+
   /** Dot-product ranking via the native vec_dot expression (exercises the
     * second vector kernel + a global top-k). */
   val dotTopK = QueryDef(
@@ -280,5 +333,5 @@ object Similarity {
     bruteForceTopK.oracle)
 
   val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, ivfAnn, dotTopK,
-    planTopK)
+    planTopK, quantizedTopK)
 }

@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, SignProjection, SimHash64, TokenSetCount, VecDot, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -91,6 +91,14 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(tokens[, n]) requires a literal n")
       }),
+    (FunctionIdentifier("quantize_i8"),
+      info("quantize_i8",
+        "quantize_i8(vec) - symmetric per-vector int8 quantization"),
+      (args: Seq[Expression]) => QuantizeI8(args.head)),
+    (FunctionIdentifier("vec_dot_i8"),
+      info("vec_dot_i8",
+        "vec_dot_i8(a, b) - exact integer dot product of int8 vectors"),
+      (args: Seq[Expression]) => VecDotI8(args(0), args(1))),
     (FunctionIdentifier("count_in_set"),
       info("count_in_set",
         "count_in_set(tokens, 'w1,w2,...') - tokens matching a fixed word set"),

@@ -29,6 +29,32 @@ class SimilaritySpec extends GraftSpecBase {
     }
   }
 
+  test("int8-quantized ranking recalls the full-precision dot top-10") {
+    // quantized candidate generation must agree with the float dot ranking
+    // closely enough for a full-precision re-rank stage to recover it
+    val e = Tables(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val cs = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("fdot").desc, col("cand_id"))
+    val floatTruth = broadcast(qs).crossJoin(cs)
+      .withColumn("fdot", expr("vec_dot(eq, ec)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val quant = topk(operators.Similarity.quantizedTopK)
+    val recalls = floatTruth.map { case (qid, truth) =>
+      quant.getOrElse(qid, Set.empty).intersect(truth).size.toDouble /
+        truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"quantized mean recall@10 $mean")
+  }
+
   test("approximate results are always true neighbors (no fabrications)") {
     // every (query, cand, cos) an index returns must carry the exact cosine
     val e = Tables(spark, sfDir, "embeddings")

@@ -133,6 +133,40 @@ class VectorFunctionsSpec extends GraftSpecBase {
     }
   }
 
+  test("quantize_i8 matches reference math, bounds, and zero vector") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(30)(Array.fill(64)(rnd.nextFloat() * 2 - 1)) :+
+      Array.fill(64)(0.0f)
+    val d = df(vecs.map(v => (v, Array.empty[Float])))
+    val got = d.select(expr("quantize_i8(a)")).collect()
+      .map(_.getSeq[Byte](0).toArray)
+    vecs.zip(got).foreach { case (v, q) =>
+      val m = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      val want =
+        if (m == 0.0) Array.fill(v.length)(0.toByte)
+        else v.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toByte)
+      assert(q.toSeq == want.toSeq)
+      assert(q.forall(b => b >= -127 && b <= 127))
+    }
+  }
+
+  test("vec_dot_i8 is the exact integer dot; codegen/interpreted agree") {
+    val d = df(Seq((Array.fill(64)(0.5f), Array.fill(64)(-0.25f))))
+      .select(expr("quantize_i8(a)").as("qa"), expr("quantize_i8(b)").as("qb"))
+    def run() = d.select(expr("vec_dot_i8(qa, qb)")).head.getLong(0)
+    val expected = run()
+    // constant vectors quantize to 127 and -127: dot = 64 * 127 * -127
+    assert(expected == 64L * 127 * -127)
+    val session = spark
+    session.conf.set("spark.sql.codegen.wholeStage", "false")
+    session.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected)
+    finally {
+      session.conf.set("spark.sql.codegen.wholeStage", "true")
+      session.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("sign_proj interpreted and codegen paths agree") {
     val rows = Seq((Array.tabulate(64)(i => (i % 7 - 3).toFloat),
       Array.empty[Float]))
