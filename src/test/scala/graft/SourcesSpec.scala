@@ -54,6 +54,39 @@ class SourcesSpec extends GraftSpecBase {
     assert(spark.read.orc(p).count() == sample.count())
   }
 
+  test("text source round-trips lines; wholetext reads one row per file") {
+    val p = tmp("text")
+    Tables(spark, sfDir, "documents").limit(50)
+      .select(col("text")).write.text(p)
+    val back = spark.read.text(p)
+    assert(back.count() == 50)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    val whole = spark.read.option("wholetext", "true").text(p)
+    // one row per part-file, each holding that file's full contents
+    assert(whole.count() < 50 || whole.count() == 50)
+    assert(whole.agg(sum(length(col("value")))).head.getLong(0) >=
+      back.agg(sum(length(col("value")))).head.getLong(0))
+  }
+
+  test("binaryFile source ingests raw files with metadata (multimodal)") {
+    // the ingestion edge of the multimodal pipeline: opaque bytes + typed
+    // metadata (path, length) land in a DataFrame without decoding
+    val dir = Files.createTempDirectory("graft-bin")
+    (0 until 3).foreach { i =>
+      Files.write(dir.resolve(s"blob_$i.bin"),
+        Array.tabulate[Byte](100 + i)(j => (i * 31 + j).toByte))
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.count() == 3)
+    val cols = df.schema.fieldNames.toSet
+    assert(Set("path", "length", "content").subsetOf(cols), cols.toString)
+    val lens = df.select(col("length"),
+        length(col("content")).cast("long").as("clen"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lens.forall { case (l, c) => l == c })
+    assert(lens.map(_._1).sorted.toSeq == Seq(100L, 101L, 102L))
+  }
+
   test("partitioned write prunes partitions on read") {
     val p = tmp("part")
     Tables(spark, sfDir, "orders")
