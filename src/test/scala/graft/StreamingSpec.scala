@@ -192,6 +192,42 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink: per-batch merge, idempotent on replay") {
+    // the exactly-once lake-merge pattern: foreachBatch gives (df, batchId);
+    // the writer keys its commit on batchId so a replayed microbatch (failure
+    // + restart re-offers the same id) merges to the identical end state
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val committed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def mergeBatch(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      if (committed.add(batchId)) { // idempotence gate
+        df.groupBy(col("user_id"))
+          .agg(sum(col("value")).as("v")).collect()
+          .foreach(r => store.merge(r.getLong(0), r.getDouble(1), _ + _))
+      }
+    }
+    val ms = mkEvents(
+      Event(1, ts(0), 100, "click", 1.0),
+      Event(2, ts(1), 100, "click", 2.0),
+      Event(3, ts(2), 101, "view", 5.0))
+    val q = ms.toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch(mergeBatch _)
+      .start()
+    try {
+      q.processAllAvailable()
+      ms.addData(Event(4, ts(3), 100, "view", 4.0))
+      q.processAllAvailable()
+      assert(store.get(100L) == 7.0 && store.get(101L) == 5.0)
+      // simulate a replayed microbatch: same id, same data → no double count
+      val replayId = committed.iterator().next()
+      mergeBatch(sp.range(1).select(lit(100L).as("user_id"),
+        lit(99.0).as("value")), replayId)
+      assert(store.get(100L) == 7.0, "replayed batchId must be a no-op")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits milestones (multi-output keyed state)") {
     val ms = MemoryStream[Event]
     val q = EventStreams.toMemorySink(
