@@ -458,8 +458,24 @@ object Expressions {
                AS zipped
       FROM arrs WHERE l_orderkey % 97 = 0"""))
 
+  /** Second string family — the transform/codec half of the surface
+    * (translate/repeat/reverse/split_part/ascii/chr/left/right), dialect-
+    * portable and run as identical text on both engines. */
+  val stringFns2 = QueryDef.sqlSame(
+    "q_expr_string2",
+    """SELECT p_partkey,
+              translate(p_name, 'aeiou', '_____') AS tr,
+              repeat(p_brand, 2) AS rep,
+              reverse(p_type) AS rev,
+              split_part(p_name, ' ', 2) AS sp2,
+              CAST(ascii(p_name) AS INT) AS first_code,
+              chr(65 + CAST(p_partkey % 26 AS INT)) AS bucket_ch,
+              left(p_name, 5) AS l5,
+              right(p_name, 5) AS r5
+       FROM part WHERE p_partkey % 7 = 0""")
+
   val all: Seq[QueryDef] = Seq(
     stringFns, regexFns, mathFns, bitwiseFns, conditionalFns, castFns,
     datetimeFns, decimalFns, jsonFns, arrayFns, mapFns, nullSafeEq, inSetLike,
-    hofFns)
+    hofFns, stringFns2)
 }

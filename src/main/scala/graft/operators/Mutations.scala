@@ -103,5 +103,40 @@ object Mutations {
              CAST(sum(pc) AS DOUBLE) / 100.0 AS total_price
       FROM hist GROUP BY is_current, version, st"""))
 
-  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2)
+  /** Incremental materialized-view refresh — the maintenance pattern for a
+    * 100 TB rollup: the standing view stores ALGEBRAIC partials
+    * (count + exact cents sum per key), a new data slice aggregates to the
+    * same partial shape, and refresh = union + re-aggregate of partials —
+    * touching only the delta, never rescanning history. Derived metrics
+    * (avg) come from the merged partials at read time. The ORACLE is the
+    * full recompute over all rows: incremental must equal full, exactly. */
+  val mvRefresh = QueryDef(
+    "q_mv_refresh",
+    (spark, dir) => {
+      val orders = Tables(spark, dir, "orders")
+      def partial(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderstatus").as("status"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("pc"))
+      val standing = partial(orders.filter(col("o_orderdate") < "1999-01-01"))
+      val delta = partial(orders.filter(col("o_orderdate") >= "1999-01-01"))
+      standing.unionAll(delta)
+        .groupBy(col("status"), col("yr"))
+        .agg(sum(col("n")).as("n_orders"),
+          (sum(col("pc")).cast("double") / lit(100.0)).as("total_price"))
+        .withColumn("avg_price",
+          col("total_price") / col("n_orders").cast("double"))
+    },
+    Some("""
+      SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0 AS total_price,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0
+               / CAST(count(*) AS DOUBLE) AS avg_price
+      FROM orders GROUP BY o_orderstatus, year(o_orderdate)"""))
+
+  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2, mvRefresh)
 }

@@ -75,4 +75,45 @@ class PropertySpec extends AnyFunSuite {
         rows.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-3)
     })
   }
+
+  test("quantize_i8: bounds, max-magnitude hits ±127, positive-scale invariance") {
+    val schema = StructType(Seq(StructField("a", ArrayType(FloatType))))
+    def quant(vs: Seq[Array[Float]]): Seq[Seq[Byte]] =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(vs.map(v => Row(v.toSeq))), schema)
+        .select(expr("quantize_i8(a)")).collect().map(_.getSeq[Byte](0)).toSeq
+    check("bounds+extremes", Prop.forAll(Gen.nonEmptyListOf(vecGen).map(_.take(6))) {
+      vs =>
+        quant(vs).zip(vs).forall { case (q, v) =>
+          q.forall(b => b >= -127 && b <= 127) &&
+            // the max-|x| coordinate quantizes to exactly ±127
+            q.zip(v).exists { case (b, x) =>
+              math.abs(x.toDouble) == v.map(x2 => math.abs(x2.toDouble)).max &&
+                math.abs(b.toInt) == 127
+            }
+        }
+    })
+    check("scale-invariance-pow2", Prop.forAll(Gen.nonEmptyListOf(vecGen).map(_.take(4))) {
+      vs =>
+        // scaling by a power of two is exact in binary fp → identical codes
+        quant(vs) == quant(vs.map(_.map(x => x * 4.0f)))
+    })
+  }
+
+  test("count_in_set: bounded by size, exact on membership, empty set is 0") {
+    val tokGen = Gen.listOf(Gen.oneOf("the", "a", "of", "zz", "qq", "ww"))
+    val schema = StructType(Seq(StructField("t", ArrayType(StringType))))
+    check("membership", Prop.forAll(Gen.nonEmptyListOf(tokGen).map(_.take(8))) {
+      ts =>
+        val rows = spark.createDataFrame(
+          spark.sparkContext.parallelize(ts.map(t => Row(t))), schema)
+          .select(size(col("t")).cast("long").as("n"),
+            expr("count_in_set(t, 'the,a,of')").as("c"))
+          .collect()
+        rows.zip(ts).forall { case (r, t) =>
+          r.getLong(1) == t.count(Set("the", "a", "of")) &&
+            r.getLong(1) <= r.getLong(0)
+        }
+    })
+  }
 }
