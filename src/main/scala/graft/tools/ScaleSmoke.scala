@@ -63,7 +63,11 @@ object ScaleSmoke {
       // round 4: the single-pass q21 rewrite beside the self-join original,
       // plus the dedup chain against the now-replicated documents fact
       "q_tpch_q21_fast", "q_dedup_exact", "q_dedup_clusters",
-      "q_docs_pipeline", "q_text_freq_tokens")
+      "q_docs_pipeline", "q_text_freq_tokens",
+      // round 4b: decontamination over the replicated corpus, quantized
+      // retrieval, custom top-k exec, merge, BM25
+      "q_decontaminate", "q_sim_quantized_topk", "q_topk_per_group",
+      "q_merge_upsert", "q_text_bm25")
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
