@@ -340,8 +340,31 @@ object Joins {
        AND c_acctbal <= n_nationkey * 400 + 100
       GROUP BY n_nationkey"""))
 
+  /** NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM): null keys match
+    * each other instead of dropping out — the join-side counterpart of the
+    * null-aware anti join. Spark plans EqualNullSafe as a hash-join key
+    * (coalesced), so this stays a single-shuffle equi-join, not a filter
+    * over a cross product. */
+  val nullSafeJoin = QueryDef.sql(
+    "q_join_nullsafe",
+    """WITH a AS (SELECT nullif(o_orderkey % 97, 0) AS k, count(*) AS na
+                  FROM orders GROUP BY nullif(o_orderkey % 97, 0)),
+            b AS (SELECT nullif(o_orderkey % 97, 0) AS k,
+                         CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                       AS BIGINT)) AS BIGINT) AS pc
+                  FROM orders GROUP BY nullif(o_orderkey % 97, 0))
+       SELECT a.k, na, pc FROM a JOIN b ON a.k <=> b.k""",
+    """WITH a AS (SELECT nullif(o_orderkey % 97, 0) AS k, count(*) AS na
+                  FROM orders GROUP BY nullif(o_orderkey % 97, 0)),
+            b AS (SELECT nullif(o_orderkey % 97, 0) AS k,
+                         CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                       AS BIGINT)) AS BIGINT) AS pc
+                  FROM orders GROUP BY nullif(o_orderkey % 97, 0))
+       SELECT a.k, na, pc FROM a JOIN b
+       ON a.k IS NOT DISTINCT FROM b.k""")
+
   val all: Seq[QueryDef] = Seq(
     innerBhj, innerShj, innerSmj, q3TopK, q5Snowflake, leftOuter, rightOuter,
     fullOuter, semi, anti, antiNullAware, existence, cross, thetaBand,
-    rangeBucket)
+    rangeBucket, nullSafeJoin)
 }
