@@ -116,6 +116,18 @@ object ops {
       files: Int, bits: Int = 8): Unit =
     graft.operators.Layout.zorderWrite(df, cols, path, files, bits)
 
+  /** Benchmark decontamination — contaminated `test` docs sharing verbatim
+    * word n-grams with `train` (see
+    * [[graft.operators.Dedup.decontaminateDocs]]): distinct per-doc n-grams
+    * via the codegen kernel, hot grams capped at `maxDf` train-side
+    * document frequency BEFORE the join, one gram shuffle, no Expand.
+    * Returns (idCol, n_shared_grams, n_train_docs) per contaminated doc. */
+  def decontaminate(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, maxDf: Long = 1000): DataFrame =
+    graft.operators.Dedup.decontaminateDocs(train, test, idCol, textCol,
+      n, maxDf)
+
   /** Per-group top-k via the custom physical operator
     * [[graft.plans.TopKPerGroupExec]]: ONE hash shuffle on the group key,
     * then bounded per-group min-heaps — O(n log k) with k×groups state,

@@ -551,32 +551,42 @@ object Dedup {
     *
     * Output: one row per CONTAMINATED test doc. The driver's oracle runs the
     * identical set logic in DuckDB list functions. */
+  def decontaminateDocs(
+      train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 4, maxDf: Long = 1000): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.WordNgrams(
+            org.apache.spark.sql.graft.Bridge.expression(
+              split(col(textCol), " ")), n))).as("gram"))
+    val testG = grams(test, "test_id")
+    val trainG = grams(train, "train_id")
+    // rows are (doc, gram)-distinct by construction → count(*) per gram
+    // IS the document frequency; cap hot grams before the join
+    val keep = trainG.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("gram"))
+    val pairs = testG.join(trainG.join(keep, "gram"), "gram")
+    val sharedGrams = pairs.select(col("test_id"), col("gram")).distinct()
+      .groupBy(col("test_id")).agg(count(lit(1)).as("n_shared_grams"))
+    val sharedDocs = pairs.select(col("test_id"), col("train_id")).distinct()
+      .groupBy(col("test_id")).agg(count(lit(1)).as("n_train_docs"))
+    sharedGrams.join(sharedDocs, "test_id")
+      .select(col("test_id").as(idCol),
+        col("n_shared_grams"), col("n_train_docs"))
+  }
+
   val decontaminate = QueryDef(
     "q_decontaminate",
     (spark, dir) => {
-      val grams = Tables(spark, dir, "documents")
-        .select(col("doc_id"),
-          explode(org.apache.spark.sql.graft.Bridge.column(
-            graft.functions.WordNgrams(
-              org.apache.spark.sql.graft.Bridge.expression(
-                split(col("text"), " ")), 4))).as("gram"))
-      val test = grams.filter(col("doc_id") % 17 === 0)
-        .select(col("doc_id").as("test_id"), col("gram"))
-      val train = grams.filter(col("doc_id") % 17 =!= 0)
-        .select(col("doc_id").as("train_id"), col("gram"))
-      // rows are (doc, gram)-distinct by construction → count(*) per gram
-      // IS the document frequency; cap hot grams before the join
-      val keep = train.groupBy(col("gram"))
-        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000)
-        .select(col("gram"))
-      val pairs = test.join(train.join(keep, "gram"), "gram")
-      val sharedGrams = pairs.select(col("test_id"), col("gram")).distinct()
-        .groupBy(col("test_id")).agg(count(lit(1)).as("n_shared_grams"))
-      val sharedDocs = pairs.select(col("test_id"), col("train_id")).distinct()
-        .groupBy(col("test_id")).agg(count(lit(1)).as("n_train_docs"))
-      sharedGrams.join(sharedDocs, "test_id")
-        .select(col("test_id").as("doc_id"),
-          col("n_shared_grams"), col("n_train_docs"))
+      val docs = Tables(spark, dir, "documents")
+      decontaminateDocs(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text")
     },
     Some {
       val g4 =
