@@ -85,6 +85,33 @@ object Profiling {
          FROM lineitem)
        GROUP BY bucket""")
 
+  /** Data-quality constraint battery — the dbt-test / Deequ-style checks a
+    * pipeline runs before publishing a table, as ONE query of violation
+    * counts: key uniqueness, not-null, referential integrity (orphan
+    * facts), and domain bounds. Each check is an aggregate or an anti-join
+    * on the natural key — single shuffle apiece, no row materialization;
+    * Spark's subquery scan-reuse shares the base scans. A zero row means
+    * the contract holds (the counts are the assertion, so the oracle pins
+    * the CHECKER itself, not just the data). */
+  val constraints = QueryDef.sqlSame(
+    "q_quality_constraints",
+    """SELECT
+         (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                GROUP BY o_orderkey
+                                HAVING count(*) > 1)) AS dup_order_keys,
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+           AS null_custkeys,
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL) AS orphan_orders,
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
+         (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+           AS nonpositive_prices,
+         (SELECT count(*) FROM lineitem
+          WHERE l_discount < 0 OR l_discount > 1) AS bad_discounts""")
+
   val all: Seq[QueryDef] =
-    Seq(profileLineitem, profileLineitemExact, profileHistogram)
+    Seq(profileLineitem, profileLineitemExact, profileHistogram, constraints)
 }
