@@ -158,7 +158,18 @@ object SetOps {
       CROSS JOIN LATERAL (VALUES ('qty', t.qty), ('price', t.price),
                                  ('disc', t.disc)) m(measure, v)"""))
 
+  /** EXCEPT ALL — bag-semantics difference (multiplicity-aware, unlike
+    * EXCEPT's set semantics); summarized to a count so the nondeterministic
+    * bag order never reaches the compare. */
+  val exceptAll = QueryDef.sqlSame(
+    "q_except_all",
+    """SELECT count(*) AS n FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""")
+
   val all: Seq[QueryDef] = Seq(
     unionAll, unionDistinct, intersectQ, exceptQ, intersectAll,
-    coalescePartitions, repartitionByKey, repartitionByRangeQ, unpivotQ)
+    coalescePartitions, repartitionByKey, repartitionByRangeQ, unpivotQ,
+    exceptAll)
 }

@@ -455,10 +455,43 @@ object TpcdsShapes {
         AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
        GROUP BY o1.o_orderpriority""")
 
+  /** ds93/ds94: returns NETTING — revenue with returned lines subtracted
+    * inside ONE conditional aggregate (no separate returns-table join pass),
+    * rolled up to nations. The sign flip rides the same scan/shuffle the
+    * plain sum would use. */
+  val returnsNet = QueryDef.sqlSame(
+    "q_ds_returns_net",
+    """SELECT c_nationkey, count(*) AS n_customers,
+              CAST(sum(net) AS DOUBLE) / 100.0 AS net_revenue
+       FROM (
+         SELECT o_custkey,
+                CAST(sum(CASE WHEN l_returnflag = 'R'
+                     THEN -CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     ELSE CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     END) AS BIGINT) AS net
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey) x
+       JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey""")
+
+  /** ds90: time-bucket ratio (the am/pm query) — two FILTER counts over one
+    * scan, ratio as exact-int counts divided once. */
+  val timeRatio = QueryDef.sqlSame(
+    "q_ds_time_ratio",
+    """SELECT event_type,
+              count(*) FILTER (WHERE hour(ts) BETWEEN 8 AND 10) AS am,
+              count(*) FILTER (WHERE hour(ts) BETWEEN 19 AND 21) AS pm,
+              CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 8 AND 10)
+                   AS DOUBLE) /
+              CAST(count(*) FILTER (WHERE hour(ts) BETWEEN 19 AND 21)
+                   AS DOUBLE) AS am_pm_ratio
+       FROM events GROUP BY event_type""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
     existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin, bucketCountsFast,
-    channelOverlap, weekdayPivotRatio, covSelfJoin, followupWindow)
+    channelOverlap, weekdayPivotRatio, covSelfJoin, followupWindow,
+    returnsNet, timeRatio)
 }
