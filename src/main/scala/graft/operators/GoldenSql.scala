@@ -330,9 +330,43 @@ object GoldenSql {
                 AS hr,
               CAST(last_day(DATE '2021-02-10') AS STRING) AS feb_last""")
 
+  /** IGNORE NULLS window navigation: forward fill via first/last_value
+    * with null gaps — pins the gap semantics (leading nulls stay null on
+    * forward fill). Spark spells the clause AFTER the call
+    * (`first_value(v) IGNORE NULLS`), DuckDB INSIDE it
+    * (`first_value(v IGNORE NULLS)`) — same ANSI semantics, split text. */
+  val ignoreNulls = {
+    def text(fn: String => String) =
+      s"""SELECT k,
+              ${fn("first_value")} OVER
+                (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS first_seen,
+              ${fn("last_value")} OVER
+                (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS ffill
+         FROM (VALUES (1, CAST(NULL AS INT)), (2, 10), (3, NULL),
+                      (4, 20), (5, NULL)) AS t(k, v)"""
+    QueryDef.sql(
+      "q_golden_ignore_nulls",
+      text(f => s"$f(v) IGNORE NULLS"),
+      text(f => s"$f(v IGNORE NULLS)"))
+  }
+
+  /** greatest/least null handling: both dialects skip NULL arguments
+    * (Postgres semantics) and return NULL only when every argument is
+    * NULL — a classic cross-engine divergence point worth pinning. */
+  val greatestLeast = QueryDef.sqlSame(
+    "q_golden_greatest_least",
+    """SELECT CAST(greatest(x, y, 5) AS BIGINT) AS g,
+              CAST(least(x, y, 5) AS BIGINT) AS l,
+              CAST(greatest(x, y) AS BIGINT) AS g2
+       FROM (VALUES (1, CAST(NULL AS INT)), (CAST(NULL AS INT), 7),
+                    (CAST(NULL AS INT), CAST(NULL AS INT)), (9, 2))
+         AS t(x, y)""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
     dateDiff, tryOverflow, caseWhen, windowFrames, likeEscape, stringFns,
-    boolLogic, aggFilter, dateTrunc)
+    boolLogic, aggFilter, dateTrunc, ignoreNulls, greatestLeast)
 }
