@@ -50,6 +50,7 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_join_cross", "q_join_theta_band",          // cartesian/theta coverage
       "q_window_ntile", "q_golden_null_order",      // global windows: bounded
       "q_golden_window_frames",                     //   5-row VALUES constant
+      "q_golden_ignore_nulls",                      //   5-row VALUES constant
       "q_ds_cumulative_fulljoin", "q_ds_dual_rank", //   post-agg series
       "q_dedup_embedding", "q_sim_topk_brute",      // labeled baselines
       "q_sim_ann_ivf", "q_sim_dot_topk",            // broadcast-bounded ANN
