@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** KLL-style mergeable quantile sketch buffer.
+  *
+  * Levels of capacity-`k` double arrays; level `i` items each stand for
+  * 2^i input values. When a level fills, it is sorted and every other
+  * element is promoted to the next level (classic KLL compaction). The
+  * promotion offset alternates with that level's compaction count instead
+  * of a random coin — DETERMINISTIC for a fixed dataset+partitioning (the
+  * registry's reproducibility requirement; the alternation keeps the
+  * rank bias oscillating around zero rather than compounding).
+  * Space: O(k·log(n/k)); rank error ~1.5/k of N (KllSpec pins ≤3% at
+  * k=256 on the fixtures).
+  */
+final class KllBuffer(val k: Int) {
+  val levels: ArrayBuffer[ArrayBuffer[Double]] =
+    ArrayBuffer(new ArrayBuffer[Double](k))
+  private val compactions = ArrayBuffer(0)
+  var count: Long = 0L
+
+  def add(v: Double): Unit = {
+    levels(0) += v
+    count += 1
+    var i = 0
+    while (i < levels.length && levels(i).length > k) {
+      compactLevel(i)
+      i += 1
+    }
+  }
+
+  private def compactLevel(i: Int): Unit = {
+    if (i + 1 == levels.length) { levels += new ArrayBuffer[Double](k); compactions += 0 }
+    val lv = levels(i).sorted
+    val off = compactions(i) & 1
+    compactions(i) += 1
+    var j = off
+    while (j < lv.length) { levels(i + 1) += lv(j); j += 2 }
+    levels(i).clear()
+    // an odd survivor is dropped with its weight folded into the
+    // alternation; KLL's bound absorbs this
+  }
+
+  def merge(other: KllBuffer): Unit = {
+    while (levels.length < other.levels.length) {
+      levels += new ArrayBuffer[Double](k); compactions += 0
+    }
+    var i = 0
+    while (i < other.levels.length) {
+      levels(i) ++= other.levels(i)
+      var j = i
+      while (j < levels.length && levels(j).length > k) { compactLevel(j); j += 1 }
+      i += 1
+    }
+    count += other.count
+  }
+
+  /** value whose weighted rank first reaches q·N (q in [0,1]). */
+  def quantile(q: Double): Double = {
+    if (count == 0L) return Double.NaN
+    val weighted = ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < levels.length) {
+      val w = 1L << i
+      levels(i).foreach(v => weighted += ((v, w)))
+      i += 1
+    }
+    val sorted = weighted.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var acc = 0L
+    var idx = 0
+    while (idx < sorted.length) {
+      acc += sorted(idx)._2
+      if (acc >= target) return sorted(idx)._1
+      idx += 1
+    }
+    sorted.last._1
+  }
+}
+
+/** kll_quantile(col, q[, k]) — approximate quantile via a mergeable
+  * KLL-style sketch with deterministic compaction. Genuine
+  * partial/merge/final aggregation: each partition keeps O(k·log n)
+  * doubles, the shuffle moves one sketch per group, and the estimate is
+  * computed once at final. Complements the other sketch UDAFs
+  * (kmv_distinct for cardinality, freq_sketch for heavy hitters) — the
+  * sketch family the reference lacks entirely (its aggregate list is six
+  * built-ins, ColumnarHashAggregation.scala:101-196). */
+case class KllQuantile(
+    child: Expression,
+    q: Double,
+    k: Int = 256,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] {
+  require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+
+  override def prettyName: String = "kll_quantile"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case n: Number => n.doubleValue()
+    })
+    buf
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = { a.merge(b); a }
+
+  override def eval(buf: KllBuffer): Any = buf.quantile(q)
+
+  override def serialize(buf: KllBuffer): Array[Byte] = {
+    val n = buf.levels.map(_.length).sum
+    val bb = ByteBuffer.allocate(8 + 4 + buf.levels.length * 4 + n * 8)
+    bb.putLong(buf.count)
+    bb.putInt(buf.levels.length)
+    buf.levels.foreach { lv =>
+      bb.putInt(lv.length)
+      lv.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val count = bb.getLong
+    val nLevels = bb.getInt
+    // rebuild level structure verbatim (no re-adding: weights must stay)
+    while (buf.levels.length < nLevels) buf.levels += new ArrayBuffer[Double](k)
+    (0 until nLevels).foreach { i =>
+      val m = bb.getInt
+      (0 until m).foreach(_ => buf.levels(i) += bb.getDouble)
+    }
+    buf.count = count
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantile =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantile =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllQuantile =
+    copy(child = newChildren.head)
+}

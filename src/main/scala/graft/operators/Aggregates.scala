@@ -267,6 +267,23 @@ object Aggregates {
     },
     None)
 
+  /** Custom KLL-style quantile sketch UDAF (graft.functions.KllQuantile)
+    * beside the built-in GK sketch above — mergeable partial/merge/final
+    * with O(k·log n) state per group and DETERMINISTIC compaction (no
+    * random coin), so the registry row reproduces run-to-run. Approximate
+    * → rows-only; rank-error ≤3% vs exact is pinned in KllSpec. */
+  val aggKllQuantile = QueryDef(
+    "q_agg_kll_quantile",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("kll_quantile(l_extendedprice, 0.5D)").as("kp50"),
+          expr("kll_quantile(l_extendedprice, 0.95D)").as("kp95"),
+          count(lit(1)).as("n"))
+    },
+    None)
+
   /** Aggregation over genuinely-null inputs: count(col) skips nulls,
     * sum of an all-null slice is NULL, avg ignores nulls. */
   val aggNulls = QueryDef.sqlSame(
@@ -367,6 +384,6 @@ object Aggregates {
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
-    aggGlobal, having, pivot, percentile, aggApproxPercentile, aggNulls,
-    aggTyped, aggDecimalSum, aggCollect)
+    aggGlobal, having, pivot, percentile, aggApproxPercentile,
+    aggKllQuantile, aggNulls, aggTyped, aggDecimalSum, aggCollect)
 }

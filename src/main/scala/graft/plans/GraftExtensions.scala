@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KmvDistinct, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -90,6 +90,24 @@ object GraftFunctions {
         case Seq(tokens, Literal(n: Int, _)) => WordNgrams(tokens, n)
         case _ => throw new IllegalArgumentException(
           "word_ngrams(tokens[, n]) requires a literal n")
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(col, q[, k]) - approximate quantile (KLL sketch)"),
+      (args: Seq[Expression]) => {
+        // SQL `0.5` parses as a Decimal literal, `0.5D` as Double
+        def qOf(e: Expression): Double = e match {
+          case Literal(q: Double, _) => q
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile: q must be a numeric literal, got $other")
+        }
+        args match {
+          case Seq(c, qe) => KllQuantile(c, qOf(qe))
+          case Seq(c, qe, Literal(k: Int, _)) => KllQuantile(c, qOf(qe), k)
+          case _ => throw new IllegalArgumentException(
+            "kll_quantile(col, q[, k]) requires literal q (and k)")
+        }
       }),
     (FunctionIdentifier("quantize_i8"),
       info("quantize_i8",

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy/determinism bounds for the KLL-style quantile sketch UDAF
+  * (graft.functions.KllQuantile) — the sketch-family analogue of KmvSpec's
+  * cardinality bounds. */
+class KllSpec extends GraftSpecBase {
+
+  private val sp = TestSpark.spark
+
+  private def li = Tables(sp, sfDir, "lineitem")
+
+  test("rank error of the sketch quantile is within 3% of N") {
+    val n = li.count()
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val est = li.agg(expr(s"kll_quantile(l_extendedprice, ${q}D)"))
+        .head.getDouble(0)
+      // true rank of the estimate
+      val rank = li.filter(col("l_extendedprice") <= est).count()
+      val err = math.abs(rank.toDouble - q * n) / n
+      assert(err <= 0.03, s"q=$q est=$est rank=$rank n=$n err=$err")
+    }
+  }
+
+  test("sketch estimate is deterministic across runs") {
+    def run() = li.groupBy(col("l_returnflag"))
+      .agg(expr("kll_quantile(l_quantity, 0.5D)").as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(run() == run())
+  }
+
+  test("merged sketches over a repartitioned input stay within bound") {
+    val n = li.count()
+    val est = li.repartition(32)
+      .agg(expr("kll_quantile(l_extendedprice, 0.5D)")).head.getDouble(0)
+    val rank = li.filter(col("l_extendedprice") <= est).count()
+    assert(math.abs(rank.toDouble - 0.5 * n) / n <= 0.03)
+  }
+
+  test("degenerate inputs: empty group is NaN, single value is exact") {
+    import sp.implicits._
+    val one = Seq(42.0).toDF("v")
+      .agg(expr("kll_quantile(v, 0.5D)")).head.getDouble(0)
+    assert(one == 42.0)
+    val none = Seq.empty[Double].toDF("v")
+      .agg(expr("kll_quantile(v, 0.5D)")).head.getDouble(0)
+    assert(none.isNaN)
+  }
+}

@@ -54,6 +54,7 @@ class RegistrySpec extends GraftSpecBase {
     assert(noOracle.toSet ==
       Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
         "q_agg_approx_distinct", "q_agg_approx_percentile",
+        "q_agg_kll_quantile",
         "q_profile_lineitem", "q_docs_pipeline", "q_text_freq_tokens"),
       s"unexpected oracle-less queries: $noOracle")
   }
