@@ -364,9 +364,40 @@ object GoldenSql {
                     (CAST(NULL AS INT), CAST(NULL AS INT)), (9, 2))
          AS t(x, y)""")
 
+  /** LIMIT/OFFSET paging over a total order — the page is well-defined
+    * only with a tie-free ORDER BY; pins that both engines agree on the
+    * page boundary rows. */
+  val limitOffset = QueryDef.sqlSame(
+    "q_golden_limit_offset",
+    """SELECT o_orderkey, o_orderstatus
+       FROM orders ORDER BY o_orderkey LIMIT 7 OFFSET 13""")
+
+  /** Quantifier semantics over EMPTY relations: EXISTS () is false,
+    * NOT IN (empty) is TRUE (three-valued logic has no rows to poison),
+    * scalar subquery over empty is NULL. */
+  val emptyQuantifiers = QueryDef.sqlSame(
+    "q_golden_empty_quantifiers",
+    """SELECT
+         CAST(EXISTS (SELECT 1 FROM orders WHERE 1 = 0) AS INT) AS ex,
+         CAST(1 NOT IN (SELECT o_orderkey FROM orders WHERE 1 = 0) AS INT)
+           AS ni,
+         coalesce((SELECT max(o_orderkey) FROM orders WHERE 1 = 0), -1)
+           AS scal""")
+
+  /** String concatenation null propagation via the ANSI `||` operator —
+    * BOTH engines null-propagate `||` (unlike concat(), where the dialects
+    * diverge: Spark nulls, DuckDB skips — which is exactly why the
+    * portable pin uses the operator). */
+  val concatNull = QueryDef.sqlSame(
+    "q_golden_concat_null",
+    """SELECT coalesce('a' || CAST(NULL AS VARCHAR(8)), '<null>') AS pipe_null,
+              'a' || 'b' || 'c' AS pipe_chain,
+              coalesce(CAST(NULL AS VARCHAR(8)) || 'x', '<null>') AS null_first""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
     dateDiff, tryOverflow, caseWhen, windowFrames, likeEscape, stringFns,
-    boolLogic, aggFilter, dateTrunc, ignoreNulls, greatestLeast)
+    boolLogic, aggFilter, dateTrunc, ignoreNulls, greatestLeast,
+    limitOffset, emptyQuantifiers, concatNull)
 }

@@ -487,11 +487,40 @@ object TpcdsShapes {
                    AS DOUBLE) AS am_pm_ratio
        FROM events GROUP BY event_type""")
 
+  /** ds21: before/after-threshold balance — per-key conditional sums
+    * around a date cut, HAVING a bounded ratio expressed as INTEGER
+    * cross-multiplication (2·after ≤ 3·before ∧ 2·before ≤ 3·after ⇔
+    * ratio ∈ [⅔, 3/2]) so no double division can flip a boundary group. */
+  val beforeAfter = QueryDef.sqlSame(
+    "q_ds_before_after",
+    """SELECT l_suppkey,
+              CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                   FILTER (WHERE l_shipdate < TIMESTAMP '1998-01-01')
+                   AS BIGINT) AS before_q,
+              CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                   FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+                   AS BIGINT) AS after_q
+       FROM lineitem GROUP BY l_suppkey
+       HAVING 2 * after_q <= 3 * before_q
+          AND 2 * before_q <= 3 * after_q""")
+
+  /** ds76: per-channel census of facts with a NULL dimension key (the
+    * "rows that would drop out of an inner join" report) — UNION ALL of
+    * channel branches, count vs count(nullable). */
+  val nullChannel = QueryDef.sqlSame(
+    "q_ds_null_channel",
+    """SELECT 'low' AS channel, count(*) AS n,
+              count(nullif(l_suppkey % 7, 0)) AS with_key
+       FROM lineitem WHERE l_quantity < 25.0
+       UNION ALL
+       SELECT 'high', count(*), count(nullif(l_suppkey % 7, 0))
+       FROM lineitem WHERE l_quantity >= 25.0""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
     existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin, bucketCountsFast,
     channelOverlap, weekdayPivotRatio, covSelfJoin, followupWindow,
-    returnsNet, timeRatio)
+    returnsNet, timeRatio, beforeAfter, nullChannel)
 }

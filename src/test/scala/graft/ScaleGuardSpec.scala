@@ -51,6 +51,10 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_window_ntile", "q_golden_null_order",      // global windows: bounded
       "q_golden_window_frames",                     //   5-row VALUES constant
       "q_golden_ignore_nulls",                      //   5-row VALUES constant
+      "q_golden_empty_quantifiers",                 // NOT-IN over an
+                                                    //   empty (1=0) subquery
+                                                    //   plans a null-aware
+                                                    //   BNLJ on 1 row
       "q_ds_cumulative_fulljoin", "q_ds_dual_rank", //   post-agg series
       "q_dedup_embedding", "q_sim_topk_brute",      // labeled baselines
       "q_sim_ann_ivf", "q_sim_dot_topk",            // broadcast-bounded ANN
