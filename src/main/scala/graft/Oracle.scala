@@ -12,7 +12,15 @@ import org.apache.spark.sql.types._
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String]) {
+    oracle: Option[String],
+    /** true = this query exists to pin a REFERENCE PLANNER SHAPE (e.g. the
+      * canonical TPC-H q21 triple-fact-scan, the ds95 EXISTS self-join, the
+      * all-pairs embedding baseline) whose plan is deliberately NOT the
+      * 100 TB-scale path. Every parity shape has a scale-safe twin in the
+      * registry (`*_fast`, LSH/IVF variants) pinned to the same oracle, and
+      * the `Ops` facade must never route through a parity shape —
+      * ParityShapeSpec asserts both. */
+    parityShape: Boolean = false) {
   require(name.matches("[a-z0-9_]+"), s"query name must be a slug: $name")
 }
 

@@ -79,7 +79,9 @@ object HashKernels {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc = (acc * 31L + arr.getUTF8String(i).numChars()) % 1000000007L
+      if (!arr.isNullAt(i)) {
+        acc = (acc * 31L + arr.getUTF8String(i).numChars()) % 1000000007L
+      }
       i += 1
     }
     acc
@@ -96,7 +98,7 @@ object HashKernels {
     var n = 0L
     var i = 0
     while (i < len) {
-      if (set.contains(arr.getUTF8String(i))) n += 1
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
       i += 1
     }
     n
@@ -109,6 +111,8 @@ object HashKernels {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < k) {
@@ -117,6 +121,7 @@ object HashKernels {
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }

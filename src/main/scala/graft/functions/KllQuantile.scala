@@ -5,9 +5,10 @@ import java.nio.ByteBuffer
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, Decimal, DoubleType, NumericType}
 
 /** KLL-style mergeable quantile sketch buffer.
   *
@@ -109,6 +110,15 @@ case class KllQuantile(
   override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
 
+  // Fail at analysis, not with a MatchError on executors: the sketch only
+  // holds doubles, so the child must be numeric (Decimal included — it is
+  // not a java.lang.Number, hence the explicit update() branch).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_quantile requires a numeric column, got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
 
   override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
@@ -118,6 +128,7 @@ case class KllQuantile(
       case f: Float => f.toDouble
       case l: Long => l.toDouble
       case i: Int => i.toDouble
+      case d: Decimal => d.toDouble
       case n: Number => n.doubleValue()
     })
     buf

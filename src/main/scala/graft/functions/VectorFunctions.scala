@@ -17,11 +17,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *
   * Both accumulate in double, strictly left-to-right, so results are
   * bit-identical to any oracle that folds the same order (DuckDB
-  * `list_reduce`). Null-element-free arrays are assumed (embedding fixtures
-  * are dense); mismatched lengths use the common prefix.
+  * `list_reduce`). Null elements count as 0.0 (the guard is only emitted
+  * when the array type declares containsNull, so dense embeddings pay
+  * nothing); mismatched lengths use the common prefix.
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  protected def anyNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -47,7 +53,9 @@ case class VecDot(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
-      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      if (!anyNullable || (!a.isNullAt(i) && !b.isNullAt(i))) {
+        dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      }
       i += 1
     }
     dot
@@ -60,11 +68,15 @@ case class VecDot(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
     val i = ctx.freshName("i")
+    val guard = if (anyNullable)
+      (a: String, b: String, i: String) =>
+        s"if (!$a.isNullAt($i) && !$b.isNullAt($i)) "
+    else (_: String, _: String, _: String) => ""
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       int $n = Math.min($a.numElements(), $b.numElements());
       double $dot = 0.0;
       for (int $i = 0; $i < $n; $i++) {
-        $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        ${guard(a, b, i)}$dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
       }
       ${ev.value} = $dot;
     """)
@@ -89,9 +101,11 @@ case class CosineSim(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
+      if (!anyNullable || (!a.isNullAt(i) && !b.isNullAt(i))) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
@@ -103,10 +117,15 @@ case class CosineSim(left: Expression, right: Expression)
     val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
     val i = ctx.freshName("i"); val x = ctx.freshName("x")
     val y = ctx.freshName("y")
+    val guard = if (anyNullable)
+      (a: String, b: String, ii: String) =>
+        s"if ($a.isNullAt($ii) || $b.isNullAt($ii)) continue;"
+    else (_: String, _: String, _: String) => ""
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       int $n = Math.min($a.numElements(), $b.numElements());
       double $dot = 0.0, $na = 0.0, $nb = 0.0;
       for (int $i = 0; $i < $n; $i++) {
+        ${guard(a, b, i)}
         double $x = (double) $a.getFloat($i);
         double $y = (double) $b.getFloat($i);
         $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
@@ -153,6 +172,11 @@ case class SignProjection(child: Expression, nBits: Int)
       s"$prettyName requires array<float>, got ${other.simpleString}")
   }
 
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
@@ -162,9 +186,11 @@ case class SignProjection(child: Expression, nBits: Int)
       var dot = 0.0
       var j = 0
       while (j < n) {
-        val coef = (((i * SignProjection.P1) ^ (j * SignProjection.P2))
-          % 2001L - 1000L).toDouble / 1000.0
-        dot += a.getFloat(j).toDouble * coef
+        if (!elemNullable || !a.isNullAt(j)) {
+          val coef = (((i * SignProjection.P1) ^ (j * SignProjection.P2))
+            % 2001L - 1000L).toDouble / 1000.0
+          dot += a.getFloat(j).toDouble * coef
+        }
         j += 1
       }
       if (dot > 0.0) sig |= (1L << i)
@@ -177,12 +203,16 @@ case class SignProjection(child: Expression, nBits: Int)
     val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
     val dot = ctx.freshName("dot"); val coef = ctx.freshName("coef")
     val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val guard = if (elemNullable)
+      (a: String, j: String) => s"if ($a.isNullAt($j)) continue;"
+    else (_: String, _: String) => ""
     nullSafeCodeGen(ctx, ev, a => s"""
       int $n = $a.numElements();
       long $sig = 0L;
       for (int $i = 0; $i < $nBits; $i++) {
         double $dot = 0.0;
         for (int $j = 0; $j < $n; $j++) {
+          ${guard(a, j)}
           double $coef = (double) ((($i * ${SignProjection.P1}L) ^
             ($j * ${SignProjection.P2}L)) % 2001L - 1000L) / 1000.0;
           $dot += (double) $a.getFloat($j) * $coef;
@@ -215,29 +245,39 @@ object VectorKernels {
     var m = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(arr.getFloat(i).toDouble)
-      if (v > m) m = v
+      if (!arr.isNullAt(i)) {
+        val v = math.abs(arr.getFloat(i).toDouble)
+        if (v > m) m = v
+      }
       i += 1
     }
     val out = new Array[Byte](n)
     if (m > 0.0) {
       i = 0
       while (i < n) {
-        out(i) = math.floor(
-          arr.getFloat(i).toDouble * 127.0 / m + 0.5).toByte
+        if (!arr.isNullAt(i)) {
+          out(i) = math.floor(
+            arr.getFloat(i).toDouble * 127.0 / m + 0.5).toByte
+        }
         i += 1
       }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Exact integer dot product of two int8 vectors. */
+  /** Exact integer dot product of two int8 vectors. Mismatched lengths are
+    * data corruption for quantized embeddings (fixed dims), not a
+    * truncation opportunity — fail loudly. */
   def vecDotI8(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vec_dot_i8: vector length mismatch ($n vs ${b.numElements()})")
     var dot = 0L
     var i = 0
     while (i < n) {
-      dot += a.getByte(i).toLong * b.getByte(i).toLong
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        dot += a.getByte(i).toLong * b.getByte(i).toLong
+      }
       i += 1
     }
     dot

@@ -30,7 +30,7 @@ object Dedup {
     org.apache.spark.sql.graft.Bridge.column(graft.functions.WordNgrams(
       org.apache.spark.sql.graft.Bridge.expression(t), 3))
 
-  private val duckShingles =
+  private[operators] val duckShingles =
     """list_distinct(list_transform(range(len(str_split(text, ' ')) - 2),
        i -> str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2]
             || ' ' || str_split(text, ' ')[i+3]))"""
@@ -58,32 +58,43 @@ object Dedup {
                    count(*) AS n_copies
             FROM documents GROUP BY md5(text))"""))
 
+  /** Library API: exact n-gram Jaccard scored candidate pairs, blocked on a
+    * 40-char prefix (the fixture's near-dups share long prefixes; at scale
+    * the blocking key is any cheap locality surrogate). Int-ratio
+    * arithmetic → bit-identical across engines, which makes this the
+    * DETERMINISTIC near-dup stage an end-to-end pipeline can carry while
+    * staying DuckDB-oracle-checkable (unlike the xxhash MinHash path). */
+  def ngramJaccardPairs(
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    // persist: both sides of the candidate self-join reuse the shingle
+    // computation (at scale: a checkpointed intermediate table)
+    val d = docs
+      .select(col(idCol), col(textCol),
+        substring(col(textCol), 1, 40).as("blk"),
+        shingles(toks(col(textCol))).as("grams"))
+      .persist()
+    val a = d.select(col(idCol).as("doc_a"), col("blk"),
+      col("grams").as("ga"))
+    val b = d.select(col(idCol).as("doc_b"), col("blk").as("blk_b"),
+      col("grams").as("gb"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked on a 40-char prefix
     * (the fixture's near-dups share long prefixes). Int-ratio arithmetic →
     * bit-identical across engines. */
   val ngramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
-    (spark, dir) => {
-      // persist: both sides of the candidate self-join reuse the shingle
-      // computation (at scale: a checkpointed intermediate table)
-      val d = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          substring(col("text"), 1, 40).as("blk"),
-          shingles(toks(col("text"))).as("grams"))
-        .persist()
-      val a = d.select(col("doc_id").as("doc_a"), col("blk"),
-        col("grams").as("ga"))
-      val b = d.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
-        col("grams").as("gb"))
-      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
-        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
-        .select(
-          col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
-            .as("jaccard"))
-        .withColumn("is_dup", col("jaccard") >= 0.5)
-    },
+    (spark, dir) =>
+      ngramJaccardPairs(Tables(spark, dir, "documents"), "doc_id", "text")
+        .withColumn("is_dup", col("jaccard") >= 0.5),
     Some(s"""
       SELECT doc_a, doc_b,
              CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE)
@@ -303,7 +314,7 @@ object Dedup {
                ${duckCosine("a.embedding", "b.embedding")} AS cos
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id)
-      WHERE cos > 0.45"""))
+      WHERE cos > 0.45""")).copy(parityShape = true)
 
   /** DuckDB cosine with strict left-to-right double folding — mirrors
     * CosineSim's accumulation order exactly. */

@@ -79,7 +79,7 @@ object Similarity {
                  ${Dedup.duckCosine("q.embedding", "c.embedding")} AS cos
           FROM embeddings q, embeddings c
           WHERE q.vec_id < 8 AND c.vec_id >= 8))
-      WHERE rn <= 10"""))
+      WHERE rn <= 10""")).copy(parityShape = true)
 
   /** Multi-probe LSH ANN: a 12-bit sign projection split into two
     * independent 6-bit hash tables (OR-construction — a candidate is

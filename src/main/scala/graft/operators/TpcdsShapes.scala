@@ -318,7 +318,7 @@ object TpcdsShapes {
                        ON l1.l_orderkey = l2.l_orderkey
                           AND l1.l_suppkey <> l2.l_suppkey
                      WHERE l1.l_orderkey = o_orderkey)
-       GROUP BY o_orderpriority""")
+       GROUP BY o_orderpriority""").copy(parityShape = true)
 
   /** ds31: one aggregated CTE self-joined THREE ways (consecutive-year
     * chain) — with no CTE materialization Spark inlines the subtree per

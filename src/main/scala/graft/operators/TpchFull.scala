@@ -260,7 +260,7 @@ object TpchFull {
          AND s_nationkey = n_nationkey
          AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
        GROUP BY s_name
-       ORDER BY numwait DESC, s_name LIMIT 100""")
+       ORDER BY numwait DESC, s_name LIMIT 100""").copy(parityShape = true)
 
   /** Q21 rewritten for scale, against the ORIGINAL q21 oracle: the
     * EXISTS / NOT EXISTS pair only ask, per order, "how many distinct

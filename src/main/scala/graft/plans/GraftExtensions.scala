@@ -99,6 +99,8 @@ object GraftFunctions {
         def qOf(e: Expression): Double = e match {
           case Literal(q: Double, _) => q
           case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case Literal(i: Int, _) => i.toDouble
+          case Literal(l: Long, _) => l.toDouble
           case other => throw new IllegalArgumentException(
             s"kll_quantile: q must be a numeric literal, got $other")
         }

@@ -49,19 +49,31 @@ case class TopKPerGroup(
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerGroup =>
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      // honor spark.sql.caseSensitive, and refuse ambiguous bindings (e.g.
+      // duplicate names after a self-join) instead of silently taking the
+      // first match
       def attr(name: String): Attribute =
-        t.child.output.find(_.name == name).getOrElse(
-          throw new IllegalArgumentException(
-            s"topKPerGroup: no column '$name' in ${t.child.output.map(_.name)}"))
+        t.child.output.filter(a => conf.resolver(a.name, name)) match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"topKPerGroup: no column '$name' in ${t.child.output.map(_.name)}")
+          case many => throw new IllegalArgumentException(
+            s"topKPerGroup: ambiguous column '$name' matches " +
+              s"${many.map(_.qualifiedName)}; disambiguate before topKPerGroup")
+        }
+      val maxGroups = conf.getConfString(
+        "spark.graft.topk.maxGroupsPerPartition", "8000000").toLong
       TopKPerGroupExec(t.groupCols.map(attr), attr(t.valueCol),
-        attr(t.tieCol), t.k, planLater(t.child)) :: Nil
+        attr(t.tieCol), t.k, maxGroups, planLater(t.child)) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(
     groupAttrs: Seq[Attribute], valueAttr: Attribute, tieAttr: Attribute,
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, maxGroupsPerPartition: Long, child: SparkPlan)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -87,6 +99,7 @@ case class TopKPerGroupExec(
         override def compare(a: InternalRow, b: InternalRow): Int =
           better.compare(b, a)
       }
+      val maxGroups = maxGroupsPerPartition
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
       while (iter.hasNext) {
@@ -94,6 +107,12 @@ case class TopKPerGroupExec(
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
+          // fail fast with an actionable message rather than slow-OOMing
+          // the executor: heap state is k rows per distinct group key
+          if (heaps.size() >= maxGroups) throw new IllegalStateException(
+            s"topKPerGroup: more than $maxGroups distinct group keys in one " +
+              "partition; raise spark.graft.topk.maxGroupsPerPartition or " +
+              "use the window row_number() formulation, which spills")
           pq = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
           heaps.put(key.copy(), pq)
         }

@@ -9,16 +9,44 @@ import org.apache.spark.sql.functions._
   * queries against it. Validates that plans chosen at sf0.1 still behave at
   * ~10× — the local stand-in for the 100 TB question. Usage:
   *   sbt "runMain graft.tools.ScaleSmoke [factor] [srcDir] [outDir]"
+  *
+  * GATE mode (round 5): `runMain graft.tools.ScaleSmoke gate fA fB` times
+  * every heavy query at both factors and FAILS (exit 1) when a query not
+  * tagged [[graft.QueryDef.parityShape]] grows super-linearly — wall time
+  * ratio > (fB/fA) × slack. Parity shapes (the canonical q21 self-joins
+  * etc.) are reported but never gate: their scale behavior is pinned by
+  * their `*_fast` twins instead.
   */
 object ScaleSmoke {
-  def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
-    val spark = Engine.configure(
-      SparkSession.builder().master(s"local[${Engine.cpus}]")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  val heavy = Seq("q1_agg", "q_join_q5_snowflake", "q_join_inner_smj",
+    "q_tpch_q18", "q_events_sessionize", "q_window_running_sum",
+    "q_dedup_minhash_lsh", "q_union_distinct",
+    // round 3: anti-join chain, SSB star, LSH near-dup, packing
+    "q_tpch_q21", "q_ssb_q4_1", "q_dedup_embedding_lsh",
+    "q_pack_sequences",
+    // round 4: the single-pass q21 rewrite beside the self-join original,
+    // plus the dedup chain against the now-replicated documents fact
+    "q_tpch_q21_fast", "q_dedup_exact", "q_dedup_clusters",
+    "q_docs_pipeline", "q_text_freq_tokens",
+    // round 4b: decontamination over the replicated corpus, quantized
+    // retrieval, custom top-k exec, merge, BM25
+    "q_decontaminate", "q_sim_quantized_topk", "q_topk_per_group",
+    "q_merge_upsert", "q_text_bm25")
+
+  /** Gate exemptions beyond parityShape, each with the reason on record:
+    * q_dedup_clusters is linear in its INPUT (the near-dup pair list), but
+    * the replica corpus makes that input itself quadratic in the
+    * duplication factor — the measured 100× blow-up is the pair graph, not
+    * the operator; the curation pipeline bounds it by exact-dedup-first
+    * (the ordering study committed in round 4). */
+  val gateExempt = Set("q_dedup_clusters")
+
+  private def parityShapes: Set[String] =
+    SparkEntry.registry.filter(_.parityShape).map(_.name).toSet
+
+  private def buildScratch(spark: SparkSession, factor: Int, src: String,
+      out: String): Unit = {
     val dims = Seq("region", "nation", "customer", "supplier", "part",
       "embeddings")
     dims.foreach { t =>
@@ -53,27 +81,68 @@ object ScaleSmoke {
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS")))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
 
-    val heavy = Seq("q1_agg", "q_join_q5_snowflake", "q_join_inner_smj",
-      "q_tpch_q18", "q_events_sessionize", "q_window_running_sum",
-      "q_dedup_minhash_lsh", "q_union_distinct",
-      // round 3: anti-join chain, SSB star, LSH near-dup, packing
-      "q_tpch_q21", "q_ssb_q4_1", "q_dedup_embedding_lsh",
-      "q_pack_sequences",
-      // round 4: the single-pass q21 rewrite beside the self-join original,
-      // plus the dedup chain against the now-replicated documents fact
-      "q_tpch_q21_fast", "q_dedup_exact", "q_dedup_clusters",
-      "q_docs_pipeline", "q_text_freq_tokens",
-      // round 4b: decontamination over the replicated corpus, quantized
-      // retrieval, custom top-k exec, merge, BM25
-      "q_decontaminate", "q_sim_quantized_topk", "q_topk_per_group",
-      "q_merge_upsert", "q_text_bm25")
-    heavy.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, out).count()
-      val dt = (System.nanoTime() - t0) / 1e9
+  /** min-of-2 warm wall time per heavy query at `dir`. */
+  private def timeAll(spark: SparkSession, dir: String,
+      factor: Int): Map[String, Double] =
+    heavy.map { name =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, n)
+      }
+      val (dt, n) = (times.map(_._1).min, times.head._2)
       println(f"[scale-smoke x$factor] $name%-24s rows=$n%-9d ${dt}%.2fs")
+      name -> dt
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[${Engine.cpus}]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (args.headOption.contains("gate")) {
+      val fA = args.lift(1).map(_.toInt).getOrElse(10)
+      val fB = args.lift(2).map(_.toInt).getOrElse(30)
+      val src = args.lift(3).getOrElse("/root/testdata/sf0.1")
+      val slack = 2.0  // log-factor + noise headroom over proportional
+      val parity = parityShapes
+      val dirs = Seq(fA, fB).map { f =>
+        val out = s"/tmp/graft_scale_x$f"
+        buildScratch(spark, f, src, out)
+        f -> out
+      }
+      val Seq(tA, tB) = dirs.map { case (f, d) => timeAll(spark, d, f) }
+      val budget = slack * fB / fA
+      val violations = heavy.filter { name =>
+        val ratio = tB(name) / math.max(tA(name), 0.05)
+        val tagged = parity.contains(name) || gateExempt.contains(name)
+        val verdict =
+          if (ratio <= budget) "linear-ok"
+          else if (tagged) "super-linear (tagged, allowed)"
+          else "SUPER-LINEAR — FAIL"
+        println(f"[scale-gate] $name%-24s x$fA=${tA(name)}%.2fs " +
+          f"x$fB=${tB(name)}%.2fs ratio=${ratio}%.1f budget=${budget}%.1f " +
+          verdict)
+        ratio > budget && !tagged
+      }
+      spark.stop()
+      if (violations.nonEmpty) {
+        System.err.println(
+          s"[scale-gate] FAILED: ${violations.mkString(", ")}")
+        sys.exit(1)
+      }
+      println(s"[scale-gate] PASS: all untagged heavy queries within " +
+        f"$budget%.1fx at $fB/$fA scale")
+    } else {
+      val factor = args.headOption.map(_.toInt).getOrElse(10)
+      val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val out = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+      buildScratch(spark, factor, src, out)
+      timeAll(spark, out, factor)
+      spark.stop()
     }
-    spark.stop()
   }
 }
