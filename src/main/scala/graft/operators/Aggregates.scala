@@ -252,20 +252,27 @@ object Aggregates {
   /** approx_percentile beside the exact percentiles — Spark's built-in
     * Greenwald-Khanna quantile sketch (bounded state per group, one
     * partial/merge/final pass; the scale path where exact percentile's
-    * full-sort-per-group is not affordable). Approximate → rows-only for
-    * the driver; the accuracy bound vs the exact values is pinned in
-    * KmvSpec alongside the other sketch bounds. */
+    * full-sort-per-group is not affordable). At accuracy 1e6 the GK bound
+    * (relativeError·N < 0.5 ranks for any group under ~500k rows) pins the
+    * sketch to the EXACT discrete percentile, so the row is
+    * DuckDB-oracle-checked against quantile_disc; the loose-accuracy
+    * behavior stays pinned in KmvSpec alongside the other sketch bounds.
+    * (GK rank convention = DuckDB quantile_disc: smallest element whose
+    * rank >= ceil(p*N).) */
   val aggApproxPercentile = QueryDef(
     "q_agg_approx_percentile",
     (spark, dir) => {
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
-          expr("approx_percentile(l_quantity, 0.9, 1000)").as("ap90"),
+          expr("approx_percentile(l_quantity, 0.5, 1000000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000000)").as("ap90"),
           count(lit(1)).as("n"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS ap50,
+             quantile_disc(l_quantity, 0.9) AS ap90, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Custom KLL-style quantile sketch UDAF (graft.functions.KllQuantile)
     * beside the built-in GK sketch above — mergeable partial/merge/final

@@ -202,6 +202,41 @@ object TextAnalysis {
     },
     None)
 
+  /** Exact twin of [[freqTokens]]: true per-language top-10 token counts,
+    * DuckDB-oracle-checked — pins the semantics the Space-Saving sketch
+    * approximates (FreqSketchSpec bounds the sketch against this truth).
+    * Scale shape: the explode feeds ONE partial/final count aggregate on
+    * (lang, token); the top-k over the vocabulary-sized count table runs
+    * through the custom TopKPerGroupExec (bounded heaps, no per-language
+    * vocabulary sort); the rank column is re-derived by a window over the
+    * <=10-rows-per-language survivor set only. */
+  val freqTokensExact = QueryDef(
+    "q_text_freq_tokens_exact",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(spark, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("est"))
+      graft.ops.topKPerGroup(counts, Seq("lang"), "est", "token", k = 10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("est").desc, col("token"))).cast("long"))
+        .select(col("lang"), col("token"), col("est"), col("rk"))
+    },
+    Some("""
+      SELECT lang, token, est, rk FROM (
+        SELECT lang, token, est,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY est DESC, token) AS BIGINT)
+                 AS rk
+        FROM (SELECT lang, tok AS token, count(*) AS est
+              FROM (SELECT lang, unnest(str_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY lang, tok))
+      WHERE rk <= 10"""))
+
   val all: Seq[QueryDef] =
-    Seq(tokenCount, quality, langId, fingerprint, freqTokens)
+    Seq(tokenCount, quality, langId, fingerprint, freqTokens,
+      freqTokensExact)
 }
