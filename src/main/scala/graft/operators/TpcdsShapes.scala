@@ -516,11 +516,292 @@ object TpcdsShapes {
        SELECT 'high', count(*), count(nullif(l_suppkey % 7, 0))
        FROM lineitem WHERE l_quantity >= 25.0""")
 
+  /** ds47/ds57: the full multi-window chain — ONE aggregated monthly series
+    * feeding THREE window functions with THREE different specs (a
+    * yearly-partition total, a lag/lead pair over the month ordering, and a
+    * rank over revenue), then the deviation-from-year-average filter. The
+    * planner must stack Window operators with distinct partitioning/sort
+    * requirements over one shuffled child (two sorts, one exchange). The
+    * deviation predicate stays in integer cents (rev·n·10 > sum·11 ⇔ month
+    * >10% above its year's average). */
+  val lagRankDev = QueryDef.sqlSame(
+    "q_ds_lag_rank_dev",
+    s"""SELECT flag, yr, mo,
+              CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+              CAST(yr_sum_c AS DOUBLE) / CAST(yr_n AS DOUBLE) / 100.0
+                AS avg_monthly,
+              CAST(prev_c AS DOUBLE) / 100.0 AS prev_rev,
+              CAST(next_c AS DOUBLE) / 100.0 AS next_rev,
+              rk
+       FROM (
+         SELECT flag, yr, mo, rev_c,
+                sum(rev_c) OVER (PARTITION BY flag, yr) AS yr_sum_c,
+                CAST(count(*) OVER (PARTITION BY flag, yr) AS BIGINT)
+                  AS yr_n,
+                lag(rev_c) OVER (PARTITION BY flag ORDER BY yr, mo)
+                  AS prev_c,
+                lead(rev_c) OVER (PARTITION BY flag ORDER BY yr, mo)
+                  AS next_c,
+                CAST(rank() OVER (PARTITION BY flag
+                                  ORDER BY rev_c DESC, yr, mo) AS BIGINT)
+                  AS rk
+         FROM (
+           SELECT l_returnflag AS flag,
+                  CAST(year(l_shipdate) AS INT) AS yr,
+                  CAST(month(l_shipdate) AS INT) AS mo,
+                  sum(${centsSql("l_extendedprice")}) AS rev_c
+           FROM lineitem
+           GROUP BY l_returnflag, year(l_shipdate), month(l_shipdate)))
+       WHERE yr_n = 12 AND rev_c * yr_n * 10 > yr_sum_c * 11""")
+
+  /** ds86: the window PARTITION itself contains a CASE over grouping() —
+    * detail rows rank within their parent subtotal (partition = hierarchy
+    * level + the CASE-nulled parent key), the distinctive ds86/ds36 spec
+    * the plain grouping-rank shape doesn't reach. */
+  val groupingCasePartition = QueryDef.sqlSame(
+    "q_ds_grouping_case_partition",
+    s"""SELECT lochierarchy, l_returnflag, l_linestatus,
+              CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+              CAST(rank() OVER (
+                     PARTITION BY lochierarchy,
+                       CASE WHEN g_ls = 0 THEN l_returnflag END
+                     ORDER BY rev_c DESC, l_linestatus NULLS FIRST)
+                   AS BIGINT) AS rank_within_parent
+       FROM (
+         SELECT l_returnflag, l_linestatus,
+                sum(${centsSql("l_extendedprice")}) AS rev_c,
+                CAST(grouping(l_returnflag) + grouping(l_linestatus)
+                     AS INT) AS lochierarchy,
+                CAST(grouping(l_linestatus) AS INT) AS g_ls
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus))""")
+
+  /** ds27/ds22: a THREE-level rollup battery with per-row grouping()
+    * selectors and a HAVING over the grouping flags (keep subtotal levels
+    * only, drop the detail grain) — Expand output filtered by the grouping
+    * bitmask rather than windowed. */
+  val groupingBattery = QueryDef.sqlSame(
+    "q_ds_grouping_battery",
+    s"""SELECT flag, status, yr,
+              CAST(grouping(flag) AS INT) AS g_f,
+              CAST(grouping(status) AS INT) AS g_s,
+              CAST(grouping(yr) AS INT) AS g_y,
+              count(*) AS n_lines,
+              CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty
+       FROM (SELECT l_returnflag AS flag, l_linestatus AS status,
+                    CAST(year(l_shipdate) AS INT) AS yr,
+                    ${centsSql("l_quantity")} AS qty_c
+             FROM lineitem)
+       GROUP BY ROLLUP (flag, status, yr)
+       HAVING grouping(yr) = 1""")
+
+  /** ds8/ds87-flavor: EXCEPT-driven cohort difference — buyers active in
+    * 1997 minus 1998 actives minus urgent-ever buyers (a two-step EXCEPT
+    * chain on the key), counted per nation after joining the survivor set
+    * back to the dimension. */
+  val exceptCohort = QueryDef.sqlSame(
+    "q_ds_except_cohort",
+    """SELECT c_nationkey, count(*) AS n_lost
+       FROM (
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') x
+       JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey""")
+
+  /** ds97-extended: FULL OUTER join of two per-customer yearly aggregates
+    * re-keyed by COALESCE of the two join keys — the grouped key must
+    * survive the outer join's nulls (plans an extra project over the
+    * outer join before the final aggregate). */
+  val fullOuterCoalesce = QueryDef.sqlSame(
+    "q_ds_fullouter_coalesce",
+    s"""WITH a AS (
+         SELECT o_custkey AS k, sum(${centsSql("o_totalprice")}) AS s97,
+                count(*) AS n97
+         FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+       b AS (
+         SELECT o_custkey AS k, sum(${centsSql("o_totalprice")}) AS s98,
+                count(*) AS n98
+         FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+       SELECT coalesce(a.k, b.k) % 10 AS cust_bucket,
+              count(*) AS n_cust,
+              CAST(sum(coalesce(a.s97, 0)) AS DOUBLE) / 100.0 AS spend_97,
+              CAST(sum(coalesce(b.s98, 0)) AS DOUBLE) / 100.0 AS spend_98,
+              CAST(sum(coalesce(a.n97, 0)) AS BIGINT) AS orders_97,
+              CAST(sum(coalesce(b.n98, 0)) AS BIGINT) AS orders_98
+       FROM a FULL OUTER JOIN b ON a.k = b.k
+       GROUP BY coalesce(a.k, b.k) % 10""")
+
+  /** ds14: cross-channel key set (brands sold in BOTH status channels, via
+    * INTERSECT), an uncorrelated scalar average as the qualifying gate, a
+    * UNION ALL of the per-channel aggregates restricted to that key set,
+    * and a final ROLLUP over (channel, brand) — the deepest composite in
+    * the DS corpus: set-op + scalar subquery + union + Expand in one plan. */
+  val crossChannelRollup = QueryDef.sqlSame(
+    "q_ds_cross_channel_rollup",
+    s"""WITH cross_brands AS (
+         SELECT p_brand FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+         WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT p_brand FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+         WHERE o_orderstatus = 'O'),
+       channel_sales AS (
+         SELECT o_orderstatus AS channel, p_brand,
+                ${centsSql("l_extendedprice")} AS rev_c
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+         WHERE o_orderstatus IN ('F', 'O')
+           AND p_brand IN (SELECT p_brand FROM cross_brands)
+           AND l_quantity * 100 > (SELECT CAST(round(avg(l_quantity * 100),
+                                                0) AS BIGINT)
+                                   FROM lineitem))
+       SELECT channel, p_brand, count(*) AS n_lines,
+              CAST(sum(rev_c) AS DOUBLE) / 100.0 AS revenue
+       FROM channel_sales
+       GROUP BY ROLLUP (channel, p_brand)""")
+
+  /** ds70: the dimension set is itself WINDOW-FILTERED — rank nations by
+    * revenue in a subquery, keep the top 5, and roll up only over orders
+    * of those nations (a rank-filtered semi join feeding an Expand). */
+  val windowFilteredRollup = QueryDef.sqlSame(
+    "q_ds_window_filtered_rollup",
+    s"""SELECT c_nationkey, o_orderpriority,
+              CAST(grouping(c_nationkey) + grouping(o_orderpriority)
+                   AS INT) AS lochierarchy,
+              CAST(sum(rev_c) AS DOUBLE) / 100.0 AS revenue
+       FROM (SELECT c_nationkey, o_orderpriority,
+                    ${centsSql("o_totalprice")} AS rev_c
+             FROM orders JOIN customer ON o_custkey = c_custkey) f
+       WHERE c_nationkey IN (
+         SELECT nk FROM (
+           SELECT c_nationkey AS nk,
+                  rank() OVER (ORDER BY sum(${centsSql("o_totalprice")})
+                               DESC, c_nationkey) AS rnk
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey) r
+         WHERE rnk <= 5)
+       GROUP BY ROLLUP (c_nationkey, o_orderpriority)""")
+
+  /** ds98/ds12/ds20: revenue share within class — an aggregate feeding an
+    * UNBOUNDED-partition-total window, the ratio emitted as one
+    * int-cents→double division per row. */
+  val revenueShare = QueryDef.sqlSame(
+    "q_ds_revenue_share",
+    s"""SELECT p_type, p_brand,
+              CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+              CAST(rev_c * 100 AS DOUBLE) / CAST(type_sum_c AS DOUBLE)
+                AS share_pct
+       FROM (
+         SELECT p_type, p_brand, rev_c,
+                sum(rev_c) OVER (PARTITION BY p_type) AS type_sum_c
+         FROM (
+           SELECT p_type, p_brand,
+                  sum(${centsSql("l_extendedprice")}) AS rev_c
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size <= 5
+           GROUP BY p_type, p_brand))""")
+
+  /** ds44: best/worst rank tables JOINED ON THE RANK VALUE — one supplier
+    * profit aggregate ranked ascending and descending, the two ranked
+    * derivations joined position-to-position (two Window ops over reused
+    * child, then an equi-join on the computed rank column). */
+  val rankJoin = QueryDef.sqlSame(
+    "q_ds_rank_join",
+    s"""WITH perf AS (
+         SELECT l_suppkey, sum(${centsSql("l_extendedprice")}
+                              - ${centsSql("l_quantity")} * 100) AS margin_c
+         FROM lineitem GROUP BY l_suppkey),
+       best AS (
+         SELECT l_suppkey, margin_c,
+                CAST(rank() OVER (ORDER BY margin_c DESC, l_suppkey)
+                     AS BIGINT) AS rk
+         FROM perf),
+       worst AS (
+         SELECT l_suppkey, margin_c,
+                CAST(rank() OVER (ORDER BY margin_c ASC, l_suppkey)
+                     AS BIGINT) AS rk
+         FROM perf)
+       SELECT best.rk AS position,
+              best.l_suppkey AS best_supp,
+              CAST(best.margin_c AS DOUBLE) / 100.0 AS best_margin,
+              worst.l_suppkey AS worst_supp,
+              CAST(worst.margin_c AS DOUBLE) / 100.0 AS worst_margin
+       FROM best JOIN worst ON best.rk = worst.rk
+       WHERE best.rk <= 10""")
+
+  /** ds66: the WIDE conditional-aggregation battery — two "channels"
+    * (return-flag classes) UNION ALL'd, then re-aggregated into 12 monthly
+    * cent-sum columns per nation in one pass (24 FILTER aggregates over
+    * one shuffled union; no Expand, no repeated scans). */
+  val wideMonthPivot = QueryDef.sqlSame(
+    "q_ds_wide_month_pivot",
+    s"""WITH u AS (
+         SELECT 'returned' AS channel, s_nationkey,
+                CAST(month(l_shipdate) AS INT) AS mo,
+                ${centsSql("l_extendedprice")} AS rev_c
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_returnflag = 'R'
+         UNION ALL
+         SELECT 'kept', s_nationkey, CAST(month(l_shipdate) AS INT),
+                ${centsSql("l_extendedprice")}
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE l_returnflag = 'N')
+       SELECT channel, s_nationkey,
+              ${(1 to 12).map(m =>
+                 s"CAST(coalesce(sum(rev_c) FILTER (WHERE mo = $m), 0) " +
+                 s"AS BIGINT) AS m$m").mkString(", ")}
+       FROM u GROUP BY channel, s_nationkey""")
+
+  /** ds17/ds29: THREE fact instances chained on two different keys — a
+    * returned line joined to its order, to a LATER order of the same
+    * customer (bounded residual range), to that order's lines; quantity
+    * accounting per follow-up priority. The planner keys the first join on
+    * orderkey, re-shuffles on custkey for the middle hop, and back to
+    * orderkey for the last — three distinct exchange keys in one chain. */
+  val returnsChain = QueryDef.sqlSame(
+    "q_ds_returns_chain",
+    s"""SELECT o2.o_orderpriority,
+              count(*) AS n_lines,
+              CAST(sum(${centsSql("l2.l_quantity")}) AS DOUBLE) / 100.0
+                AS followup_qty
+       FROM lineitem l1
+       JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+       JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+        AND o2.o_orderdate > o1.o_orderdate
+        AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 60 DAY
+       JOIN lineitem l2 ON o2.o_orderkey = l2.l_orderkey
+       WHERE l1.l_returnflag = 'R'
+         AND year(o1.o_orderdate) = 1997 AND month(o1.o_orderdate) = 1
+       GROUP BY o2.o_orderpriority""")
+
+  /** ds45: DISJUNCTIVE semi-join — an IN-list OR an IN-subquery on the
+    * same outer row. Neither branch can filter alone, so the planner emits
+    * an ExistenceJoin (the semi join that RETURNS its match bit instead of
+    * filtering) and evaluates the OR afterwards. */
+  val disjunctiveSemi = QueryDef.sqlSame(
+    "q_ds_disjunctive_semi",
+    """SELECT c_nationkey, count(*) AS n_cust
+       FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+          OR c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 400000.0)
+       GROUP BY c_nationkey""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,
     existsSelfJoin, existsSelfJoinFast, cteTripleSelfJoin, bucketCountsFast,
     channelOverlap, weekdayPivotRatio, covSelfJoin, followupWindow,
-    returnsNet, timeRatio, beforeAfter, nullChannel)
+    returnsNet, timeRatio, beforeAfter, nullChannel,
+    lagRankDev, groupingCasePartition, groupingBattery, exceptCohort,
+    fullOuterCoalesce, crossChannelRollup, windowFilteredRollup,
+    revenueShare, rankJoin, wideMonthPivot, returnsChain, disjunctiveSemi)
 }
