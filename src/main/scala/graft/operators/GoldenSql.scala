@@ -394,10 +394,156 @@ object GoldenSql {
               'a' || 'b' || 'c' AS pipe_chain,
               coalesce(CAST(NULL AS VARCHAR(8)) || 'x', '<null>') AS null_first""")
 
+  /** Recursive CTE — series generation (cte.sql's WITH RECURSIVE rows;
+    * Spark 4 and DuckDB both run the ANSI form verbatim): a linear counter
+    * and a running product (factorial) in one recursion, pinned exactly. */
+  val recursiveCte = QueryDef.sqlSame(
+    "q_golden_recursive_cte",
+    """WITH RECURSIVE t(n, fact) AS (
+         SELECT 1, CAST(1 AS BIGINT)
+         UNION ALL
+         SELECT n + 1, fact * (n + 1) FROM t WHERE n < 10)
+       SELECT n, fact FROM t""")
+
+  /** Recursive CTE over a CYCLIC graph — depth-bounded UNION ALL
+    * termination (Spark 4 rejects UNION distinct inside a recursive CTE,
+    * so the cycle is cut by a hop counter >= the graph diameter):
+    * min-reachable-label per node on a VALUES edge list containing a cycle
+    * and a disconnected pair (the connected-components shape the curation
+    * pipeline's oracle uses, pinned here as a first-class golden). */
+  val recursiveGraph = QueryDef.sqlSame(
+    "q_golden_recursive_graph",
+    """WITH RECURSIVE
+       edges(s, d) AS (
+         SELECT * FROM (VALUES (1, 2), (2, 3), (3, 1), (4, 5)) AS e(s, d)),
+       undirected(s, d) AS (
+         SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+       reach(node, lbl, depth) AS (
+         SELECT s, s, 0 FROM undirected
+         UNION ALL
+         SELECT u.d, reach.lbl, depth + 1 FROM reach JOIN undirected u
+           ON reach.node = u.s
+         WHERE depth < 4)
+       SELECT node, min(lbl) AS component
+       FROM reach GROUP BY node""")
+
+  /** A NULL data value vs the Expand-generated subtotal NULL — only
+    * grouping() can tell them apart (grouping_set.sql's core trap): the
+    * input contains a real NULL key, and the rollup emits subtotal rows
+    * with the same NULL in that column. */
+  val groupingNullVsSubtotal = QueryDef.sqlSame(
+    "q_golden_grouping_null_subtotal",
+    """SELECT k, CAST(grouping(k) AS INT) AS is_subtotal,
+              CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+       FROM (VALUES ('a', 1), (NULL, 2), ('a', 4), (NULL, 8)) AS t(k, v)
+       GROUP BY ROLLUP (k)""")
+
+  /** Set-op NULL equality and bag multiplicity (except-all.sql /
+    * intersect-all.sql): set operations treat NULL = NULL (unlike joins),
+    * INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts
+    * occurrences. Pinned via a count-per-value summary of each op. */
+  val setopNullDup = QueryDef.sqlSame(
+    "q_golden_setop_null_dup",
+    """WITH a(x) AS (SELECT * FROM (VALUES (1), (1), (1), (2), (NULL),
+                                           (NULL)) AS v(x)),
+            b(x) AS (SELECT * FROM (VALUES (1), (1), (3), (NULL)) AS v(x))
+       SELECT 'intersect_all' AS op, coalesce(x, -99) AS val, count(*) AS n
+       FROM (SELECT x FROM a INTERSECT ALL SELECT x FROM b) GROUP BY x
+       UNION ALL
+       SELECT 'except_all', coalesce(x, -99), count(*)
+       FROM (SELECT x FROM a EXCEPT ALL SELECT x FROM b) GROUP BY x
+       UNION ALL
+       SELECT 'intersect_distinct', coalesce(x, -99), count(*)
+       FROM (SELECT x FROM a INTERSECT SELECT x FROM b) GROUP BY x""")
+
+  /** EXTRACT field battery over literal timestamps (extract.sql) — the
+    * dialect-portable fields only (DOW is excluded: Spark counts Sunday=1,
+    * DuckDB Sunday=0; WEEK/DOY are ISO in both and pinned mid-year where
+    * the numbering agrees). Seconds cast to INT: Spark's EXTRACT(SECOND)
+    * is DECIMAL(8,6), DuckDB's is int. */
+  val extractFields = QueryDef.sqlSame(
+    "q_golden_extract",
+    """SELECT CAST(EXTRACT(YEAR FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS yr,
+              CAST(EXTRACT(QUARTER FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS qtr,
+              CAST(EXTRACT(MONTH FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS mon,
+              CAST(EXTRACT(DAY FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS dom,
+              CAST(EXTRACT(DOY FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS doy,
+              CAST(EXTRACT(WEEK FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS wk,
+              CAST(EXTRACT(HOUR FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS hh,
+              CAST(EXTRACT(MINUTE FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS mi,
+              CAST(EXTRACT(SECOND FROM TIMESTAMP '1996-07-09 13:05:47')
+                   AS INT) AS ss""")
+
+  /** Format-string datetime parsing (datetime-parsing.sql) — the one
+    * family where the dialects CANNOT share text (Spark takes Java
+    * patterns, DuckDB strptime %-codes), so the QueryDef carries both
+    * spellings against the same pinned output: leap-day parse, 2-digit
+    * year widening, and a round-trip through format-then-parse.
+    * (Two-digit-year parsing is EXCLUDED by design: Java's yy pivots into
+    * 2000-2099 while strptime's %y pivots at 69 — a genuine divergence.) */
+  val datetimeParse = QueryDef.sql(
+    "q_golden_datetime_parse",
+    """SELECT CAST(to_timestamp('2024-02-29 13:05',
+                                'yyyy-MM-dd HH:mm') AS STRING) AS leap_day,
+              CAST(to_timestamp('1996-07-09 05:03:01',
+                                'yyyy-MM-dd HH:mm:ss') AS STRING) AS full_ts,
+              date_format(DATE '1997-03-15', 'yyyy|MM|dd') AS fmt_out,
+              CAST(to_date(date_format(DATE '1997-03-15', 'yyyy|MM|dd'),
+                           'yyyy|MM|dd') AS STRING) AS round_trip""",
+    """SELECT CAST(strptime('2024-02-29 13:05',
+                            '%Y-%m-%d %H:%M') AS STRING) AS leap_day,
+              CAST(strptime('1996-07-09 05:03:01',
+                              '%Y-%m-%d %H:%M:%S') AS STRING) AS full_ts,
+              strftime(DATE '1997-03-15', '%Y|%m|%d') AS fmt_out,
+              CAST(CAST(strptime(strftime(DATE '1997-03-15', '%Y|%m|%d'),
+                                 '%Y|%m|%d') AS DATE) AS STRING)
+                AS round_trip""")
+
+  /** Decimal overflow rows (decimalArithmeticOperations.sql): TRY_CAST
+    * beyond precision nulls in BOTH engines (the ANSI-safe probe of the
+    * overflow boundary), exact fit at the boundary survives, and the
+    * 38-digit product precision cap is probed through a try_cast of an
+    * in-range product. */
+  val decimalOverflow = QueryDef.sqlSame(
+    "q_golden_decimal_overflow",
+    """SELECT CAST(TRY_CAST(12345.678 AS DECIMAL(5,2)) AS STRING)
+                AS overflow_null,
+              CAST(TRY_CAST(999.99 AS DECIMAL(5,2)) AS STRING)
+                AS boundary_fit,
+              CAST(TRY_CAST(-12345.678 AS DECIMAL(5,2)) AS STRING)
+                AS overflow_neg,
+              CAST(TRY_CAST(CAST(9999.99 AS DECIMAL(18,2))
+                            * CAST(9999.99 AS DECIMAL(18,2))
+                            AS DECIMAL(22,4)) AS STRING) AS product_fit""")
+
+  /** GROUP BY / ORDER BY ordinals (group-by-ordinal.sql) — positional
+    * references resolve to the select list in both dialects; the ordinal
+    * ORDER BY is made observable through LIMIT (inside an OVER clause an
+    * ordinal is a constant, not a position — both dialects agree, so that
+    * spelling pins nothing). */
+  val ordinals = QueryDef.sqlSame(
+    "q_golden_ordinal",
+    """SELECT k, parity, n, s
+       FROM (SELECT x % 2 AS k, x % 3 AS parity, count(*) AS n,
+                    CAST(sum(x) AS BIGINT) AS s
+             FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) AS t(x)
+             GROUP BY 1, 2)
+       ORDER BY 4 DESC, 1, 2 LIMIT 3""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
     dateDiff, tryOverflow, caseWhen, windowFrames, likeEscape, stringFns,
     boolLogic, aggFilter, dateTrunc, ignoreNulls, greatestLeast,
-    limitOffset, emptyQuantifiers, concatNull)
+    limitOffset, emptyQuantifiers, concatNull,
+    recursiveCte, recursiveGraph, groupingNullVsSubtotal, setopNullDup,
+    extractFields, datetimeParse, decimalOverflow, ordinals)
 }
