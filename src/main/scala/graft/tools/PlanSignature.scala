@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Normalized physical-plan signatures — the repo's plan-stability gate
+  * (reference: PlanStabilitySuite.scala + resources/tpcds-plan-stability/,
+  * which pins every TPC-DS query's plan and fails on drift).
+  *
+  * A signature is the operator TREE minus everything run-dependent: no
+  * expression ids, no statistics, no partition counts, no codegen stage
+  * ids. AQE wrappers (query stages, shuffle reads) and codegen collapse
+  * nodes are transparent — the signature records which operators run in
+  * which order, which is exactly what a planner regression changes.
+  * ReusedExchange keeps its name (exchange reuse IS a plan property worth
+  * pinning) but not its target.
+  */
+object PlanSignature {
+
+  def signature(plan: SparkPlan): String = {
+    def walk(n: SparkPlan, d: Int): Seq[String] = n match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, d)
+      case q: QueryStageExec => walk(q.plan, d)
+      case w: WholeStageCodegenExec => walk(w.child, d)
+      case i: InputAdapter => walk(i.child, d)
+      case r: ReusedExchangeExec => Seq(("  " * d) + "ReusedExchange")
+      case other if other.nodeName == "AQEShuffleRead" =>
+        // partition coalescing/skew splitting is a runtime stat decision,
+        // not a plan shape — transparent for stability purposes
+        other.children.flatMap(walk(_, d))
+      case other =>
+        (("  " * d) + other.nodeName) +: other.children.flatMap(walk(_, d + 1))
+    }
+    walk(plan, 0).mkString("\n") + "\n"
+  }
+
+  /** Execute the frame (so AQE finalizes) and return the signature of the
+    * final plan. */
+  def executedSignature(df: DataFrame): String = {
+    df.collect()
+    signature(df.queryExecution.executedPlan)
+  }
+}

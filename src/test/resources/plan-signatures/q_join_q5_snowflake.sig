@@ -1,0 +1,37 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin
+          Project
+            BroadcastHashJoin
+              Project
+                BroadcastHashJoin
+                  Project
+                    BroadcastHashJoin
+                      Project
+                        BroadcastHashJoin
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          BroadcastExchange
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                      BroadcastExchange
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  BroadcastExchange
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+              BroadcastExchange
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+          BroadcastExchange
+            Filter
+              ColumnarToRow
+                Scan parquet 

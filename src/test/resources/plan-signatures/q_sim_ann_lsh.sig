@@ -1,0 +1,28 @@
+Project
+  Filter
+    Window
+      WindowGroupLimit
+        Sort
+          Exchange
+            WindowGroupLimit
+              Sort
+                SortAggregate
+                  Sort
+                    Exchange
+                      SortAggregate
+                        Sort
+                          Project
+                            BroadcastHashJoin
+                              BroadcastExchange
+                                Filter
+                                  Generate
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                              Filter
+                                Generate
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 

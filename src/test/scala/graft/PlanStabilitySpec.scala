@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.tools.{PlanDump, PlanSignature}
+
+/** Plan-stability gate (VERDICT r4 #7; reference: PlanStabilitySuite +
+  * resources/tpcds-plan-stability/): every headline query's normalized
+  * physical-plan signature is pinned under
+  * `src/test/resources/plan-signatures/`. A planner change that alters any
+  * operator tree fails here with the diff; if the new plan is intentional,
+  * regenerate with
+  *
+  *   GRAFT_REGEN_PLAN_SIGS=1 sbt "testOnly graft.PlanStabilitySpec"
+  *
+  * and review the signature diff in git like any other golden change.
+  */
+class PlanStabilitySpec extends GraftSpecBase {
+
+  private val sigDir = Paths.get("src/test/resources/plan-signatures")
+  private val regen = sys.env.contains("GRAFT_REGEN_PLAN_SIGS")
+
+  PlanDump.headline.foreach { name =>
+    test(s"plan signature pinned: $name") {
+      val sig = PlanSignature.executedSignature(
+        SparkEntry.queries(name)(spark, sfDir))
+      val f = sigDir.resolve(s"$name.sig")
+      if (regen) {
+        Files.createDirectories(sigDir)
+        Files.writeString(f, sig)
+      } else {
+        assert(Files.exists(f),
+          s"no committed signature for $name — run GRAFT_REGEN_PLAN_SIGS=1 " +
+            "sbt 'testOnly graft.PlanStabilitySpec' and commit the file")
+        val expected = Files.readString(f)
+        assert(sig == expected,
+          s"""plan drift for $name.
+             |--- committed ---
+             |$expected
+             |--- current ---
+             |$sig
+             |If intentional: GRAFT_REGEN_PLAN_SIGS=1 sbt 'testOnly """.stripMargin +
+            "graft.PlanStabilitySpec' and commit the diff.")
+      }
+    }
+  }
+}
