@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.DataSourceRegister
 
 /** `"arrow"` format alias.
   *
@@ -12,11 +11,10 @@ import org.apache.spark.sql.sources.DataSourceRegister
   * "arrow"). Spark's own vectorized Parquet reader already delivers the
   * capability (columnar batches, predicate pushdown via ArrowFilters-
   * equivalent parquet filters, column pruning), so the alias simply mounts it
-  * under the same format name: `spark.read.format("arrow").load(path)` works
-  * for users migrating from the reference, with identical pushdown behavior
-  * (verified in PlanAuditSpec).
+  * under the same format name. Since round 5 the "arrow" NAME resolves to
+  * [[ArrowDataSource]] (DSv2, csv + parquet via `originalFormat`); this v1
+  * class remains as its write-path fallback format.
   */
-class ArrowFileFormat extends ParquetFileFormat with DataSourceRegister {
-  override def shortName(): String = "arrow"
+class ArrowFileFormat extends ParquetFileFormat {
   override def toString: String = "Arrow(alias of Parquet)"
 }

@@ -32,6 +32,22 @@ class SourcesSpec extends GraftSpecBase {
     assert(spark.read.parquet(p).count() == sample.count())
   }
 
+  test("arrow alias reads CSV via originalFormat=csv (reference ArrowUtils csv branch)") {
+    val p = tmp("arrowcsv")
+    sample.write.option("header", "true").csv(p)
+    val back = spark.read.format("arrow")
+      .option("originalFormat", "csv")
+      .option("header", "true").option("inferSchema", "true")
+      .load(p)
+    assert(back.count() == sample.count())
+    assert(back.columns.toSeq == sample.columns.toSeq)
+    // unknown format names are rejected with the supported pair listed
+    val err = intercept[Exception] {
+      spark.read.format("arrow").option("originalFormat", "orc").load(p)
+    }
+    assert(err.getMessage.contains("originalFormat"))
+  }
+
   test("csv round-trip with header") {
     val p = tmp("csv")
     sample.write.option("header", "true").csv(p)
