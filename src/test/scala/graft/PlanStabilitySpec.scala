@@ -22,6 +22,10 @@ class PlanStabilitySpec extends GraftSpecBase {
 
   PlanDump.headline.foreach { name =>
     test(s"plan signature pinned: $name") {
+      // other suites persist fixture subplans; CacheManager would swap
+      // InMemoryTableScan into any matching fragment and change the
+      // signature depending on suite ORDER — clear for determinism
+      spark.catalog.clearCache()
       val sig = PlanSignature.executedSignature(
         SparkEntry.queries(name)(spark, sfDir))
       val f = sigDir.resolve(s"$name.sig")

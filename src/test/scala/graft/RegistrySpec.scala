@@ -46,16 +46,17 @@ class RegistrySpec extends GraftSpecBase {
 
   test("oracle coverage: every SQL-expressible query carries an oracle") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    // only hash-based (engine-specific xxhash64) or approximate pipelines
-    // are exempt (q_profile_lineitem defaults to KMV-sketch distincts; its
-    // exact twin q_profile_lineitem_exact carries the oracle;
-    // q_docs_pipeline embeds the xxhash near-dup stage — its invariants
-    // live in DocPipelineSpec)
+    // only hash-based (engine-specific xxhash64) sketches are exempt, each
+    // with an oracle-checked exact twin or a bound/recall spec:
+    // q_profile_lineitem -> q_profile_lineitem_exact,
+    // q_text_freq_tokens -> q_text_freq_tokens_exact (round 5),
+    // the minhash/simhash pair -> q_dedup_ngram_jaccard + the now-oracled
+    // q_docs_pipeline, the cardinality/quantile sketches -> KmvSpec/KllSpec
+    // (q_docs_pipeline and q_agg_approx_percentile gained oracles in r5)
     assert(noOracle.toSet ==
       Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
-        "q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_agg_kll_quantile",
-        "q_profile_lineitem", "q_docs_pipeline", "q_text_freq_tokens"),
+        "q_agg_approx_distinct", "q_agg_kll_quantile",
+        "q_profile_lineitem", "q_text_freq_tokens"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }

@@ -61,7 +61,12 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_sim_topk_plan", "q_sim_quantized_topk",
 
       "q_text_tfidf", "q_text_bm25",                // 1-row corpus-stats
-      "q_ds_weekday_pivot_ratio")                   //   frames cross-joined
+      "q_ds_weekday_pivot_ratio",                   //   frames cross-joined
+      "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
+                                                    //   DIMENSION-grain
+                                                    //   aggregates (supplier/
+                                                    //   nation leaderboards,
+                                                    //   bounded by the dim)
     val flagged = SparkEntry.registry.flatMap { q =>
       val plan = q.run(spark, sfDir).queryExecution.executedPlan
       if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None
