@@ -46,6 +46,16 @@ object ops {
     graft.operators.Dedup.minHashNearDup(
       docs, idCol, textCol, threshold, hashes, bands)
 
+  /** Deterministic blocked n-gram Jaccard near-dup pairs — see
+    * [[graft.operators.Dedup.ngramJaccardPairs]]: exact set similarity on
+    * word-3-gram shingles, candidates restricted to a cheap blocking key
+    * (never all-pairs), integer-ratio scores reproducible in any engine.
+    * Returns `(doc_a, doc_b, jaccard)`; the curation pipeline's default
+    * near-dup stage. */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(docs, idCol, textCol)
+
   /** SimHash near-dup candidate pairs over any document frame — see
     * [[graft.operators.Dedup.simHashNearDup]]: 64-bit majority fingerprint,
     * 4×16-bit pigeonhole chunk buckets, exact hamming verification.
@@ -91,8 +101,10 @@ object ops {
   def curatedDocs(
       docs: DataFrame, minQuality: Double = 0.7,
       langs: Seq[String] = Seq("en", "fr", "es", "de"),
-      jaccard: Double = 0.5): DataFrame =
-    graft.operators.DocPipeline.curatedDocs(docs, minQuality, langs, jaccard)
+      jaccard: Double = 0.5,
+      nearDup: String = "ngram"): DataFrame =
+    graft.operators.DocPipeline.curatedDocs(
+      docs, minQuality, langs, jaccard, nearDup)
 
   /** Incremental admission of a new document batch against an already
     * deduplicated corpus — see [[graft.operators.Dedup.admitBatch]]:

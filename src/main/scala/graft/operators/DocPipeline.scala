@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline over the `documents` table —
@@ -61,11 +60,17 @@ object DocPipeline {
     val gated = scored
       .filter(col("quality") >= minQuality &&
         col("lang").isin(langs.map(x => x: Any): _*))
-    // exact dedup: smallest doc_id per fingerprint survives
+    // exact dedup: smallest doc_id per fingerprint survives. min_by over
+    // the fingerprint groupBy (partial-aggregable, narrow) rather than a
+    // row_number window (which would shuffle and sort full rows); persisted
+    // because BOTH the near-dup pair generation and the final anti-join
+    // consume it (without this the scoring+gate+dedup chain runs twice).
     val exactKept = gated
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min_by(
+        struct(gated.columns.map(col): _*), col("doc_id")).as("r"))
+      .select(col("r.*"))
+      .persist()
     // near-dup: candidate pairs → clusters → drop non-representatives.
     // componentLabels materializes eagerly (localCheckpoint rounds), so the
     // pair subgraph resolves here; only the tiny drop-list joins back.

@@ -538,6 +538,60 @@ object GoldenSql {
              GROUP BY 1, 2)
        ORDER BY 4 DESC, 1, 2 LIMIT 3""")
 
+  /** USING-join key coalescing (using-join.sql / natural-join.sql): with
+    * FULL JOIN ... USING(k), the bare `k` is the COALESCE of both sides —
+    * ANSI semantics both dialects implement; the pin includes a
+    * matched row, a left-only row, and a right-only row. */
+  val usingJoin = QueryDef.sqlSame(
+    "q_golden_using_join",
+    """SELECT k, coalesce(av, -1) AS av, coalesce(bv, -1) AS bv
+       FROM (SELECT k, a.v AS av, b.v AS bv
+             FROM (VALUES (1, 10), (2, 20)) AS a(k, v)
+             FULL JOIN (VALUES (2, 200), (3, 300)) AS b(k, v)
+               USING (k))""")
+
+  /** Higher-order-function edges (higher-order-functions.sql): empty-array
+    * transform/filter, exists over empty (false) and over NULL input
+    * (NULL). Dialects name the functions differently, so the QueryDef
+    * carries both spellings. */
+  val hofEdges = QueryDef.sql(
+    "q_golden_hof_edges",
+    """SELECT size(transform(array(), x -> x)) AS empty_transform,
+              size(filter(array(1, 2, 3), x -> x > 10)) AS filtered_to_empty,
+              CAST(exists(array(1, 2, 3), x -> x > 2) AS INT) AS exists_true,
+              CAST(exists(CAST(array() AS ARRAY<INT>), x -> x > 2) AS INT)
+                AS exists_empty,
+              CAST(exists(CAST(NULL AS ARRAY<INT>), x -> x > 2) AS INT)
+                AS exists_null,
+              aggregate(array(1, 2, 3, 4), 0, (acc, x) -> acc + x)
+                AS fold_sum""",
+    """SELECT len(list_transform([], x -> x)) AS empty_transform,
+              len(list_filter([1, 2, 3], x -> x > 10)) AS filtered_to_empty,
+              CAST(len(list_filter([1, 2, 3], x -> x > 2)) > 0 AS INT)
+                AS exists_true,
+              CAST(len(list_filter(CAST([] AS INT[]), x -> x > 2)) > 0
+                   AS INT) AS exists_empty,
+              CAST(len(list_filter(CAST(NULL AS INT[]), x -> x > 2)) > 0
+                   AS INT) AS exists_null,
+              list_reduce([0, 1, 2, 3, 4], (acc, x) -> acc + x)
+                AS fold_sum""")
+
+  /** Struct construction + field access (struct.sql): dotted access off a
+    * literal struct, struct in a column with per-row field extraction —
+    * paired spellings (named_struct vs struct_pack). */
+  val structAccess = QueryDef.sql(
+    "q_golden_struct",
+    """SELECT named_struct('a', 1, 'b', 'x').a AS lit_field,
+              s.b AS row_field, s.a + 1 AS row_arith
+       FROM (SELECT named_struct('a', v, 'b', concat('v', CAST(v AS STRING)))
+               AS s
+             FROM (VALUES (1), (2), (3)) AS t(v))""",
+    """SELECT struct_pack(a := 1, b := 'x').a AS lit_field,
+              s.b AS row_field, s.a + 1 AS row_arith
+       FROM (SELECT struct_pack(a := v, b := 'v' || CAST(v AS VARCHAR))
+               AS s
+             FROM (VALUES (1), (2), (3)) AS t(v))""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
@@ -545,5 +599,6 @@ object GoldenSql {
     boolLogic, aggFilter, dateTrunc, ignoreNulls, greatestLeast,
     limitOffset, emptyQuantifiers, concatNull,
     recursiveCte, recursiveGraph, groupingNullVsSubtotal, setopNullDup,
-    extractFields, datetimeParse, decimalOverflow, ordinals)
+    extractFields, datetimeParse, decimalOverflow, ordinals,
+    usingJoin, hofEdges, structAccess)
 }

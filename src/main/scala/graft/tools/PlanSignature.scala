@@ -30,6 +30,14 @@ object PlanSignature {
         // partition coalescing/skew splitting is a runtime stat decision,
         // not a plan shape — transparent for stability purposes
         other.children.flatMap(walk(_, d))
+      case other if other.children.length == 2 &&
+          other.nodeName.contains("Join") =>
+        // join children sort lexicographically by subtree: when both sides
+        // have equal stats (e.g. two probes of one cached table) the
+        // planner's build-side pick races on which side's cache stats
+        // materialize first — a flip that changes nothing semantic here
+        val blocks = other.children.map(c => walk(c, d + 1)).sortBy(_.mkString("\n"))
+        (("  " * d) + other.nodeName) +: blocks.flatten
       case other =>
         (("  " * d) + other.nodeName) +: other.children.flatMap(walk(_, d + 1))
     }

@@ -35,12 +35,16 @@ object ScaleSmoke {
     "q_merge_upsert", "q_text_bm25")
 
   /** Gate exemptions beyond parityShape, each with the reason on record:
-    * q_dedup_clusters is linear in its INPUT (the near-dup pair list), but
-    * the replica corpus makes that input itself quadratic in the
-    * duplication factor — the measured 100× blow-up is the pair graph, not
-    * the operator; the curation pipeline bounds it by exact-dedup-first
-    * (the ordering study committed in round 4). */
-  val gateExempt = Set("q_dedup_clusters")
+    * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and
+    * q_dedup_minhash_lsh in its bucket PAIR volume — but the replica corpus
+    * makes both quantities quadratic in the duplication factor by
+    * construction (every replica collides with every other), so the
+    * measured 100× blow-up (9.2s→74s raw LSH at 30×→100×) is the input,
+    * not the operator. The mitigation is pipeline ORDER — exact dedup
+    * first — and the gate proves it beside them: q_docs_pipeline, which
+    * contains the same near-dup stage behind an exact-dedup stage, stays
+    * FLAT (1.8s→1.4s) on the identical corpus. */
+  val gateExempt = Set("q_dedup_clusters", "q_dedup_minhash_lsh")
 
   private def parityShapes: Set[String] =
     SparkEntry.registry.filter(_.parityShape).map(_.name).toSet
@@ -109,15 +113,25 @@ object ScaleSmoke {
       val src = args.lift(3).getOrElse("/root/testdata/sf0.1")
       val slack = 2.0  // log-factor + noise headroom over proportional
       val parity = parityShapes
+      // "reuse" as the 4th arg skips scratch rebuilds when the replica
+      // dirs already exist (re-judging exemptions without 10 min of I/O)
+      val reuse = args.lift(3).contains("reuse") || args.lift(4).contains("reuse")
       val dirs = Seq(fA, fB).map { f =>
         val out = s"/tmp/graft_scale_x$f"
-        buildScratch(spark, f, src, out)
+        if (!(reuse && java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$out/lineitem.parquet")))) {
+          buildScratch(spark, f, src, out)
+        }
         f -> out
       }
       val Seq(tA, tB) = dirs.map { case (f, d) => timeAll(spark, d, f) }
       val budget = slack * fB / fA
+      // denominator floored at the per-query scheduling floor (~0.25s at
+      // these scales): below it wall time measures job-launch noise, not
+      // throughput, and a 0.09s -> 0.7s move would read as "8x" while
+      // being two samples of the same floor
       val violations = heavy.filter { name =>
-        val ratio = tB(name) / math.max(tA(name), 0.05)
+        val ratio = tB(name) / math.max(tA(name), 0.25)
         val tagged = parity.contains(name) || gateExempt.contains(name)
         val verdict =
           if (ratio <= budget) "linear-ok"

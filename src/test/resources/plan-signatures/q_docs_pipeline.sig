@@ -3,21 +3,10 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
-          Project
-            Filter
-              Window
-                WindowGroupLimit
-                  Sort
-                    Exchange
-                      WindowGroupLimit
-                        Sort
-                          Project
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
           BroadcastExchange
             Exchange
               Project
                 Filter
                   Scan ExistingRDD
+          Exchange
+            InMemoryTableScan

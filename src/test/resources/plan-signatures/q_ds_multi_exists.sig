@@ -3,30 +3,30 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
-          BroadcastHashJoin
-            Exchange
-              BroadcastHashJoin
+          BroadcastExchange
+            Project
+              Filter
                 ColumnarToRow
                   Scan parquet 
+          BroadcastHashJoin
+            BroadcastExchange
+              Exchange
+                Project
+                  BroadcastHashJoin
+                    BroadcastExchange
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+            Exchange
+              BroadcastHashJoin
                 BroadcastExchange
                   Project
                     Filter
                       ColumnarToRow
                         Scan parquet 
-            BroadcastExchange
-              Exchange
-                Project
-                  BroadcastHashJoin
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                    BroadcastExchange
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-          BroadcastExchange
-            Project
-              Filter
                 ColumnarToRow
                   Scan parquet 

@@ -4,18 +4,18 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin
-            Project
-              BroadcastHashJoin
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
-                BroadcastExchange
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
             BroadcastExchange
               Project
                 Filter
                   ColumnarToRow
                     Scan parquet 
+            Project
+              BroadcastHashJoin
+                BroadcastExchange
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 

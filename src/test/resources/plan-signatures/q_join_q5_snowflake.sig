@@ -3,35 +3,35 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
+          BroadcastExchange
+            Filter
+              ColumnarToRow
+                Scan parquet 
           Project
             BroadcastHashJoin
+              BroadcastExchange
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
               Project
                 BroadcastHashJoin
+                  BroadcastExchange
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                   Project
                     BroadcastHashJoin
+                      BroadcastExchange
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                       Project
                         BroadcastHashJoin
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
                           BroadcastExchange
                             Project
                               Filter
                                 ColumnarToRow
                                   Scan parquet 
-                      BroadcastExchange
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                  BroadcastExchange
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
-          BroadcastExchange
-            Filter
-              ColumnarToRow
-                Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 

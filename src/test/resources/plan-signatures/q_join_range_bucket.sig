@@ -3,13 +3,13 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 
           BroadcastExchange
             Generate
               Project
                 Filter
                   ColumnarToRow
                     Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

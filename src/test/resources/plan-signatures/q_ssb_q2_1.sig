@@ -3,12 +3,30 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
+          BroadcastExchange
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
           Project
             BroadcastHashJoin
+              BroadcastExchange
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
               Project
                 BroadcastHashJoin
+                  BroadcastExchange
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                   Project
                     BroadcastHashJoin
+                      BroadcastExchange
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                       Project
                         BroadcastHashJoin
                           BroadcastExchange
@@ -22,21 +40,3 @@ HashAggregate
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
-                      BroadcastExchange
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                  BroadcastExchange
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
-          BroadcastExchange
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 

@@ -1,25 +1,14 @@
 TakeOrderedAndProject
   Project
     BroadcastNestedLoopJoin
-      BroadcastNestedLoopJoin
-        Project
-          BroadcastHashJoin
+      BroadcastExchange
+        HashAggregate
+          Exchange
             HashAggregate
-              Exchange
-                HashAggregate
-                  HashAggregate
-                    Exchange
-                      HashAggregate
-                        Filter
-                          Generate
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-            BroadcastExchange
               Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+                ColumnarToRow
+                  Scan parquet 
+      BroadcastNestedLoopJoin
         BroadcastExchange
           HashAggregate
             Exchange
@@ -34,10 +23,21 @@ TakeOrderedAndProject
                               Generate
                                 ColumnarToRow
                                   Scan parquet 
-      BroadcastExchange
-        HashAggregate
-          Exchange
-            HashAggregate
+        Project
+          BroadcastHashJoin
+            BroadcastExchange
               Project
-                ColumnarToRow
-                  Scan parquet 
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+            HashAggregate
+              Exchange
+                HashAggregate
+                  HashAggregate
+                    Exchange
+                      HashAggregate
+                        Filter
+                          Generate
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 

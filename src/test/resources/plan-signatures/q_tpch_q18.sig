@@ -1,8 +1,16 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin
+      BroadcastExchange
+        Filter
+          ColumnarToRow
+            Scan parquet 
       Project
         BroadcastHashJoin
+          BroadcastExchange
+            Filter
+              ColumnarToRow
+                Scan parquet 
           Filter
             HashAggregate
               Exchange
@@ -10,11 +18,3 @@ TakeOrderedAndProject
                   Filter
                     ColumnarToRow
                       Scan parquet 
-          BroadcastExchange
-            Filter
-              ColumnarToRow
-                Scan parquet 
-      BroadcastExchange
-        Filter
-          ColumnarToRow
-            Scan parquet 

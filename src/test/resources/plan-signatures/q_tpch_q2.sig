@@ -3,8 +3,16 @@ TakeOrderedAndProject
     BroadcastHashJoin
       Project
         BroadcastHashJoin
+          BroadcastExchange
+            Filter
+              ColumnarToRow
+                Scan parquet 
           Project
             BroadcastHashJoin
+              BroadcastExchange
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
               Project
                 BroadcastHashJoin
                   BroadcastExchange
@@ -29,31 +37,23 @@ TakeOrderedAndProject
                         HashAggregate
                           Project
                             BroadcastHashJoin
-                              Project
-                                BroadcastHashJoin
-                                  Project
-                                    BroadcastHashJoin
-                                      HashAggregate
-                                        ReusedExchange
-                                      BroadcastExchange
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                  BroadcastExchange
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
                               BroadcastExchange
                                 Project
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
-          BroadcastExchange
-            Filter
-              ColumnarToRow
-                Scan parquet 
+                              Project
+                                BroadcastHashJoin
+                                  BroadcastExchange
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                                  Project
+                                    BroadcastHashJoin
+                                      BroadcastExchange
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                      HashAggregate
+                                        ReusedExchange
       ReusedExchange

@@ -3,10 +3,23 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
+          BroadcastExchange
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
           Project
             BroadcastHashJoin
+              BroadcastExchange
+                ColumnarToRow
+                  Scan parquet 
               Project
                 BroadcastHashJoin
+                  BroadcastExchange
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                   Project
                     BroadcastHashJoin
                       BroadcastExchange
@@ -14,22 +27,9 @@ HashAggregate
                           ColumnarToRow
                             Scan parquet 
                       BroadcastHashJoin
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
                         BroadcastExchange
                           ColumnarToRow
                             Scan parquet 
-                  BroadcastExchange
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-              BroadcastExchange
-                ColumnarToRow
-                  Scan parquet 
-          BroadcastExchange
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 

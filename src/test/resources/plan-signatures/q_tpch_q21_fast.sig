@@ -3,8 +3,17 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin
+          BroadcastExchange
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
           Project
             BroadcastHashJoin
+              BroadcastExchange
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
               Project
                 Filter
                   Window
@@ -16,20 +25,11 @@ HashAggregate
                               HashAggregate
                                 Project
                                   BroadcastHashJoin
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
                                     BroadcastExchange
                                       Project
                                         Filter
                                           ColumnarToRow
                                             Scan parquet 
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
-          BroadcastExchange
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 

@@ -172,8 +172,12 @@ class PlanAuditSpec extends GraftSpecBase {
     val p = finalPlan("q_docs_pipeline")
     assert(p.contains("In(lang"),
       s"language whitelist should reach parquet pushdown:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"exact dedup should use the rank-limit pushdown:\n$p")
+    // exact dedup is a min_by hash aggregate since r5 (partial-aggregable,
+    // narrow) — NOT a row_number window (full-row shuffle + sort)
+    assert(p.contains("min_by"),
+      s"exact dedup should be the min_by aggregate:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"exact dedup should not need a window sort:\n$p")
     assert(p.contains("LeftAnti"), p)
   }
 
