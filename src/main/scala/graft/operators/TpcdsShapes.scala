@@ -794,6 +794,56 @@ object TpcdsShapes {
                            WHERE o_totalprice > 400000.0)
        GROUP BY c_nationkey""")
 
+  /** Interval RANGE window frame (the date-grain moving total the ROWS
+    * variants can't express): per-day revenue with a trailing 3-DAY RANGE
+    * frame over an actual date ordering — the planner's RangeFrame with a
+    * calendar offset, which skips gap days a ROWS frame would wrongly
+    * count across. */
+  val intervalRangeWindow = QueryDef.sqlSame(
+    "q_ds_interval_range_window",
+    s"""SELECT d, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+              CAST(w_c AS DOUBLE) / 100.0 AS trailing_3d
+       FROM (
+         SELECT d, rev_c,
+                sum(rev_c) OVER (ORDER BY d
+                                 RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                                 AND CURRENT ROW) AS w_c
+         FROM (
+           SELECT o_orderdate AS d,
+                  sum(${centsSql("o_totalprice")}) AS rev_c
+           FROM orders
+           WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+           GROUP BY o_orderdate))""")
+
+  /** COUNT(DISTINCT) under ROLLUP — the distinct-rewrite Expand STACKED on
+    * the grouping-sets Expand (two Expand operators in one aggregate
+    * chain), plus a plain sum riding the same pass. */
+  val distinctRollup = QueryDef.sqlSame(
+    "q_ds_distinct_rollup",
+    s"""SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) + grouping(l_linestatus) AS INT)
+                AS lvl,
+              count(DISTINCT l_suppkey) AS n_supp,
+              CAST(sum(${centsSql("l_quantity")}) AS DOUBLE) / 100.0
+                AS sum_qty
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+
+  /** Top-k over a UNION ALL of channel branches — TakeOrderedAndProject
+    * must sit ABOVE the union (one bounded heap per partition of either
+    * branch, never a global sort of the concatenation). */
+  val unionTopK = QueryDef.sqlSame(
+    "q_ds_union_topk",
+    s"""SELECT * FROM (
+         SELECT 'F' AS channel, o_orderkey,
+                CAST(${centsSql("o_totalprice")} AS DOUBLE) / 100.0 AS price
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'O', o_orderkey,
+                CAST(${centsSql("o_totalprice")} AS DOUBLE) / 100.0
+         FROM orders WHERE o_orderstatus = 'O')
+       ORDER BY price DESC, o_orderkey LIMIT 25""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -803,5 +853,6 @@ object TpcdsShapes {
     returnsNet, timeRatio, beforeAfter, nullChannel,
     lagRankDev, groupingCasePartition, groupingBattery, exceptCohort,
     fullOuterCoalesce, crossChannelRollup, windowFilteredRollup,
-    revenueShare, rankJoin, wideMonthPivot, returnsChain, disjunctiveSemi)
+    revenueShare, rankJoin, wideMonthPivot, returnsChain, disjunctiveSemi,
+    intervalRangeWindow, distinctRollup, unionTopK)
 }

@@ -32,7 +32,11 @@ object ScaleSmoke {
     // round 4b: decontamination over the replicated corpus, quantized
     // retrieval, custom top-k exec, merge, BM25
     "q_decontaminate", "q_sim_quantized_topk", "q_topk_per_group",
-    "q_merge_upsert", "q_text_bm25")
+    "q_merge_upsert", "q_text_bm25",
+    // round 5: the heaviest new DS shapes — the three-fact follow-up chain
+    // (three distinct exchange keys) and the INTERSECT+scalar+union+rollup
+    // composite
+    "q_ds_returns_chain", "q_ds_cross_channel_rollup")
 
   /** Gate exemptions beyond parityShape, each with the reason on record:
     * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and

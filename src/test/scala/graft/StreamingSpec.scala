@@ -429,4 +429,49 @@ class StreamingSpec extends GraftSpecBase {
       }
     }
   }
+
+  test("streaming incremental curation: foreachBatch admits only novel docs") {
+    // the 100 TB ingestion pattern: documents arrive as a stream; each
+    // micro-batch is admitted against the curated corpus with
+    // ops.admitBatch (intra-batch exact dedup -> fingerprint anti-join vs
+    // corpus -> LSH near-dup check vs the corpus band index), and the
+    // corpus grows by exactly the novel docs. Exact replays of earlier
+    // batches and near-dup rewrites must both bounce.
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog today")
+    val d2 = (2L, "completely different content about spark physical plans")
+    val d1Exact = (3L, d1._2)                         // exact dup of d1
+    val d2Near = (4L,
+      "completely different content about spark physical plan")  // near-dup
+    val novel = (5L, "a genuinely new document with original words here")
+
+    var corpus = Seq(d1).toDF("doc_id", "text")
+    val admittedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def admit(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = this.synchronized {
+      val fresh = graft.ops
+        .admitBatch(corpus, df, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("text")).collect()
+      admittedIds ++= fresh.map(_.getLong(0))
+      if (fresh.nonEmpty) {
+        corpus = corpus.union(
+          sp.createDataFrame(java.util.Arrays.asList(fresh: _*),
+            corpus.schema))
+      }
+    }
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(d2, d1Exact)
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(admit _).start()
+    try {
+      q.processAllAvailable()
+      assert(admittedIds.sorted == Seq(2L),
+        s"batch 1: only d2 is novel (d1Exact is an exact corpus dup): $admittedIds")
+      ms.addData(d2Near, novel)
+      q.processAllAvailable()
+      assert(admittedIds.sorted == Seq(2L, 5L),
+        s"batch 2: near-dup of admitted d2 must bounce, novel admits: $admittedIds")
+      assert(corpus.count() == 3)  // d1, d2, novel
+    } finally q.stop()
+  }
 }
