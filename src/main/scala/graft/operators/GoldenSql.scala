@@ -592,6 +592,36 @@ object GoldenSql {
                AS s
              FROM (VALUES (1), (2), (3)) AS t(v))""")
 
+  /** Map construction + key access (map.sql): hit, miss (NULL — Spark
+    * try_element_at vs DuckDB's list-returning extraction indexed to a
+    * scalar), and cardinality. Paired spellings: the dialects' map
+    * literals and extraction forms differ. */
+  val mapAccess = QueryDef.sql(
+    "q_golden_map",
+    """SELECT try_element_at(map('a', 1, 'b', 2), 'a') AS hit,
+              try_element_at(map('a', 1, 'b', 2), 'zz') AS miss,
+              size(map('a', 1, 'b', 2)) AS n,
+              array_join(array_sort(map_keys(map('a', 1, 'b', 2))), ',')
+                AS keys_csv""",
+    """SELECT (MAP {'a': 1, 'b': 2})['a'][1] AS hit,
+              (MAP {'a': 1, 'b': 2})['zz'][1] AS miss,
+              CAST(cardinality(MAP {'a': 1, 'b': 2}) AS INT) AS n,
+              array_to_string(list_sort(map_keys(MAP {'a': 1, 'b': 2})), ',')
+                AS keys_csv""")
+
+  /** nth_value across frame shapes (window.sql): the full-frame form sees
+    * the whole partition from every row; the default ORDER BY frame
+    * (RANGE UNBOUNDED PRECEDING..CURRENT ROW) yields NULL until the nth
+    * row arrives — both pinned per-row via the ordering key. */
+  val nthValue = QueryDef.sqlSame(
+    "q_golden_nth_value",
+    """SELECT x,
+              nth_value(x, 2) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS nth_full,
+              nth_value(x, 2) OVER (ORDER BY x) AS nth_running
+       FROM (VALUES (30), (10), (20), (40)) AS t(x)""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
@@ -600,5 +630,5 @@ object GoldenSql {
     limitOffset, emptyQuantifiers, concatNull,
     recursiveCte, recursiveGraph, groupingNullVsSubtotal, setopNullDup,
     extractFields, datetimeParse, decimalOverflow, ordinals,
-    usingJoin, hofEdges, structAccess)
+    usingJoin, hofEdges, structAccess, mapAccess, nthValue)
 }

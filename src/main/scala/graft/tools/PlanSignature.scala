@@ -14,8 +14,9 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * ids. AQE wrappers (query stages, shuffle reads) and codegen collapse
   * nodes are transparent — the signature records which operators run in
   * which order, which is exactly what a planner regression changes.
-  * ReusedExchange keeps its name (exchange reuse IS a plan property worth
-  * pinning) but not its target.
+  * ReusedExchange expands to its referenced subtree — AQE stage reuse is
+  * timing-dependent, so a reused and a recomputed twin sign identically
+  * (the reuse property is pinned separately in PlanAuditSpec).
   */
 object PlanSignature {
 
@@ -25,7 +26,13 @@ object PlanSignature {
       case q: QueryStageExec => walk(q.plan, d)
       case w: WholeStageCodegenExec => walk(w.child, d)
       case i: InputAdapter => walk(i.child, d)
-      case r: ReusedExchangeExec => Seq(("  " * d) + "ReusedExchange")
+      case r: ReusedExchangeExec =>
+        // whether AQE reuses a twin exchange or recomputes it is a RACE
+        // (two identical stages submitted concurrently may both run before
+        // reuse registration) — expand to the referenced subtree so either
+        // outcome signs identically; the reuse property itself is asserted
+        // separately (PlanAuditSpec's q2 ReusedExchange pin)
+        walk(r.child, d)
       case other if other.nodeName == "AQEShuffleRead" =>
         // partition coalescing/skew splitting is a runtime stat decision,
         // not a plan shape — transparent for stability purposes

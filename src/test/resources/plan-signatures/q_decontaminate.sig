@@ -8,6 +8,12 @@ Project
               HashAggregate
                 Project
                   BroadcastHashJoin
+                    BroadcastExchange
+                      Project
+                        Generate
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                     Project
                       BroadcastHashJoin
                         BroadcastExchange
@@ -26,7 +32,6 @@ Project
                                       Filter
                                         ColumnarToRow
                                           Scan parquet 
-                    ReusedExchange
     HashAggregate
       Exchange
         HashAggregate
@@ -52,4 +57,10 @@ Project
                         Project
                           Filter
                             HashAggregate
-                              ReusedExchange
+                              Exchange
+                                HashAggregate
+                                  Generate
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 

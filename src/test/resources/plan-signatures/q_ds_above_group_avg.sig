@@ -14,10 +14,13 @@ HashAggregate
                           HashAggregate
                             Project
                               BroadcastHashJoin
+                                BroadcastExchange
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                                ReusedExchange
               Filter
                 HashAggregate
                   Exchange
@@ -36,4 +39,14 @@ HashAggregate
             Exchange
               HashAggregate
                 HashAggregate
-                  ReusedExchange
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin
+                          BroadcastExchange
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 

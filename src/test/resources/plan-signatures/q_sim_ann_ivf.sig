@@ -43,8 +43,12 @@ Project
                                   Sort
                                     Project
                                       BroadcastNestedLoopJoin
+                                        BroadcastExchange
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
                                         Project
                                           Filter
                                             ColumnarToRow
                                               Scan parquet 
-                                        ReusedExchange

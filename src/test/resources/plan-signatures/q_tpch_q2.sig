@@ -1,6 +1,11 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin
+      BroadcastExchange
+        Project
+          Filter
+            ColumnarToRow
+              Scan parquet 
       Project
         BroadcastHashJoin
           BroadcastExchange
@@ -55,5 +60,8 @@ TakeOrderedAndProject
                                           ColumnarToRow
                                             Scan parquet 
                                       HashAggregate
-                                        ReusedExchange
-      ReusedExchange
+                                        Exchange
+                                          HashAggregate
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 

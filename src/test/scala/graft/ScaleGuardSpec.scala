@@ -62,6 +62,11 @@ class ScaleGuardSpec extends GraftSpecBase {
 
       "q_text_tfidf", "q_text_bm25",                // 1-row corpus-stats
       "q_ds_weekday_pivot_ratio",                   //   frames cross-joined
+      "q_golden_nth_value",                         //   4-row VALUES constant
+      "q_ds_interval_range_window",                 // global RANGE window
+                                                    //   over the post-agg
+                                                    //   day-grain series
+                                                    //   (bounded: 2 months)
       "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
                                                     //   DIMENSION-grain
                                                     //   aggregates (supplier/
