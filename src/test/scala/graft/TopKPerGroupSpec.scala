@@ -76,4 +76,36 @@ class TopKPerGroupSpec extends GraftSpecBase {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("per-partition group cap fails fast instead of slow-OOMing (ADVICE r4)") {
+    val key = "spark.graft.topk.maxGroupsPerPartition"
+    spark.conf.set(key, "2")
+    try {
+      // one partition, many distinct group keys -> must trip the cap with
+      // an actionable message, not an executor OOM
+      val df = spark.range(0, 100).toDF("id").coalesce(1)
+        .select(col("id").as("g"), col("id").as("tie"),
+          col("id").cast("double").as("v"))
+      val e = intercept[Exception] {
+        ops.topKPerGroup(df, Seq("g"), "v", "tie", 2).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("maxGroupsPerPartition")),
+        s"expected the cap message in: ${msgs(e)}")
+    } finally spark.conf.unset(key)
+  }
+
+  test("ambiguous duplicate column name is rejected, not silently bound") {
+    val a = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val b = orders.select(col("o_orderkey").as("k2"),
+      col("o_totalprice").as("o_totalprice"))
+    val joined = a.join(b, col("o_orderkey") === col("k2"))
+    val e = intercept[Exception] {
+      ops.topKPerGroup(joined, Seq("o_orderkey"), "o_totalprice",
+        "k2", 2).collect()
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
 }
