@@ -12,12 +12,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * splits a document into fixed-size word chunks — the context-window
   * chunking step of a training-data pipeline. Emits (chunk_idx, chunk) rows,
   * 1-based index, chunks of `n` space-separated words (last chunk ragged).
+  * An optional `stride` < n slides the window with `n - stride` words of
+  * overlap between consecutive chunks (context-window overlap); chunks
+  * start at every multiple of the stride below the word count.
   *
   * Split semantics are literal single-space with trailing empties kept,
   * matching DuckDB `str_split(text, ' ')` for the oracle.
   */
-case class WordChunks(child: Expression, n: Int)
+case class WordChunks(child: Expression, n: Int, stride: Int = 0)
   extends Generator with CodegenFallback {
+  // stride 0 = "no overlap" (stride == n); stride < n overlaps chunks by
+  // n - stride words — the sliding context window of a training pipeline
+  private val step = if (stride <= 0) n else stride
 
   require(n > 0, "word_chunks chunk size must be positive")
 
@@ -38,9 +44,10 @@ case class WordChunks(child: Expression, n: Int)
     if (v == null) Iterator.empty
     else {
       val words = v.toString.split(" ", -1)
-      val m = (words.length + n - 1) / n
+      val m = (words.length + step - 1) / step
       (0 until m).iterator.map { i =>
-        val chunk = words.slice(i * n, math.min((i + 1) * n, words.length))
+        val start = i * step
+        val chunk = words.slice(start, math.min(start + n, words.length))
           .mkString(" ")
         InternalRow(i + 1, UTF8String.fromString(chunk))
       }

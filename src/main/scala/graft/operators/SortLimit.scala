@@ -102,6 +102,28 @@ object SortLimit {
             FROM (SELECT doc_id, str_split(text, ' ') AS parts
                   FROM documents))"""))
 
+  /** Sliding-window chunking — word_chunks with a stride smaller than the
+    * window: consecutive chunks overlap by n - stride words (the training
+    * context-window overlap). Windows start at every stride multiple below
+    * the word count; the tail windows are ragged. */
+  val generateChunksOverlap = QueryDef(
+    "q_generate_chunks_overlap",
+    (spark, dir) => {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("word_chunks(text, 8, 4)").as(Seq("chunk_idx", "chunk")))
+    },
+    Some("""
+      SELECT doc_id, CAST(generate_subscripts(chunks, 1) AS INT) AS chunk_idx,
+             unnest(chunks) AS chunk
+      FROM (SELECT doc_id,
+                   list_transform(
+                     range((len(parts) + 3) // 4),
+                     i -> array_to_string(parts[i*4+1 : i*4+8], ' '))
+                     AS chunks
+            FROM (SELECT doc_id, str_split(text, ' ') AS parts
+                  FROM documents))"""))
+
   /** Per-GROUP top-k via the custom physical operator
     * (graft.plans.TopKPerGroupExec — logical node + SparkStrategy +
     * UnaryExecNode with its own doExecute; SURVEY §7 step (c) machinery in
@@ -127,5 +149,5 @@ object SortLimit {
 
   val all: Seq[QueryDef] =
     Seq(sortGlobal, topK, limitCount, rangeSource, generate, generateChunks,
-      topKPerGroup)
+      generateChunksOverlap, topKPerGroup)
 }

@@ -144,12 +144,15 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("word_chunks"),
       info("word_chunks",
-        "word_chunks(text, n) - generator: (chunk_idx, chunk) rows of n words"),
+        "word_chunks(text, n[, stride]) - generator: (chunk_idx, chunk) " +
+          "rows of n words, windows sliding by stride (overlap = n - stride)"),
       (args: Seq[Expression]) => args match {
         case Seq(text) => WordChunks(text, 8)
         case Seq(text, Literal(n: Int, _)) => WordChunks(text, n)
+        case Seq(text, Literal(n: Int, _), Literal(st: Int, _)) =>
+          WordChunks(text, n, st)
         case _ => throw new IllegalArgumentException(
-          "word_chunks(text[, n]) requires a literal n")
+          "word_chunks(text[, n[, stride]]) requires literal n and stride")
       }))
 
   /** Defensive path: make a session built without GraftExtensions (e.g. the
