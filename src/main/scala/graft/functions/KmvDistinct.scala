@@ -143,3 +143,136 @@ case class KmvDistinct(
       newChildren: IndexedSeq[Expression]): KmvDistinct =
     copy(child = newChildren.head)
 }
+
+/** Shared KMV wire format + estimator (used by the three aggregate forms). */
+object KmvCodec {
+  def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.keptCount)
+    bb.putInt(buf.keptCount)
+    buf.foreachKept(bb.putLong(_))
+    bb.array()
+  }
+
+  def deserializeInto(bytes: Array[Byte], buf: KmvBuffer): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  def estimate(buf: KmvBuffer, k: Int): Long = {
+    val (size, kth) = buf.sizeAndKth
+    if (size < k) size.toLong
+    else {
+      val u = if (kth >= 0) kth.toDouble
+              else kth.toDouble + 1.8446744073709552e19
+      math.round((k - 1).toDouble * 1.8446744073709552e19 / u)
+    }
+  }
+}
+
+/** kmv_state(col[, k]) — the SKETCH STATE as a binary column instead of the
+  * estimate: the materialized-sketch-table pattern for incremental
+  * profiling at 100 TB. Write one ≤(4+8k)-byte state per (partition, day);
+  * any later window re-aggregates STATES with [[KmvMerge]] — no raw
+  * re-scan — and because the state is the exact set of the k smallest
+  * distinct hashes, two-level aggregation is LOSSLESS: merged estimates
+  * equal the direct single-pass estimate bit-for-bit (pinned in KmvSpec). */
+case class KmvState(
+    child: Expression,
+    k: Int = 512,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def prettyName: String = "kmv_state"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(XxHash64Function.hash(v, child.dataType, 42L))
+    buf
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    b.foreachKept(a.add)
+    a
+  }
+
+  override def eval(buf: KmvBuffer): Any = KmvCodec.serialize(buf)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvCodec.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer =
+    KmvCodec.deserializeInto(bytes, createAggregationBuffer())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvState =
+    copy(child = newChildren.head)
+}
+
+/** kmv_merge(state[, k]) / kmv_merge_state(state[, k]) — re-aggregate
+  * binary sketch STATES (produced by [[KmvState]] with the same k):
+  * union-and-trim of the hash sets, then either the estimate (`asState =
+  * false`) or a further-mergeable state (`asState = true`, for rollup
+  * hierarchies: day → month → quarter without touching raw data). */
+case class KmvMerge(
+    child: Expression,
+    k: Int = 512,
+    asState: Boolean = false,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  override def prettyName: String = if (asState) "kmv_merge_state" else "kmv_merge"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    if (asState) org.apache.spark.sql.types.BinaryType else LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a binary kmv_state column, got " +
+            other.catalogString)
+    }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) KmvCodec.deserializeInto(v.asInstanceOf[Array[Byte]], buf)
+    buf
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    b.foreachKept(a.add)
+    a
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    if (asState) KmvCodec.serialize(buf) else KmvCodec.estimate(buf, k)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvCodec.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer =
+    KmvCodec.deserializeInto(bytes, createAggregationBuffer())
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMerge =
+    copy(child = newChildren.head)
+}

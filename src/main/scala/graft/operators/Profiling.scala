@@ -112,6 +112,28 @@ object Profiling {
          (SELECT count(*) FROM lineitem
           WHERE l_discount < 0 OR l_discount > 1) AS bad_discounts""")
 
+  /** Materialized-sketch-table rollup: per-(flag, month) KMV STATES (the
+    * binary column a daily profiling job would persist), re-aggregated to
+    * per-flag distinct-part estimates WITHOUT touching raw rows again —
+    * the incremental-profiling pattern at 100 TB (a day's state is
+    * ≤ 4+8k bytes regardless of row count; any window re-aggregates
+    * states). Rows-only (xxhash sketch); KmvSpec pins the key invariant:
+    * two-level state merging is LOSSLESS — merged estimates equal the
+    * direct single-pass estimate bit-for-bit. */
+  val sketchRollup = QueryDef(
+    "q_profile_sketch_rollup",
+    (spark, dir) => {
+      val monthly = Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(expr("kmv_state(l_partkey)").as("state"))
+      monthly.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_periods"),
+          expr("kmv_merge(state)").as("est_distinct_parts"))
+    },
+    None)
+
   val all: Seq[QueryDef] =
-    Seq(profileLineitem, profileLineitemExact, profileHistogram, constraints)
+    Seq(profileLineitem, profileLineitemExact, profileHistogram, constraints,
+      sketchRollup)
 }

@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -52,6 +52,36 @@ object GraftFunctions {
       info("kmv_distinct",
         "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
       (args: Seq[Expression]) => KmvDistinct(args.head)),
+    (FunctionIdentifier("kmv_state"),
+      info("kmv_state",
+        "kmv_state(col[, k]) - mergeable KMV sketch STATE (binary) for " +
+          "materialized sketch tables"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvState(c)
+        case Seq(c, Literal(k: Int, _)) => KmvState(c, k)
+        case _ => throw new IllegalArgumentException(
+          "kmv_state(col[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_merge"),
+      info("kmv_merge",
+        "kmv_merge(state[, k]) - distinct estimate from merged kmv_state " +
+          "columns (no raw re-scan)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvMerge(c)
+        case Seq(c, Literal(k: Int, _)) => KmvMerge(c, k)
+        case _ => throw new IllegalArgumentException(
+          "kmv_merge(state[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_merge_state"),
+      info("kmv_merge_state",
+        "kmv_merge_state(state[, k]) - merged, further-mergeable sketch " +
+          "state (rollup hierarchies: day -> month -> quarter)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvMerge(c, asState = true)
+        case Seq(c, Literal(k: Int, _)) => KmvMerge(c, k, asState = true)
+        case _ => throw new IllegalArgumentException(
+          "kmv_merge_state(state[, k]) requires a literal k")
+      }),
     (FunctionIdentifier("freq_sketch"),
       info("freq_sketch",
         "freq_sketch(col[, k]) - approximate top-k item frequencies (Space-Saving)"),

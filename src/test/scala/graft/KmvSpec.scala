@@ -65,4 +65,45 @@ class KmvSpec extends GraftSpecBase {
         s"p90: ${r.getDouble(3)} vs ${r.getDouble(4)}")
     }
   }
+
+  test("materialized sketch states merge losslessly (two-level == direct)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sfDir, "lineitem")
+    plans.GraftFunctions.ensureRegistered(spark)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(expr("kmv_distinct(l_partkey)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val monthly = li.groupBy(col("l_returnflag"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(expr("kmv_state(l_partkey)").as("state"))
+    // two-level: monthly states -> estimate
+    val twoLevel = monthly.groupBy(col("l_returnflag"))
+      .agg(expr("kmv_merge(state)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoLevel == direct,
+      s"two-level merge must be lossless: $twoLevel vs $direct")
+    // three-level: monthly -> quarterly states -> estimate
+    val quarterly = li.groupBy(col("l_returnflag"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(expr("kmv_state(l_partkey)").as("state"))
+      .withColumn("q", (col("mo") + lit(2)) / lit(3))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(expr("kmv_merge_state(state)").as("state"))
+    val threeLevel = quarterly.groupBy(col("l_returnflag"))
+      .agg(expr("kmv_merge(state)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(threeLevel == direct,
+      s"state-of-states merge must be lossless: $threeLevel vs $direct")
+  }
+
+  test("kmv_merge rejects a non-binary input at analysis") {
+    plans.GraftFunctions.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      Tables(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("kmv_merge(l_partkey)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary") ||
+      e.getMessage.contains("kmv_merge"), e.getMessage)
+  }
 }

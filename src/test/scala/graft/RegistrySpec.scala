@@ -56,7 +56,10 @@ class RegistrySpec extends GraftSpecBase {
     assert(noOracle.toSet ==
       Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
         "q_agg_approx_distinct", "q_agg_kll_quantile",
-        "q_profile_lineitem", "q_text_freq_tokens"),
+        "q_profile_lineitem", "q_text_freq_tokens",
+        // r5: materialized sketch-state rollup — lossless two-level merge
+        // pinned in KmvSpec against the direct estimate
+        "q_profile_sketch_rollup"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
