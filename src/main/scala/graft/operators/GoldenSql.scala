@@ -423,7 +423,7 @@ object GoldenSql {
          UNION ALL
          SELECT u.d, reach.lbl, depth + 1 FROM reach JOIN undirected u
            ON reach.node = u.s
-         WHERE depth < 4)
+         WHERE depth < 3)
        SELECT node, min(lbl) AS component
        FROM reach GROUP BY node""")
 
@@ -622,6 +622,38 @@ object GoldenSql {
               nth_value(x, 2) OVER (ORDER BY x) AS nth_running
        FROM (VALUES (30), (10), (20), (40)) AS t(x)""")
 
+  /** Regex backreference replacement — the dialects spell group references
+    * differently (Java's $n vs RE2-style \\n), so the QueryDef carries both
+    * spellings; plus shared-syntax anchors, greedy-vs-lazy quantifiers, and
+    * group extraction (same function name in both). */
+  val regexBackref = QueryDef.sql(
+    "q_golden_regex_backref",
+    """SELECT regexp_replace('ab12cd34', '([a-z]+)([0-9]+)', '$2$1')
+                AS swapped,
+              regexp_extract('key=value', '([a-z]+)=([a-z]+)', 2) AS grp2,
+              regexp_replace('aaa', '^a', 'X') AS anchored,
+              regexp_extract('aab', 'a+?', 0) AS lazy_one,
+              regexp_extract('aab', 'a+', 0) AS greedy_all""",
+    """SELECT regexp_replace('ab12cd34', '([a-z]+)([0-9]+)', '\2\1', 'g')
+                AS swapped,
+              regexp_extract('key=value', '([a-z]+)=([a-z]+)', 2) AS grp2,
+              regexp_replace('aaa', '^a', 'X') AS anchored,
+              regexp_extract('aab', 'a+?', 0) AS lazy_one,
+              regexp_extract('aab', 'a+', 0) AS greedy_all""")
+
+  /** ANSI TRIM forms + lpad/rpad with multi-char pads and truncation —
+    * identical text in both dialects (the ANSI TRIM(BOTH x FROM y)
+    * spelling is the portable one; bare trim(a, b) flips argument order
+    * between engines and is excluded by design). */
+  val padTrim = QueryDef.sqlSame(
+    "q_golden_pad_trim",
+    """SELECT TRIM(BOTH 'x' FROM 'xxhixx') AS trim_both,
+              TRIM(LEADING 'x' FROM 'xxhixx') AS trim_lead,
+              TRIM(TRAILING 'x' FROM 'xxhixx') AS trim_trail,
+              lpad('7', 5, 'ab') AS lpad_multi,
+              rpad('7', 5, 'ab') AS rpad_multi,
+              lpad('longvalue', 4, '0') AS lpad_trunc""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
@@ -630,5 +662,6 @@ object GoldenSql {
     limitOffset, emptyQuantifiers, concatNull,
     recursiveCte, recursiveGraph, groupingNullVsSubtotal, setopNullDup,
     extractFields, datetimeParse, decimalOverflow, ordinals,
-    usingJoin, hofEdges, structAccess, mapAccess, nthValue)
+    usingJoin, hofEdges, structAccess, mapAccess, nthValue,
+    regexBackref, padTrim)
 }
