@@ -844,6 +844,210 @@ object TpcdsShapes {
          FROM orders WHERE o_orderstatus = 'O')
        ORDER BY price DESC, o_orderkey LIMIT 25""")
 
+  /** ds9: scalar subqueries selected by a CASE over OTHER scalar
+    * subqueries — six independent single-row aggregates feed one projected
+    * row, and which pair is surfaced depends on a count threshold. Spark
+    * plans every scalar subquery as its own reusable stage regardless of
+    * which CASE arm wins; subquery reuse dedups the three scans per
+    * bucket into one. */
+  val caseScalarBuckets = QueryDef.sqlSame(
+    "q_ds_case_scalar_buckets",
+    s"""SELECT
+         CASE WHEN (SELECT count(*) FROM lineitem
+                    WHERE l_quantity BETWEEN 1 AND 15) > 20000
+              THEN (SELECT ${sumdSql("l_extendedprice")} FROM lineitem
+                    WHERE l_quantity BETWEEN 1 AND 15)
+              ELSE (SELECT ${avgdSql("l_extendedprice")} FROM lineitem
+                    WHERE l_quantity BETWEEN 1 AND 15) END AS b1,
+         CASE WHEN (SELECT count(*) FROM lineitem
+                    WHERE l_quantity BETWEEN 16 AND 30) > 20000
+              THEN (SELECT ${sumdSql("l_extendedprice")} FROM lineitem
+                    WHERE l_quantity BETWEEN 16 AND 30)
+              ELSE (SELECT ${avgdSql("l_extendedprice")} FROM lineitem
+                    WHERE l_quantity BETWEEN 16 AND 30) END AS b2,
+         CASE WHEN (SELECT count(*) FROM lineitem
+                    WHERE l_quantity BETWEEN 31 AND 50) > 20000
+              THEN (SELECT ${sumdSql("l_extendedprice")} FROM lineitem
+                    WHERE l_quantity BETWEEN 31 AND 50)
+              ELSE (SELECT ${avgdSql("l_extendedprice")} FROM lineitem
+                    WHERE l_quantity BETWEEN 31 AND 50) END AS b3""")
+
+  /** ds23/ds24: HAVING-style filter comparing each group to SCALAR
+    * subqueries over the SAME CTE (total and count) — the CTE is planned
+    * once and read three ways (group rows, global sum, global count).
+    * All-integer cents predicate: paid > 1.5x the mean customer spend. */
+  val havingScalarCte = QueryDef.sqlSame(
+    "q_ds_having_scalar_cte",
+    s"""WITH payments AS (
+         SELECT o_custkey, sum(${centsSql("o_totalprice")}) AS paid_c
+         FROM orders GROUP BY o_custkey)
+       SELECT o_custkey AS custkey,
+              CAST(paid_c AS DOUBLE) / 100.0 AS paid
+       FROM payments
+       WHERE paid_c * (SELECT count(*) FROM payments) * 2
+             > 3 * (SELECT sum(paid_c) FROM payments)
+       ORDER BY paid DESC, custkey LIMIT 40""")
+
+  /** ds50/ds62/ds99: fulfilment-latency bucket matrix — two facts joined
+    * on the order key, latency in calendar months bucketed into a
+    * conditional-count pivot per priority class. The month arithmetic is
+    * pure integers (portable across engines, unlike datediff dialects).
+    * Scale: one shuffle on orderkey for the join, then a 5-group agg. */
+  val latencyBuckets = QueryDef.sqlSame(
+    "q_ds_latency_buckets",
+    s"""SELECT o_orderpriority,
+              CAST(sum(CASE WHEN lat <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+              CAST(sum(CASE WHEN lat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+              CAST(sum(CASE WHEN lat = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+              CAST(sum(CASE WHEN lat >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m3p
+       FROM (
+         SELECT o.o_orderpriority,
+                (CAST(year(l.l_shipdate) AS INT) * 12
+                   + CAST(month(l.l_shipdate) AS INT))
+              - (CAST(year(o.o_orderdate) AS INT) * 12
+                   + CAST(month(o.o_orderdate) AS INT)) AS lat
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** ds32: "excess discount" — rows whose discount exceeds 1.3x the
+    * average discount of the SAME part, via a correlated scalar aggregate.
+    * Catalyst decorrelates to a per-part aggregate joined back on
+    * partkey; the 1.3x compare is one IEEE multiply on an exactly-
+    * accumulated mean, bit-identical in both engines. */
+  val corrExcessDiscount = QueryDef.sqlSame(
+    "q_ds_corr_excess_discount",
+    s"""SELECT CAST(sum(${centsSql("l1.l_extendedprice")}) AS DOUBLE) / 100.0
+                AS excess_rev,
+              count(*) AS n_lines
+       FROM lineitem l1
+       WHERE CAST(year(l1.l_shipdate) AS INT) = 1998
+         AND l1.l_discount >
+             (SELECT 13e-1 * (CAST(sum(${centsSql("l2.l_discount")}) AS DOUBLE)
+                              / 100.0 / CAST(count(*) AS DOUBLE))
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")
+
+  /** ds68/ds79: per-order aggregate joined back to the order header with
+    * an INEQUALITY between two conditionally-accumulated columns (orders
+    * whose deep-discount revenue dwarfs their list-rate revenue) — the
+    * filter can only run post-aggregation, post-join. Integer cents. */
+  val aggJoinInequality = QueryDef.sqlSame(
+    "q_ds_agg_join_inequality",
+    s"""WITH po AS (
+         SELECT l_orderkey,
+                sum(CASE WHEN l_discount >= 5e-2
+                         THEN ${centsSql("l_extendedprice")} ELSE 0 END) AS hi_c,
+                sum(CASE WHEN l_discount < 5e-2
+                         THEN ${centsSql("l_extendedprice")} ELSE 0 END) AS lo_c
+         FROM lineitem GROUP BY l_orderkey)
+       SELECT o.o_orderkey AS orderkey, o.o_orderpriority,
+              CAST(hi_c AS DOUBLE) / 100.0 AS hi_rev,
+              CAST(lo_c AS DOUBLE) / 100.0 AS lo_rev
+       FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+       WHERE hi_c > 3 * lo_c AND lo_c > 0
+       ORDER BY hi_rev DESC, orderkey LIMIT 40""")
+
+  /** ds5/ds77: ROLLUP over a UNION ALL of SIGNED measure streams (gross
+    * lines positive, returned lines negative) — the sales-and-returns
+    * netting plan where the set-op feeds Expand directly. */
+  val signedUnionRollup = QueryDef.sqlSame(
+    "q_ds_signed_union_rollup",
+    s"""SELECT kind, flag,
+              CAST(grouping(kind) + grouping(flag) AS INT) AS lvl,
+              CAST(sum(amt_c) AS DOUBLE) / 100.0 AS net
+       FROM (
+         SELECT 'gross' AS kind, l_returnflag AS flag,
+                ${centsSql("l_extendedprice")} AS amt_c
+         FROM lineitem
+         UNION ALL
+         SELECT 'return', l_returnflag, -${centsSql("l_extendedprice")}
+         FROM lineitem WHERE l_returnflag = 'R')
+       GROUP BY ROLLUP (kind, flag)""")
+
+  /** ds53/ds63: months deviating >10% from their (flag, year) partition
+    * mean — full-partition window sum + count feeding an all-integer
+    * deviation predicate 10*|q*n - tot| > tot (no division anywhere). */
+  val partitionDeviation = QueryDef.sqlSame(
+    "q_ds_partition_deviation",
+    s"""WITH m AS (
+         SELECT l_returnflag AS flag,
+                CAST(year(l_shipdate) AS INT) AS yr,
+                CAST(month(l_shipdate) AS INT) AS mo,
+                sum(${centsSql("l_quantity")}) AS qty_c
+         FROM lineitem GROUP BY 1, 2, 3),
+       w AS (
+         SELECT flag, yr, mo, qty_c,
+                sum(qty_c) OVER (PARTITION BY flag, yr) AS tot_c,
+                count(*) OVER (PARTITION BY flag, yr) AS nmo
+         FROM m)
+       SELECT flag, yr, mo, CAST(qty_c AS DOUBLE) / 100.0 AS qty
+       FROM w
+       WHERE 10 * abs(qty_c * nmo - tot_c) > tot_c
+       ORDER BY flag, yr, mo""")
+
+  /** ds16/ds94: COUNT(DISTINCT) gated by an EXISTS AND a NOT EXISTS in
+    * one WHERE — semi-join (another order, same customer+year) and
+    * anti-join (no returned line) both feed the distinct aggregation.
+    * Scale: the EXISTS correlates on (custkey, year) — both equalities,
+    * so it hash-joins; orders is the lighter fact, so the self-semi here
+    * is NOT the ds95 lineitem-scale trap (that one is pinned separately
+    * as a parity shape). */
+  val gatedCountDistinct = QueryDef.sqlSame(
+    "q_ds_gated_count_distinct",
+    s"""SELECT count(DISTINCT o1.o_custkey) AS n_cust,
+              CAST(sum(${centsSql("o1.o_totalprice")}) AS DOUBLE) / 100.0
+                AS rev
+       FROM orders o1
+       WHERE o1.o_orderstatus = 'F'
+         AND EXISTS (SELECT 1 FROM orders o2
+                     WHERE o2.o_custkey = o1.o_custkey
+                       AND o2.o_orderkey <> o1.o_orderkey
+                       AND year(o2.o_orderdate) = year(o1.o_orderdate))
+         AND NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o1.o_orderkey
+                           AND l.l_returnflag = 'R')""")
+
+  /** ds34/ds73: frequency-histogram cohort — customers whose order COUNT
+    * falls in a HAVING band, then re-joined to the dimension for display.
+    * The band filter runs map-side-combinable before the dim join. */
+  val orderCountHistogram = QueryDef.sqlSame(
+    "q_ds_order_count_histogram",
+    s"""WITH cnts AS (
+         SELECT o_custkey, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         HAVING count(*) BETWEEN 8 AND 12)
+       SELECT c.c_custkey AS custkey, c.c_name, n_orders
+       FROM cnts JOIN customer c ON cnts.o_custkey = c.c_custkey
+       ORDER BY n_orders DESC, custkey LIMIT 40""")
+
+  /** ds41: dimension-only disjunction battery — OR-of-AND predicate
+    * bands over two attributes, aggregated per brand. One scan, complex
+    * boolean pushdown, no join at all (the planner must not expand the
+    * disjunction into a union of scans). */
+  val dimDisjunctionBattery = QueryDef.sqlSame(
+    "q_ds_dim_disjunction",
+    s"""SELECT p_brand, count(*) AS n
+       FROM part
+       WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1 AND 15)
+          OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30)
+          OR (p_type IN ('SMALL', 'MEDIUM') AND p_size BETWEEN 25 AND 50)
+       GROUP BY p_brand ORDER BY p_brand""")
+
+  /** ds6: fact rows driven by a DIMENSION-correlated average — customers
+    * above 1.2x their nation's mean balance, counted by nation across the
+    * order fact. The correlated avg decorrelates to a per-nation
+    * aggregate (25 rows, broadcast); only the fact join shuffles. */
+  val dimAboveAvgJoin = QueryDef.sqlSame(
+    "q_ds_dim_above_avg_join",
+    s"""SELECT n.n_name, count(*) AS n_orders
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       WHERE c.c_acctbal >
+             (SELECT 12e-1 * (CAST(sum(${centsSql("c2.c_acctbal")}) AS DOUBLE)
+                              / 100.0 / CAST(count(*) AS DOUBLE))
+              FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+       GROUP BY n.n_name ORDER BY n_orders DESC, n_name LIMIT 10""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -854,5 +1058,9 @@ object TpcdsShapes {
     lagRankDev, groupingCasePartition, groupingBattery, exceptCohort,
     fullOuterCoalesce, crossChannelRollup, windowFilteredRollup,
     revenueShare, rankJoin, wideMonthPivot, returnsChain, disjunctiveSemi,
-    intervalRangeWindow, distinctRollup, unionTopK)
+    intervalRangeWindow, distinctRollup, unionTopK,
+    caseScalarBuckets, havingScalarCte, latencyBuckets, corrExcessDiscount,
+    aggJoinInequality, signedUnionRollup, partitionDeviation,
+    gatedCountDistinct, orderCountHistogram, dimDisjunctionBattery,
+    dimAboveAvgJoin)
 }
