@@ -654,6 +654,113 @@ object GoldenSql {
               rpad('7', 5, 'ab') AS rpad_multi,
               lpad('longvalue', 4, '0') AS lpad_trunc""")
 
+  /** Edit distance — identical `levenshtein` in both dialects (reference
+    * corpus: string-functions.sql). The table case scalar-counts near
+    * matches against a live dimension column so the function is pinned on
+    * real data, not just literals. */
+  val levenshteinFns = QueryDef.sqlSame(
+    "q_golden_levenshtein",
+    """SELECT CAST(levenshtein('kitten', 'sitting') AS INT) AS d_classic,
+              CAST(levenshtein('', 'abc') AS INT) AS d_empty,
+              CAST(levenshtein('abc', 'abc') AS INT) AS d_same,
+              CAST(levenshtein('flaw', 'lawn') AS INT) AS d_overlap,
+              CAST((SELECT count(*) FROM part
+                    WHERE levenshtein(p_type, 'PROMO') <= 3) AS BIGINT)
+                AS n_close""")
+
+  /** split_part / instr / position edges: out-of-range part yields the
+    * EMPTY STRING (not NULL), misses yield 0 (reference corpus:
+    * string-functions.sql). */
+  val splitPart = QueryDef.sqlSame(
+    "q_golden_split_part",
+    """SELECT split_part('a,b,c', ',', 2) AS p_mid,
+              split_part('a,b,c', ',', 9) AS p_oob,
+              split_part('one|two', '|', 1) AS p_first,
+              CAST(instr('hello', 'll') AS INT) AS pos_hit,
+              CAST(instr('hello', 'zz') AS INT) AS pos_miss,
+              CAST(position('ll' IN 'hello') AS INT) AS pos_kw""")
+
+  /** translate's DELETION rule (a match with no counterpart in the
+    * replacement alphabet is dropped, Oracle-style), repeat/reverse,
+    * chr/ascii round-trip, and printf zero-padding — all identical text
+    * in both dialects. */
+  val translateFmt = QueryDef.sqlSame(
+    "q_golden_translate_fmt",
+    """SELECT translate('abcba', 'abc', 'xyz') AS tr_full,
+              translate('abcba', 'abc', 'x') AS tr_delete,
+              repeat('ab', 3) AS rep,
+              reverse('graft') AS rev,
+              chr(97) AS c97,
+              CAST(ascii('a') AS INT) AS a97,
+              printf('%05d|%s', 42, 'x') AS fmt""")
+
+  /** hex() of 64-bit two's complement (negatives print as 16 Fs, zero as a
+    * single 0 — no leading-zero padding), bit_count over the full word,
+    * and the shared &,| operators (^ is EXCLUDED by design: power in
+    * DuckDB, xor in Spark). */
+  val hexBits = QueryDef.sqlSame(
+    "q_golden_hex_bits",
+    """SELECT hex(CAST(255 AS BIGINT)) AS h_ff,
+              hex(CAST(0 AS BIGINT)) AS h_zero,
+              hex(CAST(-1 AS BIGINT)) AS h_neg,
+              CAST(bit_count(CAST(1023 AS BIGINT)) AS INT) AS bc_1023,
+              CAST(bit_count(CAST(-1 AS BIGINT)) AS INT) AS bc_neg,
+              CAST(5 & 3 AS INT) AS b_and,
+              CAST(5 | 3 AS INT) AS b_or""")
+
+  /** Integer series generation incl. a NEGATIVE step — Spark
+    * explode(sequence()) vs DuckDB unnest(generate_series()); both are
+    * inclusive of the endpoint. */
+  val seriesGen = QueryDef.sql(
+    "q_golden_series",
+    """SELECT CAST(x AS INT) AS x, CAST(x * x AS INT) AS sq
+       FROM (SELECT explode(sequence(1, 6)) AS x)
+       UNION ALL
+       SELECT CAST(x AS INT), CAST(x * x AS INT)
+       FROM (SELECT explode(sequence(10, 1, -3)) AS x)""",
+    """SELECT CAST(x AS INT) AS x, CAST(x * x AS INT) AS sq
+       FROM (SELECT unnest(generate_series(1, 6)) AS x)
+       UNION ALL
+       SELECT CAST(x AS INT), CAST(x * x AS INT)
+       FROM (SELECT unnest(generate_series(10, 1, -3)) AS x)""")
+
+  /** Ordinal-tagged explode — Spark posexplode (0-based pos) vs the DuckDB
+    * emulation via a correlated generate_series lateral (1-based, shifted
+    * to match). Pins that element order is the string's token order. */
+  val posExplode = QueryDef.sql(
+    "q_golden_posexplode",
+    """SELECT CAST(pos AS INT) AS pos, word
+       FROM (SELECT split('the quick brown fox', ' ') AS ws)
+       LATERAL VIEW posexplode(ws) AS pos, word""",
+    """SELECT CAST(u.i - 1 AS INT) AS pos, t.ws[u.i] AS word
+       FROM (SELECT string_split('the quick brown fox', ' ') AS ws) t,
+            unnest(generate_series(1, len(t.ws))) AS u(i)""")
+
+  /** Array slicing and negative indexing — Spark slice(a, start, len) /
+    * element_at(a, -1) vs DuckDB's inclusive a[from:to] / a[-1]; CSV-joined
+    * because raw arrays break the compare harness's hashing. */
+  val arraySlice = QueryDef.sql(
+    "q_golden_array_slice",
+    """SELECT array_join(slice(array(1, 2, 3, 4, 5), 2, 3), ',') AS mid3,
+              CAST(element_at(array(1, 2, 3), -1) AS INT) AS last_elem,
+              CAST(size(array(1, 2, 3)) AS INT) AS n""",
+    """SELECT array_to_string(([1, 2, 3, 4, 5])[2:4], ',') AS mid3,
+              CAST(([1, 2, 3])[-1] AS INT) AS last_elem,
+              CAST(len([1, 2, 3]) AS INT) AS n""")
+
+  /** regexp_extract_all with EXPLICIT group index (the defaults diverge:
+    * Spark group 1, DuckDB group 0 — pinned here by always passing it). */
+  val regexExtractAll = QueryDef.sql(
+    "q_golden_regex_extract_all",
+    """SELECT array_join(regexp_extract_all('a1b22c333', '[0-9]+', 0), '|')
+                AS runs,
+              array_join(regexp_extract_all('a1b2c3', '([a-z])[0-9]', 1), '|')
+                AS letters""",
+    """SELECT array_to_string(regexp_extract_all('a1b22c333', '[0-9]+', 0), '|')
+                AS runs,
+              array_to_string(regexp_extract_all('a1b2c3', '([a-z])[0-9]', 1), '|')
+                AS letters""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
@@ -663,5 +770,7 @@ object GoldenSql {
     recursiveCte, recursiveGraph, groupingNullVsSubtotal, setopNullDup,
     extractFields, datetimeParse, decimalOverflow, ordinals,
     usingJoin, hofEdges, structAccess, mapAccess, nthValue,
-    regexBackref, padTrim)
+    regexBackref, padTrim,
+    levenshteinFns, splitPart, translateFmt, hexBits, seriesGen,
+    posExplode, arraySlice, regexExtractAll)
 }
