@@ -156,6 +156,14 @@ object ops {
         df.queryExecution.analyzed))
   }
 
+  /** Gopher-style per-document quality flags (word-count / mean-word-length
+    * bounds, duplicate-word fraction, top-bigram share, stopword presence)
+    * — see [[graft.operators.TextAnalysis.gopherFlags]]. Appends integer
+    * `f_*` columns plus boolean `is_clean`. */
+  def gopherFlags(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    operators.TextAnalysis.gopherFlags(docs, textCol, idCol)
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

@@ -236,7 +236,113 @@ object TextAnalysis {
               GROUP BY lang, tok))
       WHERE rk <= 10"""))
 
+  /** Per-document Gopher-style quality flags (Rae et al. 2021, Appendix A
+    * — "Quality filtering"; adapted to the single-line fixture, whose
+    * degenerate signals are the LINE-based ones, so the battery keeps the
+    * word-grain rules and both REPETITION rules):
+    *
+    *   - `f_words`   word count in [20, 1000]
+    *   - `f_meanlen` mean word length in [3, 5] chars
+    *   - `f_dup`     duplicate-word fraction <= 0.55 (dup-line analogue)
+    *   - `f_top2`    top bigram share of all bigrams <= 0.08
+    *   - `f_stop`    >= 2 stopword hits
+    *
+    * Every ratio test is cross-multiplied into ALL-INTEGER arithmetic, so
+    * the flags are bit-deterministic in any engine. Scale: the base flags
+    * are a pure map stage; the bigram share is one explode plus two
+    * partially-aggregated shuffles on (id, gram) then (id) — linear in
+    * corpus size, never all-pairs, no skew pivot (gram counts are bounded
+    * by per-doc length).
+    */
+  def gopherFlags(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val t = docs.withColumn("__ws", toks(col(textCol)))
+    val base = t
+      .withColumn("__nw", size(col("__ws")))
+      .withColumn("__nd", size(array_distinct(col("__ws"))))
+      .withColumn("__lc", length(col(textCol)) - (col("__nw") - lit(1)))
+      .withColumn("__stop",
+        expr("count_in_set(__ws, 'the,a,of,and,to,in,is')"))
+    // top bigram count per doc; docs under 2 words have no bigrams (LEFT
+    // join + coalesce(0)) — and the sequence() guard matters: Spark's
+    // sequence(0, -1) would auto-step BACKWARDS, not return empty
+    val top = t.filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__ws)-2)," +
+          " i -> concat(__ws[i], ' ', __ws[i+1]))")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top_c"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("f_words",
+        when(col("__nw").between(20, 1000), 1).otherwise(0))
+      .withColumn("f_meanlen",
+        when(lit(3) * col("__nw") <= col("__lc") &&
+          col("__lc") <= lit(5) * col("__nw"), 1).otherwise(0))
+      .withColumn("f_dup",
+        when((col("__nw") - col("__nd")) * lit(100) <= lit(55) * col("__nw"),
+          1).otherwise(0))
+      .withColumn("f_top2",
+        when(coalesce(col("__top_c"), lit(0L)) * lit(100) <=
+          lit(8) * (col("__nw") - lit(1)), 1).otherwise(0))
+      .withColumn("f_stop", when(col("__stop") >= 2, 1).otherwise(0))
+      .withColumn("is_clean",
+        col("f_words") * col("f_meanlen") * col("f_dup") *
+          col("f_top2") * col("f_stop") === 1)
+      .drop("__ws", "__nw", "__nd", "__lc", "__stop", "__top_c")
+  }
+
+  /** Registry face of [[gopherFlags]]: per-source pass counts for each rule
+    * plus the all-rules-clean count, DuckDB-oracled end to end. */
+  val gopherBattery = QueryDef(
+    "q_text_gopher",
+    (spark, dir) => {
+      gopherFlags(Tables(spark, dir, "documents"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_words")).cast("long").as("p_words"),
+          sum(col("f_meanlen")).cast("long").as("p_meanlen"),
+          sum(col("f_dup")).cast("long").as("p_dup"),
+          sum(col("f_top2")).cast("long").as("p_top2"),
+          sum(col("f_stop")).cast("long").as("p_stop"),
+          sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                        length(text) AS lc0 FROM documents),
+      base AS (
+        SELECT doc_id, source, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+               lc0 - (len(ws) - 1) AS lc,
+               len(list_filter(ws,
+                 w -> w IN ('the','a','of','and','to','in','is'))) AS nstop
+        FROM t),
+      grams AS (SELECT t.doc_id, t.ws[u.i] || ' ' || t.ws[u.i+1] AS g
+                FROM t, unnest(generate_series(1, len(t.ws) - 1)) AS u(i)
+                WHERE len(t.ws) >= 2),
+      gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c) AS top_c FROM gc GROUP BY 1),
+      flags AS (
+        SELECT source,
+               CASE WHEN nw BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS f_words,
+               CASE WHEN 3 * nw <= lc AND lc <= 5 * nw THEN 1 ELSE 0 END
+                 AS f_meanlen,
+               CASE WHEN (nw - nd) * 100 <= 55 * nw THEN 1 ELSE 0 END
+                 AS f_dup,
+               CASE WHEN coalesce(top_c, 0) * 100 <= 8 * (nw - 1)
+                    THEN 1 ELSE 0 END AS f_top2,
+               CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS f_stop
+        FROM base LEFT JOIN top USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(f_words) AS BIGINT) AS p_words,
+             CAST(sum(f_meanlen) AS BIGINT) AS p_meanlen,
+             CAST(sum(f_dup) AS BIGINT) AS p_dup,
+             CAST(sum(f_top2) AS BIGINT) AS p_top2,
+             CAST(sum(f_stop) AS BIGINT) AS p_stop,
+             CAST(sum(f_words * f_meanlen * f_dup * f_top2 * f_stop)
+                  AS BIGINT) AS n_clean
+      FROM flags GROUP BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
-      freqTokensExact)
+      freqTokensExact, gopherBattery)
 }
