@@ -171,6 +171,104 @@ object KmvCodec {
   }
 }
 
+/** Set algebra over serialized KMV states (Beyer et al. 2007, "On Synopses
+  * for Distinct-Value Estimation"): the k smallest of the UNION of two
+  * sketches is exactly the k-min sketch of the union, and the fraction of
+  * that merged sketch present in BOTH inputs is an unbiased Jaccard
+  * estimator; intersection cardinality falls out as jaccard x union.
+  * Scalar (not aggregate) — it runs on already-aggregated sketch rows
+  * (one per group), never in a per-row hot path, so CodegenFallback costs
+  * nothing measurable. */
+object KmvSetOps {
+  private def parse(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = bb.getLong; i += 1 }
+    a
+  }
+
+  @inline private def ult(a: Long, b: Long): Boolean =
+    java.lang.Long.compareUnsigned(a, b) < 0
+
+  /** (jaccard, unionEstimate) from two serialized states (ascending
+    * unsigned hash arrays) under sketch size k. Both-empty → (0.0, 0). */
+  def mergeStats(l: Array[Byte], r: Array[Byte], k: Int): (Double, Long) = {
+    val la = parse(l)
+    val lb = parse(r)
+    var i = 0; var j = 0; var taken = 0; var both = 0; var last = 0L
+    while (taken < k && (i < la.length || j < lb.length)) {
+      if (i < la.length && j < lb.length && la(i) == lb(j)) {
+        both += 1; last = la(i); i += 1; j += 1
+      } else if (j >= lb.length || (i < la.length && ult(la(i), lb(j)))) {
+        last = la(i); i += 1
+      } else {
+        last = lb(j); j += 1
+      }
+      taken += 1
+    }
+    if (taken == 0) return (0.0, 0L)
+    val jac = both.toDouble / taken.toDouble
+    val unionEst =
+      if (taken < k) taken.toLong // both sketches exhausted: exact hash count
+      else {
+        val u = if (last >= 0) last.toDouble
+                else last.toDouble + 1.8446744073709552e19
+        math.round((k - 1).toDouble * 1.8446744073709552e19 / u)
+      }
+    (jac, unionEst)
+  }
+}
+
+abstract class KmvBinarySetOp
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  def k: Int
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two binary kmv_state columns, got " +
+            s"${l.catalogString}, ${r.catalogString}")
+    }
+}
+
+/** kmv_jaccard(stateA, stateB[, k]) — Jaccard similarity estimate of the
+  * two sketched sets. */
+case class KmvJaccard(left: Expression, right: Expression, k: Int = 512)
+  extends KmvBinarySetOp {
+  override def prettyName: String = "kmv_jaccard"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    KmvSetOps.mergeStats(l.asInstanceOf[Array[Byte]],
+      r.asInstanceOf[Array[Byte]], k)._1
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+/** kmv_intersect(stateA, stateB[, k]) — intersection-cardinality estimate
+  * (jaccard x union estimate, rounded). */
+case class KmvIntersect(left: Expression, right: Expression, k: Int = 512)
+  extends KmvBinarySetOp {
+  override def prettyName: String = "kmv_intersect"
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (jac, union) = KmvSetOps.mergeStats(l.asInstanceOf[Array[Byte]],
+      r.asInstanceOf[Array[Byte]], k)
+    math.round(jac * union.toDouble)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 /** kmv_state(col[, k]) — the SKETCH STATE as a binary column instead of the
   * estimate: the materialized-sketch-table pattern for incremental
   * profiling at 100 TB. Write one ≤(4+8k)-byte state per (partition, day);

@@ -163,5 +163,54 @@ object Sampling {
               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
        FROM packed GROUP BY lang, pack_id""")
 
-  val all: Seq[QueryDef] = Seq(hashSplit, stratified, scrub, packSequences)
+  /** Library API: deterministic domain-mixture sampling — per-group keep
+    * rates at 1/65536 resolution via a content-keyed md5-prefix compare
+    * (lexicographic on fixed-width lowercase hex == numeric). The standard
+    * "mix domains to target weights" pre-training pass, as a PURE MAP
+    * stage: no shuffle, no RNG state, reproducible across runs, engines,
+    * and repartitioning; exact duplicates always sample identically, so
+    * mixing cannot re-introduce train/test leakage. Groups without a rate
+    * are dropped (explicit mixture spec). */
+  def mixByWeights(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String, rates: Map[String, Double],
+      contentCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val prefix = substring(md5(col(contentCol).cast("binary")), 1, 4)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (g, r)) =>
+      val cond =
+        if (r >= 1.0) col(groupCol) === g
+        else col(groupCol) === g &&
+          prefix < lit(f"${math.round(r * 65536).toInt}%04x")
+      acc || cond
+    }
+    df.filter(keep)
+  }
+
+  /** Domain mixture to target weights over the documents corpus: src1 kept
+    * whole, src2 half, src3 quarter, src4 an eighth, everything else
+    * dropped — kept-doc and token tallies per source. */
+  val mixWeights = QueryDef(
+    "q_sample_mix",
+    (spark, dir) => {
+      mixByWeights(Tables(spark, dir, "documents"), "source",
+        Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.125))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " "))).cast("long").as("toks_kept"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_kept
+      FROM (SELECT source, text, substring(md5(text), 1, 4) AS p
+            FROM documents)
+      WHERE source = 'src1'
+         OR (source = 'src2' AND p < '8000')
+         OR (source = 'src3' AND p < '4000')
+         OR (source = 'src4' AND p < '2000')
+      GROUP BY source"""))
+
+  val all: Seq[QueryDef] =
+    Seq(hashSplit, stratified, scrub, packSequences, mixWeights)
 }

@@ -342,7 +342,69 @@ object TextAnalysis {
                   AS BIGINT) AS n_clean
       FROM flags GROUP BY source"""))
 
+  /** Vocabulary overlap across sources via KMV SET ALGEBRA: one token
+    * sketch per source (kmv_state), then pairwise kmv_jaccard /
+    * kmv_intersect on the 4x4 sketch table. The scale story is the point:
+    * cross-corpus overlap at 100 TB never joins raw tokens — each corpus
+    * reduces to a <=(4+8k)-byte state (one shuffle of sketch rows), and
+    * the pairwise algebra runs on a handful of rows. Rows-only (xxhash
+    * sketches); [[q_text_kmv_overlap_exact]] is the oracle-checked exact
+    * twin, and KmvSetSpec pins the estimator error bounds. */
+  val kmvOverlap = QueryDef(
+    "q_text_kmv_overlap",
+    (spark, dir) => {
+      val sk = Tables(spark, dir, "documents")
+        .filter(col("source").isin("src1", "src2", "src3", "src4"))
+        .select(col("source"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("source")).agg(expr("kmv_state(w)").as("st"))
+      val a = sk.toDF("src_a", "st_a")
+      val b = sk.toDF("src_b", "st_b")
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("kmv_jaccard(st_a, st_b)").as("jaccard_est"),
+          expr("kmv_intersect(st_a, st_b)").as("inter_est"))
+    },
+    None)
+
+  /** Exact twin of [[kmvOverlap]]: true distinct-token intersection and
+    * Jaccard per source pair, DuckDB-oracled (one integer division at the
+    * end — bit-identical in both engines). */
+  val kmvOverlapExact = QueryDef.sql(
+    "q_text_kmv_overlap_exact",
+    """WITH tok AS (
+         SELECT DISTINCT source, w
+         FROM (SELECT source, explode(split(text, ' ')) AS w
+               FROM documents
+               WHERE source IN ('src1', 'src2', 'src3', 'src4'))),
+       cnt AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+       inter AS (
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+         FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+         GROUP BY a.source, b.source)
+       SELECT src_a, src_b, n_inter,
+              CAST(n_inter AS DOUBLE)
+                / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+       FROM inter
+       JOIN cnt ca ON ca.source = src_a
+       JOIN cnt cb ON cb.source = src_b""",
+    """WITH tok AS (
+         SELECT DISTINCT source, w
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents
+               WHERE source IN ('src1', 'src2', 'src3', 'src4'))),
+       cnt AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+       inter AS (
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+         FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+         GROUP BY a.source, b.source)
+       SELECT src_a, src_b, n_inter,
+              CAST(n_inter AS DOUBLE)
+                / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+       FROM inter
+       JOIN cnt ca ON ca.source = src_a
+       JOIN cnt cb ON cb.source = src_b""")
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
-      freqTokensExact, gopherBattery)
+      freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact)
 }

@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, KmvIntersect, KmvJaccard, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -81,6 +81,26 @@ object GraftFunctions {
         case Seq(c, Literal(k: Int, _)) => KmvMerge(c, k, asState = true)
         case _ => throw new IllegalArgumentException(
           "kmv_merge_state(state[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_jaccard"),
+      info("kmv_jaccard",
+        "kmv_jaccard(stateA, stateB[, k]) - Jaccard similarity estimate " +
+          "from two kmv_state sketches (Beyer et al. 2007)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => KmvJaccard(a, b)
+        case Seq(a, b, Literal(k: Int, _)) => KmvJaccard(a, b, k)
+        case _ => throw new IllegalArgumentException(
+          "kmv_jaccard(stateA, stateB[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_intersect"),
+      info("kmv_intersect",
+        "kmv_intersect(stateA, stateB[, k]) - intersection cardinality " +
+          "estimate from two kmv_state sketches"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => KmvIntersect(a, b)
+        case Seq(a, b, Literal(k: Int, _)) => KmvIntersect(a, b, k)
+        case _ => throw new IllegalArgumentException(
+          "kmv_intersect(stateA, stateB[, k]) requires a literal k")
       }),
     (FunctionIdentifier("freq_sketch"),
       info("freq_sketch",

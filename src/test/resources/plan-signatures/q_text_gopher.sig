@@ -1,0 +1,23 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        Project
+          BroadcastHashJoin
+            BroadcastExchange
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    HashAggregate
+                      Exchange
+                        HashAggregate
+                          Generate
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+            Project
+              Project
+                Project
+                  ColumnarToRow
+                    Scan parquet 

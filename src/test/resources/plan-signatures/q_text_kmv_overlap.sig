@@ -1,0 +1,17 @@
+Project
+  BroadcastNestedLoopJoin
+    BroadcastExchange
+      ObjectHashAggregate
+        Exchange
+          ObjectHashAggregate
+            Generate
+              Filter
+                ColumnarToRow
+                  Scan parquet 
+    ObjectHashAggregate
+      Exchange
+        ObjectHashAggregate
+          Generate
+            Filter
+              ColumnarToRow
+                Scan parquet 

@@ -59,7 +59,10 @@ class RegistrySpec extends GraftSpecBase {
         "q_profile_lineitem", "q_text_freq_tokens",
         // r5: materialized sketch-state rollup — lossless two-level merge
         // pinned in KmvSpec against the direct estimate
-        "q_profile_sketch_rollup"),
+        "q_profile_sketch_rollup",
+        // r5b: pairwise KMV set algebra — exact twin
+        // q_text_kmv_overlap_exact is oracle-checked, bounds in KmvSetSpec
+        "q_text_kmv_overlap"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }

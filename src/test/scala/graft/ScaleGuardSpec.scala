@@ -67,6 +67,14 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   over the post-agg
                                                     //   day-grain series
                                                     //   (bounded: 2 months)
+      "q_text_kmv_overlap",                         // pairwise KMV set
+                                                    //   algebra: `<` cross of
+                                                    //   the POST-AGG sketch
+                                                    //   table (one row per
+                                                    //   source, 4 rows here —
+                                                    //   the whole point is
+                                                    //   that raw tokens never
+                                                    //   join)
       "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
                                                     //   DIMENSION-grain
                                                     //   aggregates (supplier/
