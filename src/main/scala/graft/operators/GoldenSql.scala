@@ -761,6 +761,52 @@ object GoldenSql {
               array_to_string(regexp_extract_all('a1b2c3', '([a-z])[0-9]', 1), '|')
                 AS letters""")
 
+
+  /** GROUP BY ALL — both engines infer the grouping set from the
+    * non-aggregate select-list entries, including a computed key. */
+  lazy val groupByAll = QueryDef.sqlSame(
+    "q_golden_group_by_all",
+    """SELECT CAST(x % 2 AS INT) AS par, count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS s
+       FROM (VALUES (1), (2), (3), (4), (5)) AS t(x)
+       GROUP BY ALL""")
+
+  /** Boolean aggregates: bool_and / bool_or over mixed and null inputs
+    * (nulls are IGNORED, not false), plus count_if. */
+  lazy val boolAgg = QueryDef.sqlSame(
+    "q_golden_bool_agg",
+    """SELECT g,
+              bool_and(v > 0) AS all_pos,
+              bool_or(v > 3) AS any_big,
+              CAST(count_if(v > 1) AS BIGINT) AS n_gt1
+       FROM (VALUES ('a', 1), ('a', 2), ('a', NULL),
+                    ('b', -1), ('b', 4)) AS t(g, v)
+       GROUP BY g""")
+
+  /** median (exact, interpolated at even counts) and mode (pinned with a
+    * UNIQUE mode — tie-breaking is engine-defined and excluded by design). */
+  lazy val medianMode = QueryDef.sqlSame(
+    "q_golden_median_mode",
+    """SELECT CAST(median(x) AS DOUBLE) AS med_even,
+              (SELECT CAST(median(y) AS DOUBLE)
+               FROM (VALUES (1), (2), (30)) AS o(y)) AS med_odd,
+              (SELECT CAST(mode(z) AS INT)
+               FROM (VALUES (1), (2), (2), (3)) AS m(z)) AS uniq_mode
+       FROM (VALUES (1), (2), (3), (4)) AS t(x)""")
+
+  /** Ordered string aggregation — Spark 4 listagg WITHIN GROUP vs DuckDB's
+    * string_agg ORDER BY (same semantics, dialect-split spelling). */
+  lazy val listAgg = QueryDef.sql(
+    "q_golden_listagg",
+    """SELECT g, listagg(s, ',') WITHIN GROUP (ORDER BY s) AS joined
+       FROM (VALUES ('g1', 'b'), ('g1', 'a'), ('g1', 'c'),
+                    ('g2', 'z')) AS t(g, s)
+       GROUP BY g""",
+    """SELECT g, string_agg(s, ',' ORDER BY s) AS joined
+       FROM (VALUES ('g1', 'b'), ('g1', 'a'), ('g1', 'c'),
+                    ('g2', 'z')) AS t(g, s)
+       GROUP BY g""")
+
   val all: Seq[QueryDef] = Seq(
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
@@ -772,5 +818,6 @@ object GoldenSql {
     usingJoin, hofEdges, structAccess, mapAccess, nthValue,
     regexBackref, padTrim,
     levenshteinFns, splitPart, translateFmt, hexBits, seriesGen,
-    posExplode, arraySlice, regexExtractAll)
+    posExplode, arraySlice, regexExtractAll,
+    groupByAll, boolAgg, medianMode, listAgg)
 }

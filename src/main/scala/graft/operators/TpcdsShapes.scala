@@ -1048,6 +1048,51 @@ object TpcdsShapes {
               FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
        GROUP BY n.n_name ORDER BY n_orders DESC, n_name LIMIT 10""")
 
+  /** ds59: week-over-week ratio matrix — the weekday pivot built per YEAR,
+    * then the pivot table self-joined on consecutive years with one ratio
+    * column per weekday. Two narrow aggregates and a tiny self-join; the
+    * portable weekday stand-in is day%7 (dayofweek numbering differs
+    * across engines). */
+  val wowPivotRatio = QueryDef.sqlSame(
+    "q_ds_wow_pivot_ratio",
+    s"""WITH wd AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(day(o_orderdate) % 7 AS INT) AS wd,
+                sum(${centsSql("o_totalprice")}) AS rev_c
+         FROM orders GROUP BY 1, 2),
+       p AS (
+         SELECT yr,
+                sum(CASE WHEN wd = 0 THEN rev_c ELSE 0 END) AS d0_c,
+                sum(CASE WHEN wd = 1 THEN rev_c ELSE 0 END) AS d1_c,
+                sum(CASE WHEN wd = 2 THEN rev_c ELSE 0 END) AS d2_c
+         FROM wd GROUP BY yr)
+       SELECT a.yr AS yr,
+              CAST(a.d0_c AS DOUBLE) / CAST(b.d0_c AS DOUBLE) AS r0,
+              CAST(a.d1_c AS DOUBLE) / CAST(b.d1_c AS DOUBLE) AS r1,
+              CAST(a.d2_c AS DOUBLE) / CAST(b.d2_c AS DOUBLE) AS r2
+       FROM p a JOIN p b ON a.yr = b.yr + 1""")
+
+  /** ds33/ds60-flavor: THREE per-channel aggregates stitched by STACKED
+    * FULL OUTER joins with a coalesced key chain — the second join's key
+    * is itself coalesce(a.k, b.k), the planner shape that breaks naive
+    * equi-join key extraction. */
+  val tripleFullOuter = QueryDef.sqlSame(
+    "q_ds_triple_fullouter",
+    s"""WITH a AS (SELECT o_custkey AS k, sum(${centsSql("o_totalprice")})
+                     AS f_c
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+       b AS (SELECT o_custkey AS k, sum(${centsSql("o_totalprice")}) AS o_c
+             FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+       c AS (SELECT o_custkey AS k, sum(${centsSql("o_totalprice")}) AS p_c
+             FROM orders WHERE o_orderstatus = 'P' GROUP BY 1)
+       SELECT coalesce(a.k, b.k, c.k) AS custkey,
+              CAST(coalesce(f_c, 0) AS DOUBLE) / 100.0 AS rev_f,
+              CAST(coalesce(o_c, 0) AS DOUBLE) / 100.0 AS rev_o,
+              CAST(coalesce(p_c, 0) AS DOUBLE) / 100.0 AS rev_p
+       FROM a
+       FULL JOIN b ON a.k = b.k
+       FULL JOIN c ON coalesce(a.k, b.k) = c.k""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -1062,5 +1107,5 @@ object TpcdsShapes {
     caseScalarBuckets, havingScalarCte, latencyBuckets, corrExcessDiscount,
     aggJoinInequality, signedUnionRollup, partitionDeviation,
     gatedCountDistinct, orderCountHistogram, dimDisjunctionBattery,
-    dimAboveAvgJoin)
+    dimAboveAvgJoin, wowPivotRatio, tripleFullOuter)
 }
