@@ -36,7 +36,11 @@ object ScaleSmoke {
     // round 5: the heaviest new DS shapes — the three-fact follow-up chain
     // (three distinct exchange keys) and the INTERSECT+scalar+union+rollup
     // composite
-    "q_ds_returns_chain", "q_ds_cross_channel_rollup")
+    "q_ds_returns_chain", "q_ds_cross_channel_rollup",
+    // round 5b: Gopher battery (explode + bigram shuffles over the
+    // replicated corpus), KMV pairwise algebra (must stay flat — raw
+    // tokens never join), map-only mixture sampling
+    "q_text_gopher", "q_text_kmv_overlap", "q_sample_mix")
 
   /** Gate exemptions beyond parityShape, each with the reason on record:
     * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and
