@@ -156,6 +156,19 @@ object ops {
         df.queryExecution.analyzed))
   }
 
+  /** Write-side small-file / skew compaction via the AQE REBALANCE hint:
+    * one extra shuffle whose output partitions AQE re-sizes to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — coalescing the
+    * thousands of tiny task outputs a wide upstream stage would otherwise
+    * write, AND splitting skewed partitions (unlike `coalesce`, which can
+    * only merge, and `repartition(n)`, which needs n guessed right).
+    * With key columns, rows co-locate by key first (layout-friendly for
+    * downstream partition pruning). The 100 TB story: file sizing becomes
+    * a CONFIG, not a per-dataset partition-count guess. */
+  def compacted(df: DataFrame, cols: String*): DataFrame =
+    if (cols.isEmpty) df.hint("rebalance")
+    else df.hint("rebalance", cols.map(org.apache.spark.sql.functions.col): _*)
+
   /** Gopher-style per-document quality flags (word-count / mean-word-length
     * bounds, duplicate-word fraction, top-bigram share, stopword presence)
     * — see [[graft.operators.TextAnalysis.gopherFlags]]. Appends integer

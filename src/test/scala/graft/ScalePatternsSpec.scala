@@ -207,4 +207,39 @@ class ScalePatternsSpec extends GraftSpecBase {
       assert(byRank == byRank.sorted.reverse, "cos must decrease with rank")
     }
   }
+
+  test("ops.compacted (REBALANCE) controls output file count at write") {
+    // small-files control: a 50-partition upstream stage writes 50 tiny
+    // files naively; through the REBALANCE shuffle, AQE re-sizes output
+    // partitions to the advisory byte target — fewer, evenly-sized files,
+    // governed by CONFIG instead of a per-dataset repartition(n) guess.
+    val saved = sp.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    sp.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1048576")
+    try {
+      val wide = sp.range(0, 20000, 1, 50)
+        .select(col("id"), (col("id") % 97).as("k"))
+      def partFiles(dir: java.nio.file.Path): Int =
+        java.nio.file.Files.list(dir).filter(_.getFileName.toString
+          .endsWith(".parquet")).count().toInt
+      val d1 = java.nio.file.Files.createTempDirectory("graft-plain")
+      val d2 = java.nio.file.Files.createTempDirectory("graft-rebal")
+      wide.write.mode("overwrite").parquet(d1.toString)
+      ops.compacted(wide).write.mode("overwrite").parquet(d2.toString)
+      val (plain, rebal) = (partFiles(d1), partFiles(d2))
+      assert(plain == 50, s"naive write should emit one file per task: $plain")
+      assert(rebal < 10,
+        s"rebalanced write should coalesce to the advisory size: $rebal")
+      // and the hint survives into the plan as a rebalance shuffle
+      val plan = ops.compacted(wide).queryExecution.optimizedPlan.toString
+      assert(plan.contains("RebalancePartitions") ||
+        plan.contains("rebalance"), plan)
+    } finally {
+      saved match {
+        case Some(v) => sp.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None => sp.conf.unset(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+  }
 }

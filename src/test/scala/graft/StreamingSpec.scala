@@ -474,4 +474,39 @@ class StreamingSpec extends GraftSpecBase {
       assert(corpus.count() == 3)  // d1, d2, novel
     } finally q.stop()
   }
+
+  test("streaming curation composes with the Gopher quality gate") {
+    // same ingestion pattern, with ops.gopherFlags filtering each
+    // micro-batch BEFORE admission: repetitive spam never reaches the
+    // dedup index (the gate is a pure map stage, so it adds no shuffle to
+    // the micro-batch plan), while a clean novel doc still admits.
+    graft.plans.GraftFunctions.ensureRegistered(sp)
+    val clean = (10L,
+      "the cat and dog runs over hill with big red fox near tall tree " +
+        "then bird flies past open door into warm home")
+    val spam = (11L, Seq.fill(30)("spam").mkString(" "))
+
+    var corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def admit(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = this.synchronized {
+      val gated = graft.ops.gopherFlags(df).filter(col("is_clean"))
+        .select(col("doc_id"), col("text"))
+      val fresh = graft.ops
+        .admitBatch(corpus, gated, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("text")).collect()
+      admitted ++= fresh.map(_.getLong(0))
+    }
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(clean, spam)
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(admit _).start()
+    try {
+      q.processAllAvailable()
+      assert(admitted.sorted == Seq(10L),
+        s"only the clean doc passes the gate and admits: $admitted")
+    } finally q.stop()
+  }
 }
