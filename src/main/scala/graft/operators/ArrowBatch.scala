@@ -47,5 +47,47 @@ object ArrowBatch {
       SELECT doc_id, CAST(strlen(text) AS INT) AS text_bytes
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(arrowUdf)
+  /** Grouped Arrow-batch transform (SURVEY §2.10 WindowInPandasExec /
+    * pandas GROUPED_MAP row): one source per Arrow batch via
+    * [[ArrowPipe.mapGroupedArrowBatches]], the kernel aggregating the
+    * group inside the batch (doc count + total UTF-8 bytes straight off
+    * the offset buffer). Oracle is the plain SQL group-by — the grouped
+    * batch contract must reproduce it exactly. */
+  val arrowGrouped = QueryDef(
+    "q_arrow_grouped",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents").select("source", "text")
+      val out = StructType(Seq(
+        StructField("source", org.apache.spark.sql.types.StringType,
+          nullable = true),
+        StructField("n_docs", LongType, nullable = true),
+        StructField("total_bytes", LongType, nullable = true)))
+      ArrowPipe.mapGroupedArrowBatches(docs, Seq("source"), out) {
+        (in, o) =>
+          val n = in.getRowCount
+          val src = in.getVector("source").asInstanceOf[VarCharVector]
+          val text = in.getVector("text").asInstanceOf[VarCharVector]
+          val oSrc = o.getVector("source").asInstanceOf[VarCharVector]
+          val oN = o.getVector("n_docs").asInstanceOf[BigIntVector]
+          val oB = o.getVector("total_bytes").asInstanceOf[BigIntVector]
+          oSrc.allocateNew(1); oN.allocateNew(1); oB.allocateNew(1)
+          oSrc.setSafe(0, src.get(0))
+          oN.set(0, n.toLong)
+          var bytes = 0L
+          var i = 0
+          while (i < n) {
+            if (!text.isNull(i))
+              bytes += text.getEndOffset(i) - text.getStartOffset(i)
+            i += 1
+          }
+          oB.set(0, bytes)
+          o.setRowCount(1)
+      }
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY source"""))
+
+  val all: Seq[QueryDef] = Seq(arrowUdf, arrowGrouped)
 }

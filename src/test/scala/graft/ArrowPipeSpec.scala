@@ -68,4 +68,63 @@ class ArrowPipeSpec extends GraftSpecBase {
       r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
     assert(rows == Map(1L -> 2, 2L -> -1, 3L -> 3))
   }
+
+  test("grouped arrow map: one group per batch, matches the window twin") {
+    // pandas-GROUPED_MAP analogue: per-group normalization (v - group min)
+    // computed inside the Arrow batch must equal the window formulation
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i % 7, i * 31 % 101))
+      .toDF("g", "v").repartition(5)
+    val out = org.apache.spark.sql.graft.ArrowPipe.mapGroupedArrowBatches(
+      df, Seq("g"),
+      StructType(Seq(StructField("g", LongType),
+        StructField("centered", LongType)))) { (in, outRoot) =>
+      val rows = in.getRowCount
+      val g = in.getVector("g").asInstanceOf[BigIntVector]
+      val v = in.getVector("v").asInstanceOf[BigIntVector]
+      // the grouped contract: every row in this batch has the SAME key
+      val keys = (0 until rows).map(g.get).toSet
+      assert(keys.size == 1, s"batch must be one group, saw $keys")
+      val mn = (0 until rows).map(v.get).min
+      val og = outRoot.getVector("g").asInstanceOf[BigIntVector]
+      val oc = outRoot.getVector("centered").asInstanceOf[BigIntVector]
+      og.allocateNew(rows); oc.allocateNew(rows)
+      (0 until rows).foreach { i =>
+        og.set(i, g.get(i)); oc.set(i, v.get(i) - mn)
+      }
+      outRoot.setRowCount(rows)
+    }
+    val got = out.groupBy("g")
+      .agg(sum("centered").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val want = df.withColumn("centered", col("v") - min(col("v")).over(w))
+      .groupBy("g").agg(sum("centered").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("grouped arrow map: fn may emit fewer rows than the group (aggregate)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 7L), (3L, 9L))
+      .toDF("g", "v")
+    val out = org.apache.spark.sql.graft.ArrowPipe.mapGroupedArrowBatches(
+      df, Seq("g"),
+      StructType(Seq(StructField("g", LongType),
+        StructField("vsum", LongType)))) { (in, outRoot) =>
+      val rows = in.getRowCount
+      val g = in.getVector("g").asInstanceOf[BigIntVector]
+      val v = in.getVector("v").asInstanceOf[BigIntVector]
+      val og = outRoot.getVector("g").asInstanceOf[BigIntVector]
+      val ov = outRoot.getVector("vsum").asInstanceOf[BigIntVector]
+      og.allocateNew(1); ov.allocateNew(1)
+      og.set(0, g.get(0))
+      ov.set(0, (0 until rows).map(v.get).sum)
+      outRoot.setRowCount(1)
+    }
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 30L, 2L -> 12L, 3L -> 9L))
+  }
 }
