@@ -807,7 +807,42 @@ object GoldenSql {
                     ('g2', 'z')) AS t(g, s)
        GROUP BY g""")
 
+  /** NATURAL JOIN — the shared column joins once and projects once
+    * (reference corpus: natural-join.sql). */
+  lazy val naturalJoin = QueryDef.sqlSame(
+    "q_golden_natural_join",
+    """SELECT id, x, y
+       FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, x)
+       NATURAL JOIN (VALUES (1, 'p'), (3, 'q'), (4, 'r')) AS u(id, y)""")
+
+  /** LIKE ALL / LIKE ANY multi-pattern predicates (reference corpus:
+    * like-all.sql, like-any.sql) — DuckDB lacks the list syntax, so the
+    * oracle spells the equivalent AND/OR chain. */
+  lazy val likeAllAny = QueryDef.sql(
+    "q_golden_like_all_any",
+    """SELECT s,
+              s LIKE ALL ('%a%', '%b%') AS both_ab,
+              s LIKE ANY ('%x%', '%ph%') AS x_or_ph
+       FROM (VALUES ('alpha'), ('beta'), ('ab'), ('xy')) AS t(s)""",
+    """SELECT s,
+              (s LIKE '%a%' AND s LIKE '%b%') AS both_ab,
+              (s LIKE '%x%' OR s LIKE '%ph%') AS x_or_ph
+       FROM (VALUES ('alpha'), ('beta'), ('ab'), ('xy')) AS t(s)""")
+
+  /** range() as a TABLE-VALUED FUNCTION incl. negative step, end-exclusive
+    * in both engines (reference corpus: table-valued-functions.sql). The
+    * output column name differs (Spark `id`, DuckDB `range`) — aliased. */
+  lazy val rangeTvf = QueryDef.sql(
+    "q_golden_range_tvf",
+    """SELECT CAST(id AS INT) AS x FROM range(3, 12, 2)
+       UNION ALL
+       SELECT CAST(id AS INT) FROM range(10, 0, -3)""",
+    """SELECT CAST(range AS INT) AS x FROM range(3, 12, 2)
+       UNION ALL
+       SELECT CAST(range AS INT) FROM range(10, 0, -3)""")
+
   val all: Seq[QueryDef] = Seq(
+    naturalJoin, likeAllAny, rangeTvf,
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,
     dateDiff, tryOverflow, caseWhen, windowFrames, likeEscape, stringFns,
