@@ -156,6 +156,20 @@ object ops {
         df.queryExecution.analyzed))
   }
 
+  /** Distributed BPE tokenizer training — ONE word-count shuffle of the
+    * bounded vocabulary, then the standard merge loop over the compact
+    * (word, freq) table; deterministic (count DESC, pair ASC argmax).
+    * See [[graft.operators.Bpe]]. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 50000): Seq[operators.Bpe.Merge] =
+    operators.Bpe.train(docs, textCol, nMerges, maxVocab)
+
+  /** Apply learned BPE merges corpus-wide: broadcast rules, partition-local
+    * encode, no shuffle. Appends `bpe_tokens` + `n_bpe_tokens`. */
+  def bpeEncoded(docs: DataFrame, textCol: String,
+      merges: Seq[operators.Bpe.Merge]): DataFrame =
+    operators.Bpe.encoded(docs, textCol, merges)
+
   /** Write-side small-file / skew compaction via the AQE REBALANCE hint:
     * one extra shuffle whose output partitions AQE re-sizes to
     * `spark.sql.adaptive.advisoryPartitionSizeInBytes` — coalescing the
