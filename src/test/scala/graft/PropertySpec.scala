@@ -116,4 +116,46 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  // ---- pure-JVM properties (no Spark job per sample) ----
+
+  private def kmvState(values: Seq[Long], k: Int = 512): Array[Byte] = {
+    val buf = new functions.KmvBuffer(k)
+    values.foreach(v => buf.add(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, org.apache.spark.sql.types.LongType, 42L)))
+    functions.KmvCodec.serialize(buf)
+  }
+
+  test("kmv set algebra: jaccard in [0,1], symmetric, self=1, disjoint=0") {
+    val setGen = Gen.chooseNum(1, 1500).flatMap(n =>
+      Gen.chooseNum(0L, 100000L).map(off => (off until off + n)))
+    check("bounded+symmetric", Prop.forAll(Gen.zip(setGen, setGen)) {
+      case (a, b) =>
+        val (j1, u1) = functions.KmvSetOps.mergeStats(
+          kmvState(a), kmvState(b), 512)
+        val (j2, u2) = functions.KmvSetOps.mergeStats(
+          kmvState(b), kmvState(a), 512)
+        j1 >= 0.0 && j1 <= 1.0 && j1 == j2 && u1 == u2 && u1 >= 0
+    })
+    check("self-is-one", Prop.forAll(setGen) { a =>
+      functions.KmvSetOps.mergeStats(kmvState(a), kmvState(a), 512)._1 == 1.0
+    })
+    check("disjoint-is-zero", Prop.forAll(setGen) { a =>
+      val b = a.map(_ + 1000000L)
+      functions.KmvSetOps.mergeStats(kmvState(a), kmvState(b), 512)._1 == 0.0
+    })
+  }
+
+  test("bpe encode concatenation identity under arbitrary learned merges") {
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(wordGen,
+      Gen.chooseNum(1L, 20L))).map(_.take(12))
+    check("round-trip", Prop.forAll(Gen.zip(corpusGen, wordGen,
+      Gen.chooseNum(0, 10))) { case (corpus, w, n) =>
+      val merges = operators.Bpe.trainOnCounts(corpus.toArray, n)
+      operators.Bpe.encodeWord(w, merges).mkString("") == w + "</w>"
+    })
+  }
 }
