@@ -106,6 +106,20 @@ if not top:
 print(f"[smoke] injected UDAF (freq_sketch) via SQL: "
       f"{'PASS' if top else 'FAIL'} ({len(top)} heavy hitters)")
 
+# 5. round-5b set-algebra scalars: kmv_state -> kmv_jaccard from Python SQL
+jac = spark.sql(
+    "WITH sk AS (SELECT source, kmv_state(text) AS st "
+    "            FROM parquet.`" + SF_DIR + "/documents.parquet` "
+    "            WHERE source IN ('src1', 'src2') GROUP BY source) "
+    "SELECT kmv_jaccard(a.st, b.st) AS j, kmv_intersect(a.st, b.st) AS i "
+    "FROM sk a JOIN sk b ON a.source < b.source"
+).collect()
+ok5 = len(jac) == 1 and 0.0 <= jac[0]["j"] <= 1.0 and jac[0]["i"] >= 0
+if not ok5:
+    failures.append(f"kmv set algebra from Python SQL broken: {jac}")
+print(f"[smoke] injected set-algebra scalars (kmv_jaccard/intersect): "
+      f"{'PASS' if ok5 else 'FAIL'}")
+
 spark.stop()
 if failures:
     print("FAILURES:")
