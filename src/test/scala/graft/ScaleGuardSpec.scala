@@ -58,6 +58,10 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_ds_cumulative_fulljoin", "q_ds_dual_rank", //   post-agg series
       "q_dedup_embedding", "q_sim_topk_brute",      // labeled baselines
       "q_sim_ann_ivf", "q_sim_dot_topk",            // broadcast-bounded ANN
+      "q_sim_ann_pq",                               //   (PQ codebook + LUT
+                                                    //   cross joins are the
+                                                    //   broadcast codebook,
+                                                    //   ~100 rows)
       "q_sim_topk_plan", "q_sim_quantized_topk",
 
       "q_text_tfidf", "q_text_bm25",                // 1-row corpus-stats

