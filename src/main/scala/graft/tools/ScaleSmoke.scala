@@ -40,7 +40,10 @@ object ScaleSmoke {
     // round 5b: Gopher battery (explode + bigram shuffles over the
     // replicated corpus), KMV pairwise algebra (must stay flat — raw
     // tokens never join), map-only mixture sampling
-    "q_text_gopher", "q_text_kmv_overlap", "q_sample_mix")
+    "q_text_gopher", "q_text_kmv_overlap", "q_sample_mix",
+    // round 5c: PQ encode must be LINEAR in the corpus (fixed codebook —
+    // a corpus-fraction codebook would be quadratic and fail here)
+    "q_sim_ann_pq")
 
   /** Gate exemptions beyond parityShape, each with the reason on record:
     * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and
