@@ -98,11 +98,14 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
-  /** min-of-2 warm wall time per heavy query at `dir`. */
+  /** min-of-3 warm wall time per heavy query at `dir` (min-of-2 let a
+    * single contended iteration at the larger factor read as 7.7x on a
+    * plan whose clean ratio is 2.5x — one extra sample makes the gate
+    * contention-resistant, same lesson as graft.Bench's min-of-3). */
   private def timeAll(spark: SparkSession, dir: String,
       factor: Int): Map[String, Double] =
     heavy.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
