@@ -26,8 +26,15 @@ class PlanStabilitySpec extends GraftSpecBase {
       // InMemoryTableScan into any matching fragment and change the
       // signature depending on suite ORDER — clear for determinism
       spark.catalog.clearCache()
+      // and sign inside a DETACHED session: a fresh SessionState (conf,
+      // catalog, experimental strategies) makes the signature immune to
+      // whatever planner-relevant state other suites leaked into the
+      // shared session (broadcast thresholds, files.* scan confs, temp
+      // views...). The SparkContext and the now-cleared cache are shared;
+      // everything planner-visible is per-session and starts clean here.
+      val signer = spark.newSession()
       val sig = PlanSignature.executedSignature(
-        SparkEntry.queries(name)(spark, sfDir))
+        SparkEntry.queries(name)(signer, sfDir))
       val f = sigDir.resolve(s"$name.sig")
       if (regen) {
         Files.createDirectories(sigDir)
