@@ -125,8 +125,10 @@ object Bpe {
     val bc = docs.sparkSession.sparkContext.broadcast(merges)
     val enc = udf { text: String =>
       if (text == null) Array.empty[String]
-      else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        .flatMap(w => encodeWord(w, bc.value))
+      // Locale.ROOT: match Spark's locale-independent lower() used by
+      // wordCounts — default-locale toLowerCase diverges under tr_TR
+      else text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).flatMap(w => encodeWord(w, bc.value))
     }
     docs.withColumn(tokensCol, enc(col(textCol)))
       .withColumn("n_bpe_tokens", size(col(tokensCol)).cast("long"))
