@@ -22,7 +22,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // queries may persist() intermediates (signature tables etc.) —
-        // release them between queries so the 90-query run stays flat
+        // release them between queries so the multi-hundred-query run stays flat
         spark.catalog.clearCache()
       }
     }

@@ -40,7 +40,7 @@ class ScaleGuardSpec extends GraftSpecBase {
   }
 
   test("registry-wide: only the documented-deliberate queries trigger") {
-    // every ScaleGuard hit across all ~175 queries must be a CHOICE:
+    // every ScaleGuard hit across the full registry must be a CHOICE:
     // labeled brute-force baselines, broadcast-bounded ANN shapes (query
     // side or centroid codebook is broadcast-sized by construction), the
     // cartesian/theta coverage queries themselves, and global windows over
