@@ -277,7 +277,23 @@ object Events {
       SELECT user_id, CAST(day AS VARCHAR) AS day, n_events, ffill_cents
       FROM filled"""))
 
+  /** Peak activity hour per event type — the argmax-with-tiebreak pattern
+    * (count DESC, hour ASC) spelled as a window group-limit, which Spark
+    * plans with WindowGroupLimit pushdown (bounded per-partition state,
+    * never a full sort of the hour matrix). */
+  val peakHour = QueryDef.sqlSame(
+    "q_events_peak_hour",
+    """WITH h AS (
+         SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+         FROM events GROUP BY event_type, hour(ts))
+       SELECT event_type, hr AS peak_hour, n AS n_events
+       FROM (SELECT event_type, hr, n,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY n DESC, hr) AS rn
+             FROM h)
+       WHERE rn = 1""")
+
   val all: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
-      retention, gapfill)
+      retention, gapfill, peakHour)
 }

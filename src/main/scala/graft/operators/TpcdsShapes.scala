@@ -1093,6 +1093,31 @@ object TpcdsShapes {
        FULL JOIN b ON a.k = b.k
        FULL JOIN c ON coalesce(a.k, b.k) = c.k""")
 
+  /** ds1: the correlated scalar average is taken over a CTE — customers
+    * whose RETURNS total beats 1.2x their nation's mean returns, where the
+    * returns table is itself a three-way-join aggregate. Catalyst must
+    * decorrelate against the derived relation (plan the CTE once, aggregate
+    * it per nation, join back) — a different shape from the base-table
+    * correlations elsewhere in this file. */
+  val corrCteAvg = QueryDef.sqlSame(
+    "q_ds_corr_cte_avg",
+    s"""WITH ret AS (
+         SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+                sum(${centsSql("l.l_extendedprice")}) AS ret_c
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE l.l_returnflag = 'R'
+         GROUP BY o.o_custkey, c.c_nationkey)
+       SELECT r1.ck AS custkey,
+              CAST(r1.ret_c AS DOUBLE) / 100.0 AS returned
+       FROM ret r1
+       WHERE CAST(r1.ret_c AS DOUBLE) >
+             (SELECT 12e-1 * CAST(sum(r2.ret_c) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)
+              FROM ret r2 WHERE r2.nk = r1.nk)
+       ORDER BY returned DESC, custkey LIMIT 40""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -1107,5 +1132,5 @@ object TpcdsShapes {
     caseScalarBuckets, havingScalarCte, latencyBuckets, corrExcessDiscount,
     aggJoinInequality, signedUnionRollup, partitionDeviation,
     gatedCountDistinct, orderCountHistogram, dimDisjunctionBattery,
-    dimAboveAvgJoin, wowPivotRatio, tripleFullOuter)
+    dimAboveAvgJoin, wowPivotRatio, tripleFullOuter, corrCteAvg)
 }
