@@ -156,6 +156,15 @@ object ops {
         df.queryExecution.analyzed))
   }
 
+  /** Distributed Lloyd's k-means over an `array<tinyint>` embedding column
+    * — exact integer arithmetic, deterministic lowest-id seeding; returns
+    * (id, cluster, dist2). Assignment is a narrow map (centroids ride the
+    * closure), updates shuffle only partitions·k·d pre-combined rows. See
+    * [[graft.operators.Clustering.kmeansI8]]. */
+  def kmeansI8(quantized: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    operators.Clustering.kmeansI8(quantized, idCol, vecCol, k, iters)
+
   /** Distributed BPE tokenizer training — ONE word-count shuffle of the
     * bounded vocabulary, then the standard merge loop over the compact
     * (word, freq) table; deterministic (count DESC, pair ASC argmax).

@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Caching.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
+      operators.Clustering.all ++
       operators.TextAnalysis.all ++
       operators.Retrieval.all ++
       operators.Mutations.all ++
