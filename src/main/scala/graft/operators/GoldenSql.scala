@@ -841,6 +841,126 @@ object GoldenSql {
        UNION ALL
        SELECT CAST(range AS INT) FROM range(10, 0, -3)""")
 
+  /** Linear-regression family (regr_slope/intercept/r2 semantics) in the
+    * registry's closed-form style: EXACT integer moments (Σx, Σy, Σxy,
+    * Σx², Σy², n are all BIGINT-exact over cents×linenumber), one
+    * identical double expression at the end on both engines — the same
+    * fixed-point-moments pattern as q_agg_stddev, because the engines'
+    * built-in regr_* accumulate doubles in partition order and can differ
+    * in the last ulp. */
+  lazy val regrClosedForm = QueryDef.sqlSame(
+    "q_golden_regr",
+    """SELECT l_returnflag,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+              (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) AS intercept,
+              (CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE))
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)) AS r2,
+              CAST(n AS BIGINT) AS n
+       FROM (
+         SELECT l_returnflag,
+                count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                     AS BIGINT) AS sx,
+                CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                         * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy,
+                CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)
+                         * CAST(round(l_quantity * 100, 0) AS BIGINT))
+                     AS BIGINT) AS sxx,
+                CAST(sum(CAST(l_linenumber AS BIGINT)
+                         * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS syy
+         FROM lineitem GROUP BY l_returnflag) m""")
+
+  /** Bitwise AGGREGATES bit_and / bit_or / bit_xor (the grouped forms —
+    * hexBits covers the scalar operators). */
+  lazy val bitAggOps = QueryDef.sqlSame(
+    "q_golden_bit_agg",
+    """SELECT CAST(l_partkey % 4 AS BIGINT) AS g,
+              CAST(bit_and(l_partkey % 1024) AS BIGINT) AS b_and,
+              CAST(bit_or(l_partkey % 1024) AS BIGINT) AS b_or,
+              CAST(bit_xor(l_partkey % 1024) AS BIGINT) AS b_xor
+       FROM lineitem GROUP BY l_partkey % 4""")
+
+  /** str_to_map + map_entries + element_at lookup — DuckDB lacks
+    * str_to_map, so the oracle rebuilds the same normalized entry list
+    * with string ops. */
+  lazy val strToMap = QueryDef.sql(
+    "q_golden_str_to_map",
+    """SELECT array_join(array_sort(transform(map_entries(
+                str_to_map('b:2,a:1,c:30')),
+                e -> concat(e.key, '=', e.value))), ',') AS entries,
+              CAST(size(str_to_map('b:2,a:1,c:30')) AS BIGINT) AS n_keys,
+              element_at(str_to_map('b:2,a:1,c:30'), 'a') AS a_val,
+              element_at(str_to_map('b:2,a:1,c:30'), 'zz') AS missing""",
+    """SELECT list_aggr(list_sort(list_transform(
+                str_split('b:2,a:1,c:30', ','),
+                p -> replace(p, ':', '='))), 'string_agg', ',') AS entries,
+              CAST(len(str_split('b:2,a:1,c:30', ',')) AS BIGINT) AS n_keys,
+              '1' AS a_val,
+              CAST(NULL AS VARCHAR) AS missing""")
+
+  /** stack() and inline() generators (reference corpus:
+    * generators.sql) — the oracle spells the equivalent VALUES relations. */
+  lazy val stackInline = QueryDef.sql(
+    "q_golden_stack_inline",
+    """SELECT k, CAST(v AS INT) AS v
+       FROM (SELECT 1) LATERAL VIEW stack(3, 'a', 1, 'b', 2, 'c', 3) s
+         AS k, v
+       UNION ALL
+       SELECT name, CAST(qty AS INT)
+       FROM (SELECT 1) LATERAL VIEW inline(array(
+              named_struct('name', 'x', 'qty', 10),
+              named_struct('name', 'y', 'qty', 20))) i AS name, qty""",
+    """SELECT k, v FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) t(k, v)
+       UNION ALL
+       SELECT name, qty FROM (VALUES ('x', 10), ('y', 20)) u(name, qty)""")
+
+  /** try_divide / try_mod on zero divisors and try_to_number on
+    * malformed input — NULL, never an error (ANSI mode stays on). */
+  lazy val tryArith = QueryDef.sql(
+    "q_golden_try_arith",
+    """SELECT try_divide(7, 2) AS d_ok,
+              try_divide(7, 0) AS d_zero,
+              CAST(try_mod(7, 0) AS INT) AS m_zero,
+              CAST(try_to_number('12.5', '99.9') AS DOUBLE) AS num_ok,
+              CAST(try_to_number('x2', '99') AS DOUBLE) AS num_bad""",
+    """SELECT 3.5e0 AS d_ok,
+              CAST(NULL AS DOUBLE) AS d_zero,
+              CAST(NULL AS INT) AS m_zero,
+              CAST(try_cast('12.5' AS DECIMAL(3,1)) AS DOUBLE) AS num_ok,
+              CAST(try_cast('x2' AS INT) AS DOUBLE) AS num_bad""")
+
+  /** array_union / array_intersect / array_except / array_distinct —
+    * normalized through array_sort so only the SET semantics are pinned
+    * (duplicate collapse, null-free element algebra); DuckDB spells them
+    * with list_* and a filter for except. */
+  lazy val arraySetOps = QueryDef.sql(
+    "q_golden_array_set_ops",
+    """SELECT array_join(array_sort(array_union(array(3, 1, 2, 3),
+                                                array(2, 4))), ',') AS u,
+              array_join(array_sort(array_intersect(array(1, 2, 3, 2),
+                                                    array(2, 3, 5))), ',')
+                AS i,
+              array_join(array_sort(array_except(array(1, 2, 3, 2),
+                                                 array(2))), ',') AS e,
+              array_join(array_sort(array_distinct(array(2, 1, 2, 1))), ',')
+                AS d""",
+    """SELECT list_aggr(list_sort(list_distinct(list_cat([3, 1, 2, 3],
+                                                         [2, 4]))),
+                        'string_agg', ',') AS u,
+              list_aggr(list_sort(list_intersect([1, 2, 3, 2], [2, 3, 5])),
+                        'string_agg', ',') AS i,
+              list_aggr(list_sort(list_filter(list_distinct([1, 2, 3, 2]),
+                                              x -> x != 2)),
+                        'string_agg', ',') AS e,
+              list_aggr(list_sort(list_distinct([2, 1, 2, 1])),
+                        'string_agg', ',') AS d""")
+
   val all: Seq[QueryDef] = Seq(
     naturalJoin, likeAllAny, rangeTvf,
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
@@ -854,5 +974,7 @@ object GoldenSql {
     regexBackref, padTrim,
     levenshteinFns, splitPart, translateFmt, hexBits, seriesGen,
     posExplode, arraySlice, regexExtractAll,
-    groupByAll, boolAgg, medianMode, listAgg)
+    groupByAll, boolAgg, medianMode, listAgg,
+    regrClosedForm, bitAggOps, strToMap, stackInline, tryArith,
+    arraySetOps)
 }

@@ -1118,6 +1118,156 @@ object TpcdsShapes {
               FROM ret r2 WHERE r2.nk = r1.nk)
        ORDER BY returned DESC, custkey LIMIT 40""")
 
+  /** ds23: the "frequent item in BOTH years" double gate — an IN over the
+    * INTERSECT of two grouped-HAVING item sets, with a second scalar-
+    * subquery spend threshold gating the outer aggregate. The planner
+    * builds two aggregate passes, intersects (left-semi under distinct),
+    * then semi-joins the fact — and the scalar threshold is a one-row
+    * broadcast. */
+  val doubleGatedIn = QueryDef.sqlSame(
+    "q_ds_double_gated_in",
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+              CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_c
+       FROM orders
+       WHERE o_custkey IN (
+           SELECT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1996
+           GROUP BY o_custkey HAVING count(*) >= 2
+           INTERSECT
+           SELECT o_custkey FROM orders
+           WHERE year(o_orderdate) = 1997
+           GROUP BY o_custkey HAVING count(*) >= 2)
+         AND o_totalprice > (SELECT ${avgdSql("o_totalprice")} FROM orders)
+       GROUP BY o_orderpriority""")
+
+  /** ds49: per-channel DUAL ranking unioned and deduped — within each ship
+    * mode, rank parts by return rate AND by returned value, keep anything
+    * in either top-10, UNION (distinct) the channels. Two Window specs
+    * over one aggregated child per channel, then a distinct union. Ranks
+    * use integer cross-multiplied ratios (retq·10^4 ordering) so the sort
+    * keys are exact. */
+  val returnRankUnion = QueryDef.sqlSame(
+    "q_ds_return_rank_union",
+    s"""SELECT * FROM (
+         SELECT channel, l_partkey, qty_rank, val_rank FROM (
+           SELECT channel, l_partkey,
+                  CAST(rank() OVER (PARTITION BY channel
+                       ORDER BY ret_q * 100000 + l_partkey) AS BIGINT)
+                    AS qty_rank,
+                  CAST(rank() OVER (PARTITION BY channel
+                       ORDER BY ret_c * 100000 + l_partkey) AS BIGINT)
+                    AS val_rank
+           FROM (
+             SELECT l_suppkey % 3 AS channel, l_partkey,
+                    CAST(sum(${centsSql("l_quantity")})
+                         FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS ret_q,
+                    CAST(sum(${centsSql("l_extendedprice")})
+                         FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS ret_c
+             FROM lineitem
+             GROUP BY l_suppkey % 3, l_partkey
+             HAVING sum(${centsSql("l_quantity")})
+                      FILTER (WHERE l_returnflag = 'R') IS NOT NULL) base) rk
+         WHERE qty_rank <= 10 OR val_rank <= 10) u
+       ORDER BY channel, l_partkey""")
+
+  /** ds39: the "iceberg streak" — per (supplier, month) demand variability
+    * flagged by an ALL-INTEGER coefficient-of-variation predicate
+    * (4·n·(n·Σx²−(Σx)²) > (n−1)·(Σx)² ⇔ sample CoV > 1/2), then lead()
+    * over the month series to require TWO CONSECUTIVE flagged months.
+    * Aggregate → window-lead → self-free consecutive pairing (the window
+    * replaces ds39's month self-join). */
+  val covStreak = QueryDef.sqlSame(
+    "q_ds_cov_streak",
+    s"""WITH m AS (
+         SELECT l_suppkey, year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+                count(*) AS n,
+                CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS s1,
+                CAST(sum(${centsSql("l_quantity")} * ${centsSql("l_quantity")})
+                     AS BIGINT) AS s2
+         FROM lineitem GROUP BY l_suppkey, year(l_shipdate), month(l_shipdate)
+         HAVING count(*) >= 2),
+       f AS (
+         SELECT l_suppkey, ym,
+                CASE WHEN 4 * n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1
+                     THEN 1 ELSE 0 END AS volatile,
+                lead(ym) OVER w AS next_ym,
+                lead(CASE WHEN 4 * n * (n * s2 - s1 * s1)
+                               > (n - 1) * s1 * s1
+                          THEN 1 ELSE 0 END) OVER w AS next_volatile
+         FROM m
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY ym))
+       SELECT l_suppkey, ym AS start_ym
+       FROM f
+       WHERE volatile = 1 AND next_volatile = 1 AND next_ym = ym + 1
+       ORDER BY l_suppkey, start_ym""")
+
+  /** ds72: multi-LEFT-JOIN presence matrix — the fact left-joined to TWO
+    * independently derived dimension subsets, counted by the 2×2
+    * presence/absence combination. The planner chains two left joins
+    * (both broadcastable) and the CASE grid collapses to one aggregate —
+    * the "how many rows would each inner join drop" census. */
+  val presenceMatrix = QueryDef.sqlSame(
+    "q_ds_presence_matrix",
+    s"""SELECT CASE WHEN hp.p_partkey IS NULL THEN 0 ELSE 1 END AS has_part,
+              CASE WHEN bs.s_suppkey IS NULL THEN 0 ELSE 1 END AS has_supp,
+              count(*) AS n,
+              CAST(sum(${centsSql("l.l_extendedprice")}) AS BIGINT) AS rev_c
+       FROM lineitem l
+       LEFT JOIN (SELECT p_partkey FROM part WHERE p_size >= 40) hp
+         ON l.l_partkey = hp.p_partkey
+       LEFT JOIN (SELECT s_suppkey FROM supplier
+                  WHERE s_acctbal > 5000.0) bs
+         ON l.l_suppkey = bs.s_suppkey
+       GROUP BY 1, 2 ORDER BY 1, 2""")
+
+  /** ds64-style shared-CTE THREE-instance chain: one aggregated per-
+    * (customer, year) spend CTE joined to itself across three consecutive
+    * years with a strictly-increasing predicate. The planner should plan
+    * the CTE once and reuse the exchange three times (or inline it —
+    * either way the join tree is two equi-joins on custkey with cross-year
+    * filters, never a cross product). */
+  val tripleCteGrowth = QueryDef.sqlSame(
+    "q_ds_triple_cte_growth",
+    s"""WITH spend AS (
+         SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+                CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sp
+         FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+         GROUP BY o_custkey, year(o_orderdate))
+       SELECT a.ck AS custkey,
+              CAST(a.sp AS DOUBLE) / 100.0 AS y1995,
+              CAST(b.sp AS DOUBLE) / 100.0 AS y1996,
+              CAST(c.sp AS DOUBLE) / 100.0 AS y1997
+       FROM spend a
+       JOIN spend b ON a.ck = b.ck AND a.yr = 1995 AND b.yr = 1996
+       JOIN spend c ON b.ck = c.ck AND c.yr = 1997
+       WHERE a.sp < b.sp AND b.sp < c.sp
+       ORDER BY custkey""")
+
+  /** ds54: revenue inside a PER-CUSTOMER derived date window — each
+    * customer's orders within 3 months of their first order, bucketed
+    * into a spend histogram. A min-date aggregate joined back to the
+    * fact, date arithmetic forming the window, then a re-aggregate: the
+    * planner sees agg → join (broadcastable at the customer grain after
+    * aggregation? no — same-table join, hash on custkey) → agg → bucket
+    * agg. */
+  val firstWindowRevenue = QueryDef.sqlSame(
+    "q_ds_first_window_revenue",
+    s"""WITH firsts AS (
+         SELECT o_custkey AS ck, min(o_orderdate) AS first_dt
+         FROM orders GROUP BY o_custkey),
+       win_spend AS (
+         SELECT o.o_custkey,
+                CAST(sum(${centsSql("o.o_totalprice")}) AS BIGINT) AS sp
+         FROM orders o JOIN firsts f ON o.o_custkey = f.ck
+         WHERE o.o_orderdate >= f.first_dt
+           AND o.o_orderdate < f.first_dt + INTERVAL 90 DAY
+         GROUP BY o.o_custkey)
+       SELECT CAST(floor(CAST(sp AS DOUBLE) / 5e6) AS BIGINT) AS spend_bucket,
+              count(*) AS n_customers,
+              CAST(sum(sp) AS BIGINT) AS total_c
+       FROM win_spend
+       GROUP BY 1 ORDER BY 1""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -1132,5 +1282,7 @@ object TpcdsShapes {
     caseScalarBuckets, havingScalarCte, latencyBuckets, corrExcessDiscount,
     aggJoinInequality, signedUnionRollup, partitionDeviation,
     gatedCountDistinct, orderCountHistogram, dimDisjunctionBattery,
-    dimAboveAvgJoin, wowPivotRatio, tripleFullOuter, corrCteAvg)
+    dimAboveAvgJoin, wowPivotRatio, tripleFullOuter, corrCteAvg,
+    doubleGatedIn, returnRankUnion, covStreak, presenceMatrix,
+    tripleCteGrowth, firstWindowRevenue)
 }
