@@ -165,6 +165,18 @@ object ops {
       k: Int, iters: Int): DataFrame =
     operators.Clustering.kmeansI8(quantized, idCol, vecCol, k, iters)
 
+  /** Train k-means centroids only (the IVF coarse-quantizer trainer) —
+    * returns k×d integer centroids after `iters − 1` Lloyd's rounds. */
+  def fitKmeansI8(quantized: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Long]] =
+    operators.Clustering.fitKmeansI8(quantized, idCol, vecCol, k, iters)
+
+  /** Top-`nProbe` cells per embedding row by cosine to trained centroids
+    * (IVF probe/assignment primitive); one row per (id, cell, probe_rank). */
+  def probeCellsCosine(emb: DataFrame, idCol: String, embCol: String,
+      cents: Array[Array[Long]], nProbe: Int): DataFrame =
+    operators.Clustering.probeCellsCosine(emb, idCol, embCol, cents, nProbe)
+
   /** Distributed BPE tokenizer training — ONE word-count shuffle of the
     * bounded vocabulary, then the standard merge loop over the compact
     * (word, freq) table; deterministic (count DESC, pair ASC argmax).

@@ -33,50 +33,49 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Lloyd's k-means over an `array<tinyint>` column. Returns the input
-    * ids with their final cluster id and exact squared-L2 distance to the
-    * winning centroid. `iters` = number of assignment passes (updates run
-    * between passes, not after the last).
-    */
-  def kmeansI8(
+  /** Single assignment pass: each row of `v` (columns id, v) scored
+    * against every centroid — score_j = |c_j|^2 − 2·<v, c_j>, whose argmin
+    * equals argmin |v−c_j|^2 (|v|^2 is constant per row), ties → lowest j
+    * via array_position. A NARROW map: the k×d centroid literals ride the
+    * expression tree, each scored by a codegen'd `vec_dot_i8` call. */
+  private def assignExact(v: DataFrame, c: Array[Array[Long]]): DataFrame = {
+    val scores: Seq[Column] = c.toIndexedSeq.map { cj =>
+      val cc = cj.map(x => x * x).sum
+      val centLit = s"CAST(array(${cj.mkString(",")}) AS ARRAY<TINYINT>)"
+      lit(cc) - lit(2L) * expr(s"vec_dot_i8(v, $centLit)")
+    }
+    v.withColumn("scores", array(scores: _*))
+      .withColumn("best", array_min(col("scores")))
+      .select(
+        col("id"), col("v"),
+        (array_position(col("scores"), col("best")) - 1L).as("cluster"),
+        // exact |v - c_win|^2 = |v|^2 + score_win
+        (expr("vec_dot_i8(v, v)") + col("best")).as("dist2"))
+  }
+
+  /** Train centroids: deterministic lowest-id seeds, then `iters − 1`
+    * Lloyd's update rounds (the centroids a final `iters`-th assignment
+    * pass would use). Each round is one narrow assignment map plus a
+    * posexplode partial-agg shuffle of ≤ partitions·k·d rows; the driver
+    * pulls exactly k·d longs per round (the bounded-collect pattern). */
+  def fitKmeansI8(
       quantized: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): Array[Array[Long]] = {
     require(k > 0 && iters > 0, s"k and iters must be positive: k=$k iters=$iters")
     val v = quantized.select(
       col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-
-    // deterministic seeds: the k lowest-id vectors (bounded driver pull)
     var cents: Array[Array[Long]] = v.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Byte](1).map(_.toLong).toArray)
     require(cents.length == k, s"need >= $k input vectors, got ${cents.length}")
-
-    def assign(c: Array[Array[Long]]): DataFrame = {
-      // score_j = |c_j|^2 - 2*<v, c_j>; argmin_j score_j == argmin_j |v-c_j|^2
-      // (|v|^2 is constant per row), ties -> lowest j via array_position.
-      val scores: Seq[Column] = c.toIndexedSeq.map { cj =>
-        val cc = cj.map(x => x * x).sum
-        val centLit = s"CAST(array(${cj.mkString(",")}) AS ARRAY<TINYINT>)"
-        lit(cc) - lit(2L) * expr(s"vec_dot_i8(v, $centLit)")
-      }
-      v.withColumn("scores", array(scores: _*))
-        .withColumn("best", array_min(col("scores")))
-        .select(
-          col("id"), col("v"),
-          (array_position(col("scores"), col("best")) - 1L).as("cluster"),
-          // exact |v - c_win|^2 = |v|^2 + score_win
-          (expr("vec_dot_i8(v, v)") + col("best")).as("dist2"))
-    }
-
-    var assigned = assign(cents)
     var it = 1
     while (it < iters) {
       // new centroid = rounded per-dim mean of members; empty cluster keeps
       // its previous centroid. floor(x + 0.5) — the one rounding both Spark
       // and DuckDB spell identically (see VectorKernels.quantizeI8).
-      val sums = assigned
+      val sums = assignExact(v, cents)
         .select(col("cluster"), posexplode(col("v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -88,10 +87,86 @@ object Clustering {
           math.floor(r.getLong(2).toDouble / r.getLong(3).toDouble + 0.5).toLong
       }
       cents = next
-      assigned = assign(cents)
       it += 1
     }
-    assigned.select(col("id"), col("cluster"), col("dist2"))
+    cents
+  }
+
+  /** Lloyd's k-means over an `array<tinyint>` column. Returns the input
+    * ids with their final cluster id and exact squared-L2 distance to the
+    * winning centroid. `iters` = number of assignment passes (updates run
+    * between passes, not after the last).
+    */
+  def kmeansI8(
+      quantized: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val cents = fitKmeansI8(quantized, idCol, vecCol, k, iters)
+    val v = quantized.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    assignExact(v, cents).select(col("id"), col("cluster"), col("dist2"))
+  }
+
+  /** Top-`nProbe` cell ids per row against trained centroids (exploded:
+    * one output row per (id, probed cell), rank 1 = nearest). The IVF
+    * probe-side primitive; still a narrow map plus a bounded per-row
+    * sort of k scores. */
+  def probeCellsI8(
+      quantized: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Long]],
+      nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= cents.length,
+      s"nProbe must be in [1, ${cents.length}]: $nProbe")
+    val v = quantized.select(
+      col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val scores: Seq[Column] = cents.toIndexedSeq.zipWithIndex.map {
+      case (cj, j) =>
+        val cc = cj.map(x => x * x).sum
+        val centLit = s"CAST(array(${cj.mkString(",")}) AS ARRAY<TINYINT>)"
+        // pack (score, cell) into one orderable struct literal pair
+        struct(
+          (lit(cc) - lit(2L) * expr(s"vec_dot_i8(v, $centLit)")).as("s"),
+          lit(j.toLong).as("cell"))
+    }
+    // array_sort on (score, cell) structs: lexicographic = score then cell,
+    // the same tie rule as assignExact
+    v.withColumn("ranked", slice(array_sort(array(scores: _*)), 1, nProbe))
+      .select(col("id"), col("v"),
+        posexplode(col("ranked")).as(Seq("rank0", "sc")))
+      .select(col("id"), col("v"), col("sc.cell").as("cell"),
+        (col("rank0") + 1).cast("long").as("probe_rank"))
+  }
+
+  /** Top-`nProbe` cells per row by COSINE to the trained centroids (the
+    * retrieval metric — training is int8-L2, but assignment/probing for
+    * ANN uses the same cosine the re-rank stage scores with, so cell
+    * geometry and query metric agree). One output row per (id, probed
+    * cell); rank 1 = best cell. Narrow map: k cosine_sim kernel calls per
+    * row against centroid literals, bounded k-element sort. Tie rule =
+    * (cos DESC, cell ASC) via ascending (−cos, cell) struct sort. */
+  def probeCellsCosine(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      cents: Array[Array[Long]],
+      nProbe: Int): DataFrame = {
+    require(nProbe > 0 && nProbe <= cents.length,
+      s"nProbe must be in [1, ${cents.length}]: $nProbe")
+    val v = emb.select(col(idCol).cast("long").as("id"), col(embCol).as("e"))
+    val scores: Seq[Column] = cents.toIndexedSeq.zipWithIndex.map {
+      case (cj, j) =>
+        val centLit = s"CAST(array(${cj.mkString(",")}) AS ARRAY<FLOAT>)"
+        struct((-expr(s"cosine_sim(e, $centLit)")).as("negcos"),
+          lit(j.toLong).as("cell"))
+    }
+    v.withColumn("ranked", slice(array_sort(array(scores: _*)), 1, nProbe))
+      .select(col("id"), posexplode(col("ranked")).as(Seq("rank0", "sc")))
+      .select(col("id"), col("sc.cell").as("cell"),
+        (col("rank0") + 1).cast("long").as("probe_rank"))
   }
 
   private val dims = 64
@@ -191,5 +266,84 @@ object Clustering {
              CAST(sum(dist2) AS BIGINT) AS wcss
       FROM a1 GROUP BY cid ORDER BY cluster"""))
 
-  val all: Seq[QueryDef] = Seq(kmeansQuery, kmeansSizes)
+  private val kIvf = 16
+  private val nProbeIvf = 4
+
+  /** IVF-ANN with a K-MEANS-TRAINED coarse quantizer — the composition
+    * the fixed-codebook PQ/IVF queries (Similarity.scala) stand in for:
+    * `fitKmeansI8` trains 16 cells on the corpus (exact integer Lloyd's,
+    * 2 passes), candidates take their top-1 cell and queries probe their
+    * top-4 cells BY COSINE to the trained centroids (the same metric the
+    * re-rank uses), then exact cosine top-10 inside probed cells.
+    * Fully DuckDB-oracle-checked end to end — training, assignment,
+    * probing, re-rank; recall@10 vs brute force pinned in ClusteringSpec.
+    * Scale: train = iters × (narrow map + k·d-bounded shuffle); assign =
+    * narrow map; the only data shuffle is the pair join on cell id, and
+    * the probe fan-out is per-QUERY. */
+  val ivfKmeans = QueryDef(
+    "q_sim_ann_ivf_kmeans",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      val q8 = e.select(col("vec_id"),
+        expr("quantize_i8(embedding)").as("v"))
+      val cents = fitKmeansI8(q8, "vec_id", "v", kIvf, iters = 2)
+      val cand = probeCellsCosine(e.filter(col("vec_id") >= 8),
+        "vec_id", "embedding", cents, 1)
+        .select(col("id").as("cand_id"), col("cell"))
+      val prob = probeCellsCosine(e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", cents, nProbeIvf)
+        .select(col("id").as("query_id"), col("cell"))
+      val pairs = prob.join(cand, "cell")
+        .select(col("query_id"), col("cand_id")).distinct()
+      val qe = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      val ce = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      pairs.join(broadcast(qe), "query_id").join(ce, "cand_id")
+        .withColumn("cos", expr("cosine_sim(eq, ec)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
+    },
+    Some(s"""
+      WITH ${duckQuantCte},
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                      AS cid, q AS c
+             FROM qv ORDER BY vec_id LIMIT $kIvf),
+      a0 AS (${duckAssign("c0")}),
+      c1 AS (${duckUpdate("a0", "c0")}),
+      cf AS (SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE)) AS ce
+             FROM c1),
+      cand AS (
+        SELECT vec_id AS cand_id, cid FROM (
+          SELECT e.vec_id, f.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Dedup.duckCosine("e.embedding", "f.ce")} DESC,
+                            f.cid) AS rn
+          FROM embeddings e, cf f WHERE e.vec_id >= 8) WHERE rn = 1),
+      probe AS (
+        SELECT vec_id AS query_id, cid FROM (
+          SELECT e.vec_id, f.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Dedup.duckCosine("e.embedding", "f.ce")} DESC,
+                            f.cid) AS rn
+          FROM embeddings e, cf f WHERE e.vec_id < 8) WHERE rn <= $nProbeIvf),
+      pairs AS (
+        SELECT DISTINCT p.query_id, c.cand_id
+        FROM probe p JOIN cand c ON p.cid = c.cid)
+      SELECT query_id, cand_id, cos, rn FROM (
+        SELECT pr.query_id, pr.cand_id,
+               ${Dedup.duckCosine("qe.embedding", "ce.embedding")} AS cos,
+               CAST(row_number() OVER (PARTITION BY pr.query_id
+                 ORDER BY ${Dedup.duckCosine("qe.embedding", "ce.embedding")}
+                            DESC, pr.cand_id) AS BIGINT) AS rn
+        FROM pairs pr
+        JOIN embeddings qe ON pr.query_id = qe.vec_id
+        JOIN embeddings ce ON pr.cand_id = ce.vec_id)
+      WHERE rn <= 10"""))
+
+  val all: Seq[QueryDef] = Seq(kmeansQuery, kmeansSizes, ivfKmeans)
 }

@@ -961,6 +961,75 @@ object GoldenSql {
               list_aggr(list_sort(list_distinct([2, 1, 2, 1])),
                         'string_agg', ',') AS d""")
 
+  /** percentile_cont / percentile_disc WITHIN GROUP (the ANSI ordered-set
+    * syntax, distinct from the percentile() call form in q_agg_percentile)
+    * — small-integer values and dyadic fractions keep the interpolation
+    * a + (b−a)·f exact in both engines regardless of association. */
+  lazy val percentileWithin = QueryDef.sqlSame(
+    "q_golden_percentile_within",
+    """SELECT l_returnflag,
+              CAST(percentile_cont(0.25) WITHIN GROUP
+                     (ORDER BY l_linenumber) AS DOUBLE) AS p25,
+              CAST(percentile_cont(0.5) WITHIN GROUP
+                     (ORDER BY l_linenumber) AS DOUBLE) AS p50,
+              CAST(percentile_disc(0.75) WITHIN GROUP
+                     (ORDER BY l_linenumber) AS DOUBLE) AS p75_disc
+       FROM lineitem GROUP BY l_returnflag""")
+
+  /** Crypto/encoding scalars: md5, sha2-256, base64 round trip, unhex —
+    * DuckDB spells them over BLOBs with to_base64/from_base64. */
+  lazy val cryptoHash = QueryDef.sql(
+    "q_golden_crypto_hash",
+    """SELECT md5('graft') AS m,
+              sha2('graft', 256) AS s256,
+              base64(encode('graft', 'UTF-8')) AS b64,
+              decode(unbase64('Z3JhZnQ='), 'UTF-8') AS b64_rt,
+              decode(unhex('67726166'), 'UTF-8') AS hx""",
+    """SELECT md5('graft') AS m,
+              sha256('graft') AS s256,
+              to_base64('graft'::BLOB) AS b64,
+              CAST(from_base64('Z3JhZnQ=') AS VARCHAR) AS b64_rt,
+              CAST(unhex('67726166') AS VARCHAR) AS hx""")
+
+  /** overlay() — ANSI string splice; DuckDB lacks it, oracle rebuilds via
+    * substr concatenation. */
+  lazy val overlayInsert = QueryDef.sql(
+    "q_golden_overlay",
+    """SELECT overlay('Spark SQL' PLACING '_' FROM 6) AS repl1,
+              overlay('Spark SQL' PLACING 'CORE' FROM 7) AS repl4,
+              overlay('Spark SQL' PLACING 'ANSI ' FROM 7 FOR 0) AS insert0,
+              overlay('Spark SQL' PLACING 'tructured' FROM 2 FOR 4)
+                AS splice""",
+    """SELECT substr('Spark SQL', 1, 5) || '_' || substr('Spark SQL', 7)
+                AS repl1,
+              substr('Spark SQL', 1, 6) || 'CORE' || substr('Spark SQL', 11)
+                AS repl4,
+              substr('Spark SQL', 1, 6) || 'ANSI ' || substr('Spark SQL', 7)
+                AS insert0,
+              substr('Spark SQL', 1, 1) || 'tructured'
+                || substr('Spark SQL', 6) AS splice""")
+
+  /** map construction from parallel arrays + lookup + sorted key/value
+    * dumps (map_from_arrays vs DuckDB's map(), whose element access
+    * returns a one-element list). */
+  lazy val mapConstruct = QueryDef.sql(
+    "q_golden_map_construct",
+    """SELECT map_from_arrays(array(2, 1, 3),
+                              array('b', 'a', 'c'))[2] AS at2,
+              array_join(array_sort(map_keys(map_from_arrays(
+                array(2, 1, 3), array('b', 'a', 'c')))), ',') AS ks,
+              array_join(array_sort(map_values(map_from_arrays(
+                array(2, 1, 3), array('b', 'a', 'c')))), ',') AS vs,
+              CAST(size(map_from_arrays(array(2, 1, 3),
+                array('b', 'a', 'c'))) AS BIGINT) AS n""",
+    """SELECT map([2, 1, 3], ['b', 'a', 'c'])[2][1] AS at2,
+              list_aggr(list_sort(map_keys(map([2, 1, 3],
+                ['b', 'a', 'c']))), 'string_agg', ',') AS ks,
+              list_aggr(list_sort(map_values(map([2, 1, 3],
+                ['b', 'a', 'c']))), 'string_agg', ',') AS vs,
+              CAST(cardinality(map([2, 1, 3], ['b', 'a', 'c'])) AS BIGINT)
+                AS n""")
+
   val all: Seq[QueryDef] = Seq(
     naturalJoin, likeAllAny, rangeTvf,
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
@@ -976,5 +1045,6 @@ object GoldenSql {
     posExplode, arraySlice, regexExtractAll,
     groupByAll, boolAgg, medianMode, listAgg,
     regrClosedForm, bitAggOps, strToMap, stackInline, tryArith,
-    arraySetOps)
+    arraySetOps,
+    percentileWithin, cryptoHash, overlayInsert, mapConstruct)
 }

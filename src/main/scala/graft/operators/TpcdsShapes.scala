@@ -1268,6 +1268,93 @@ object TpcdsShapes {
        FROM win_spend
        GROUP BY 1 ORDER BY 1""")
 
+  /** ds31: SHARE-GROWTH comparison of two parallel series — per (user
+    * bucket, 10-day period) spend for two event types, the SAME series
+    * joined across consecutive periods for both types (4 aggregate
+    * instances), keeping buckets where type-A grew strictly faster than
+    * type-B. The growth comparison is integer cross-multiplied
+    * (a2·b1 > b2·a1 ⇔ a2/a1 > b2/b1 for positive sums) so no division
+    * can flip a boundary. (The events fixture spans one month — the
+    * 10-day periods stand in for ds31's quarters.) */
+  val shareGrowth = QueryDef.sqlSame(
+    "q_ds_share_growth",
+    """WITH q AS (
+         SELECT user_id % 50 AS bucket,
+                CAST(floor((day(ts) - 1) / 1e1) AS BIGINT) AS pd, event_type,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS v
+         FROM events
+         WHERE event_type IN ('purchase', 'click')
+         GROUP BY user_id % 50, CAST(floor((day(ts) - 1) / 1e1) AS BIGINT),
+                  event_type)
+       SELECT p1.bucket,
+              p1.v AS p_q1, p2.v AS p_q2, c1.v AS c_q1, c2.v AS c_q2
+       FROM q p1 JOIN q p2 ON p1.bucket = p2.bucket
+        AND p1.event_type = 'purchase' AND p2.event_type = 'purchase'
+        AND p1.pd = 0 AND p2.pd = 1
+       JOIN q c1 ON p1.bucket = c1.bucket
+        AND c1.event_type = 'click' AND c1.pd = 0
+       JOIN q c2 ON p1.bucket = c2.bucket
+        AND c2.event_type = 'click' AND c2.pd = 1
+       WHERE p1.v > 0 AND c1.v > 0 AND p2.v * c1.v > c2.v * p1.v
+       ORDER BY 1""")
+
+  /** ds16/ds94 at the order grain: a SEMI (some line over the quantity
+    * cut) and an ANTI (no returned line) against the SAME fact feeding a
+    * COUNT(DISTINCT) at a coarser grain — the planner stacks left-semi +
+    * left-anti on one scan pair, then a distinct-aggregate. */
+  val semiAntiDistinct = QueryDef.sqlSame(
+    "q_ds_semi_anti_distinct",
+    s"""SELECT o_orderpriority,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+              count(*) AS n_orders,
+              CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_c
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+         AND NOT EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_returnflag = 'R')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** ds-cohort set algebra WITHOUT set operators: users active in the
+    * first and second 10-day periods but silent in the third, computed as
+    * ONE aggregate with three FILTER flags and a HAVING — the single-scan
+    * alternative to the INTERSECT/EXCEPT chain (q_ds_except_cohort), and
+    * a different planner shape: no joins at all, just conditional
+    * aggregation. */
+  val flagRetention = QueryDef.sqlSame(
+    "q_ds_flag_retention",
+    """SELECT user_id,
+              count(*) FILTER (WHERE day(ts) <= 10) AS p1_events,
+              count(*) FILTER (WHERE day(ts) BETWEEN 11 AND 20) AS p2_events
+       FROM events WHERE event_type = 'purchase'
+       GROUP BY user_id
+       HAVING count(*) FILTER (WHERE day(ts) <= 10) > 0
+          AND count(*) FILTER (WHERE day(ts) BETWEEN 11 AND 20) > 0
+          AND count(*) FILTER (WHERE day(ts) > 20) = 0
+       ORDER BY user_id""")
+
+  /** Decile cohort re-join: ntile(10) over per-customer spend, the decile
+    * table joined BACK to the fact and re-aggregated per decile — the
+    * "window output becomes a dimension" composite (agg → window →
+    * join → agg). */
+  val decileSpend = QueryDef.sqlSame(
+    "q_ds_decile_spend",
+    s"""WITH spend AS (
+         SELECT o_custkey AS ck,
+                CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS sp
+         FROM orders GROUP BY o_custkey),
+       deciles AS (
+         SELECT ck, CAST(ntile(10) OVER (ORDER BY sp, ck) AS BIGINT)
+                      AS decile
+         FROM spend)
+       SELECT d.decile, count(*) AS n_orders,
+              CAST(sum(${centsSql("o.o_totalprice")}) AS BIGINT) AS spend_c,
+              CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+       FROM orders o JOIN deciles d ON o.o_custkey = d.ck
+       GROUP BY d.decile ORDER BY d.decile""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -1284,5 +1371,6 @@ object TpcdsShapes {
     gatedCountDistinct, orderCountHistogram, dimDisjunctionBattery,
     dimAboveAvgJoin, wowPivotRatio, tripleFullOuter, corrCteAvg,
     doubleGatedIn, returnRankUnion, covStreak, presenceMatrix,
-    tripleCteGrowth, firstWindowRevenue)
+    tripleCteGrowth, firstWindowRevenue,
+    shareGrowth, semiAntiDistinct, flagRetention, decileSpend)
 }

@@ -43,7 +43,28 @@ object ScaleSmoke {
     "q_text_gopher", "q_text_kmv_overlap", "q_sample_mix",
     // round 5c: PQ encode must be LINEAR in the corpus (fixed codebook —
     // a corpus-fraction codebook would be quadratic and fail here)
-    "q_sim_ann_pq")
+    "q_sim_ann_pq",
+    // round 5d: Lloyd's k-means over the REPLICATED embedding corpus
+    // (embeddings_rep, vec_ids shifted) — assignment is a narrow map and
+    // the update shuffle is partitions·k·d regardless of n, so wall time
+    // must track the corpus linearly
+    "op_kmeans_i8")
+
+  /** Scale-only runners that aren't registry queries: operators whose
+    * registry fixture is a dim-sized table, re-run here against the
+    * replicated fact-sized variant the scratch dir carries. */
+  private val extraRunners
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "op_kmeans_i8" -> { (spark, dir) =>
+        graft.plans.GraftFunctions.ensureRegistered(spark)
+        val rep = spark.read.parquet(s"$dir/embeddings_rep.parquet")
+          .select(col("vec_id"), expr("quantize_i8(embedding)").as("v"))
+        graft.ops.kmeansI8(rep, "vec_id", "v", k = 8, iters = 2)
+      })
+
+  private def runner(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    extraRunners.getOrElse(name, SparkEntry.queries(name))
 
   /** Gate exemptions beyond parityShape, each with the reason on record:
     * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and
@@ -67,6 +88,15 @@ object ScaleSmoke {
     dims.foreach { t =>
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // embeddings ALSO written replicated under a separate name: the ANN/
+    // LSH registry queries keep their dim-sized corpus (replicated exact
+    // duplicates would make LSH pair volume quadratic by construction),
+    // while op_kmeans_i8 scales against the fact-sized variant
+    val emb = Tables(spark, src, "embeddings")
+    (0 until factor).map(i => emb
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/embeddings_rep.parquet")
     // documents replicate as a FACT with unchanged text: every replica is
     // an exact duplicate of its original — the heavily-duplicated-corpus
     // stress for the dedup path (exact dedup must collapse the replicas
@@ -107,7 +137,7 @@ object ScaleSmoke {
     heavy.map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        val n = runner(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, n)
       }

@@ -42,6 +42,23 @@ class ClusteringSpec extends GraftSpecBase {
     assert(w3 <= w1 * 1.001, s"WCSS grew: iters=1 $w1 -> iters=3 $w3")
   }
 
+  test("kmeans-trained IVF recall@10 vs brute-force cosine truth") {
+    plans.GraftFunctions.ensureRegistered(spark)
+    def pairs(q: QueryDef): Map[Long, Set[Long]] =
+      q.run(spark, sfDir)
+        .select(col("query_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val truth = pairs(operators.Similarity.bruteForceTopK)
+    val approx = pairs(operators.Clustering.ivfKmeans)
+    assert(truth.nonEmpty)
+    val recalls = truth.map { case (qid, t) =>
+      approx.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"ivf-kmeans mean recall@10 $mean")
+  }
+
   test("each row sits with its true nearest centroid (assignment optimality)") {
     // recompute distances to ALL final centroids by brute force on the
     // collected vectors; the operator's choice must be the argmin

@@ -79,6 +79,14 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   the whole point is
                                                     //   that raw tokens never
                                                     //   join)
+      "q_ds_decile_spend",                          // global ntile(10) over
+                                                    //   the POST-AGG per-
+                                                    //   customer spend table
+                                                    //   (the ds decile-cohort
+                                                    //   shape; at 100 TB
+                                                    //   replace with range-
+                                                    //   partitioned quantile
+                                                    //   cuts)
       "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
                                                     //   DIMENSION-grain
                                                     //   aggregates (supplier/
