@@ -1030,6 +1030,84 @@ object GoldenSql {
               CAST(cardinality(map([2, 1, 3], ['b', 'a', 'c'])) AS BIGINT)
                 AS n""")
 
+  /** split() edge semantics — consecutive delimiters produce empty
+    * elements, trailing empties are KEPT (limit −1), regex delimiter
+    * classes work; element counts and joined dumps pinned. */
+  lazy val splitEdge = QueryDef.sql(
+    "q_golden_split_edge",
+    """SELECT CAST(size(split('a,b,,', ',')) AS BIGINT) AS n_trail,
+              array_join(split('a,b,,', ','), '|') AS joined_trail,
+              CAST(size(split('a1b22c', '[0-9]+')) AS BIGINT) AS n_regex,
+              array_join(split('a1b22c', '[0-9]+'), '|') AS joined_regex,
+              CAST(size(split('', ',')) AS BIGINT) AS n_empty""",
+    """SELECT CAST(len(str_split('a,b,,', ',')) AS BIGINT) AS n_trail,
+              list_aggr(str_split('a,b,,', ','), 'string_agg', '|')
+                AS joined_trail,
+              CAST(len(regexp_split_to_array('a1b22c', '[0-9]+'))
+                   AS BIGINT) AS n_regex,
+              list_aggr(regexp_split_to_array('a1b22c', '[0-9]+'),
+                        'string_agg', '|') AS joined_regex,
+              CAST(len(str_split('', ',')) AS BIGINT) AS n_empty""")
+
+  /** chr / ascii / char vs byte length (octet_length counts UTF-8
+    * bytes — 'héllo' is 5 chars, 6 bytes; DuckDB spells byte length
+    * strlen). */
+  lazy val charFns = QueryDef.sql(
+    "q_golden_char_fns",
+    """SELECT chr(65) AS a_chr,
+              CAST(ascii('A') AS INT) AS a_code,
+              CAST(ascii('') AS INT) AS empty_code,
+              CAST(length('héllo') AS INT) AS n_chars,
+              CAST(octet_length('héllo') AS INT) AS n_bytes,
+              CAST(bit_length('ab') AS INT) AS n_bits""",
+    """SELECT chr(65) AS a_chr,
+              CAST(ascii('A') AS INT) AS a_code,
+              CAST(ascii('') AS INT) AS empty_code,
+              CAST(length('héllo') AS INT) AS n_chars,
+              CAST(strlen('héllo') AS INT) AS n_bytes,
+              CAST(bit_length('ab') AS INT) AS n_bits""")
+
+  /** nullif / ifnull family (nvl2 spelled as CASE in the oracle —
+    * DuckDB lacks it). */
+  lazy val nullifFamily = QueryDef.sql(
+    "q_golden_nullif_family",
+    """SELECT CAST(nullif(5, 5) AS INT) AS eq_null,
+              CAST(nullif(5, 6) AS INT) AS ne_pass,
+              CAST(ifnull(CAST(NULL AS INT), 9) AS INT) AS if_null,
+              CAST(ifnull(7, 9) AS INT) AS if_set,
+              nvl2(CAST(NULL AS INT), 'yes', 'no') AS nvl2_null,
+              nvl2(1, 'yes', 'no') AS nvl2_set""",
+    """SELECT CAST(nullif(5, 5) AS INT) AS eq_null,
+              CAST(nullif(5, 6) AS INT) AS ne_pass,
+              CAST(ifnull(CAST(NULL AS INT), 9) AS INT) AS if_null,
+              CAST(ifnull(7, 9) AS INT) AS if_set,
+              CASE WHEN CAST(NULL AS INT) IS NOT NULL THEN 'yes' ELSE 'no'
+                END AS nvl2_null,
+              CASE WHEN 1 IS NOT NULL THEN 'yes' ELSE 'no' END AS nvl2_set""")
+
+  /** Ordered grouped array dump — Spark's collect_list has NO order
+    * guarantee, so the portable spelling normalizes through
+    * sort_array; DuckDB's list(x ORDER BY x) declares it. */
+  lazy val arrayAggOrder = QueryDef.sql(
+    "q_golden_array_agg_order",
+    """SELECT l_returnflag,
+              array_join(sort_array(collect_list(DISTINCT l_linenumber)),
+                         ',') AS lines
+       FROM lineitem GROUP BY l_returnflag""",
+    """SELECT l_returnflag,
+              list_aggr(list(DISTINCT l_linenumber ORDER BY l_linenumber),
+                        'string_agg', ',') AS lines
+       FROM lineitem GROUP BY l_returnflag""")
+
+  /** DUPLICATE grouping sets — GROUPING SETS ((g), (g)) emits each group
+    * TWICE (the Expand keeps both branches; dedup would be wrong). */
+  lazy val groupingSetsDup = QueryDef.sqlSame(
+    "q_golden_grouping_sets_dup",
+    """SELECT g, count(*) AS n FROM (VALUES ('a', 1), ('a', 2), ('b', 3))
+         AS t(g, v)
+       GROUP BY GROUPING SETS ((g), (g))
+       ORDER BY g""")
+
   val all: Seq[QueryDef] = Seq(
     naturalJoin, likeAllAny, rangeTvf,
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
@@ -1046,5 +1124,6 @@ object GoldenSql {
     groupByAll, boolAgg, medianMode, listAgg,
     regrClosedForm, bitAggOps, strToMap, stackInline, tryArith,
     arraySetOps,
-    percentileWithin, cryptoHash, overlayInsert, mapConstruct)
+    percentileWithin, cryptoHash, overlayInsert, mapConstruct,
+    splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup)
 }

@@ -1355,6 +1355,99 @@ object TpcdsShapes {
        FROM orders o JOIN deciles d ON o.o_custkey = d.ck
        GROUP BY d.decile ORDER BY d.decile""")
 
+  /** ds44: BIDIRECTIONAL rank join — best-10 and worst-10 parts by net
+    * quantity from ONE aggregate, the two opposite-direction rank chains
+    * joined ON RANK POSITION (best i beside worst i). One aggregate, two
+    * Window specs over the same child (asc + desc), one equi-join on the
+    * rank value. */
+  val bidirectionalRank = QueryDef.sqlSame(
+    "q_ds_bidirectional_rank",
+    s"""WITH perf AS (
+         SELECT l_partkey,
+                CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS q
+         FROM lineitem GROUP BY l_partkey),
+       ranked AS (
+         SELECT l_partkey, q,
+                CAST(row_number() OVER (ORDER BY q, l_partkey) AS BIGINT)
+                  AS worst_rn,
+                CAST(row_number() OVER (ORDER BY q DESC, l_partkey)
+                     AS BIGINT) AS best_rn
+         FROM perf)
+       SELECT b.best_rn AS pos, b.l_partkey AS best_part, b.q AS best_q,
+              w.l_partkey AS worst_part, w.q AS worst_q
+       FROM ranked b JOIN ranked w ON b.best_rn = w.worst_rn
+       WHERE b.best_rn <= 10 ORDER BY pos""")
+
+  /** ds45: DISJUNCTION of a dim predicate and an IN-subquery — the OR
+    * means the membership test cannot become a plain semi-join; the
+    * planner turns it into an ExistenceJoin feeding the OR filter (the
+    * SQL-level route to §2.3's existence-join machinery). */
+  val orSubquery = QueryDef.sqlSame(
+    "q_ds_or_subquery",
+    s"""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_c
+       FROM orders
+       WHERE o_custkey IN (SELECT o_custkey FROM orders
+                           GROUP BY o_custkey
+                           HAVING count(*) >= 25)
+          OR o_orderpriority = '1-URGENT'
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** ds58: TRIPLE-BALANCE — three channel aggregates over one fact, kept
+    * only where each pair agrees within 25%, spelled as integer
+    * cross-multiplications (4·a ≤ 5·b ∧ 4·b ≤ 5·a for every pair) so no
+    * ratio division exists to flip a boundary part. Three aggregate
+    * branches, two equi-joins, six inequality filters. */
+  val tripleBalance = QueryDef.sqlSame(
+    "q_ds_triple_balance",
+    s"""WITH a AS (SELECT l_partkey, CAST(sum(${centsSql("l_quantity")})
+                       AS BIGINT) AS v
+               FROM lineitem WHERE l_linenumber % 3 = 0 GROUP BY l_partkey),
+       b AS (SELECT l_partkey, CAST(sum(${centsSql("l_quantity")})
+                       AS BIGINT) AS v
+               FROM lineitem WHERE l_linenumber % 3 = 1 GROUP BY l_partkey),
+       c AS (SELECT l_partkey, CAST(sum(${centsSql("l_quantity")})
+                       AS BIGINT) AS v
+               FROM lineitem WHERE l_linenumber % 3 = 2 GROUP BY l_partkey)
+       SELECT a.l_partkey AS partkey, a.v AS v1, b.v AS v2, c.v AS v3
+       FROM a JOIN b ON a.l_partkey = b.l_partkey
+              JOIN c ON a.l_partkey = c.l_partkey
+       WHERE 4 * a.v <= 5 * b.v AND 4 * b.v <= 5 * a.v
+         AND 4 * a.v <= 5 * c.v AND 4 * c.v <= 5 * a.v
+         AND 4 * b.v <= 5 * c.v AND 4 * c.v <= 5 * b.v
+       ORDER BY partkey""")
+
+  /** EXISTS over a GROUP BY + HAVING subquery — the correlated predicate
+    * is an AGGREGATE property of the inner group (some supplier ships
+    * >90 units in the order), so decorrelation must pull the whole
+    * aggregate through the semi-join, not just a filter. */
+  val existsGroupHaving = QueryDef.sqlSame(
+    "q_ds_exists_group_having",
+    s"""SELECT o_orderstatus, count(*) AS n_orders
+       FROM orders
+       WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+           GROUP BY l_suppkey
+           HAVING sum(${centsSql("l_quantity")}) > 9000)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+
+  /** Rolling 7-day DISTINCT purchasers per day — windowed COUNT(DISTINCT)
+    * doesn't exist as a window function in either engine, so the portable
+    * plan is the day-grain range self-join + distinct re-aggregate: the
+    * days table is DIM-sized after the first aggregate (≤31 rows here —
+    * at any scale, days are bounded), so the range join broadcasts. */
+  val rollingDistinct = QueryDef.sqlSame(
+    "q_ds_rolling_distinct",
+    """WITH du AS (
+         SELECT DISTINCT day(ts) AS d, user_id
+         FROM events WHERE event_type = 'purchase'),
+       days AS (SELECT DISTINCT d FROM du)
+       SELECT days.d AS day,
+              CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+       FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+       GROUP BY days.d ORDER BY day""")
+
   val all: Seq[QueryDef] = Seq(
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
@@ -1372,5 +1465,7 @@ object TpcdsShapes {
     dimAboveAvgJoin, wowPivotRatio, tripleFullOuter, corrCteAvg,
     doubleGatedIn, returnRankUnion, covStreak, presenceMatrix,
     tripleCteGrowth, firstWindowRevenue,
-    shareGrowth, semiAntiDistinct, flagRetention, decileSpend)
+    shareGrowth, semiAntiDistinct, flagRetention, decileSpend,
+    bidirectionalRank, orSubquery, tripleBalance, existsGroupHaving,
+    rollingDistinct)
 }

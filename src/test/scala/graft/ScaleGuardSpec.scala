@@ -87,6 +87,16 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   replace with range-
                                                     //   partitioned quantile
                                                     //   cuts)
+      "q_ds_bidirectional_rank",                    // two global row_number
+                                                    //   chains over the
+                                                    //   POST-AGG part-grain
+                                                    //   table (ds44; bounded
+                                                    //   by the part dim)
+      "q_ds_rolling_distinct",                      // day-range BNLJ where
+                                                    //   the build side is the
+                                                    //   DISTINCT-day table —
+                                                    //   bounded by the
+                                                    //   calendar (≤31 rows)
       "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
                                                     //   DIMENSION-grain
                                                     //   aggregates (supplier/
