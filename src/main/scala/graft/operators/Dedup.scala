@@ -542,6 +542,81 @@ object Dedup {
               WHERE NOT EXISTS (SELECT 1 FROM corpus c
                                 WHERE md5(c.text) = b.fp)) AS n_admitted"""))
 
+  /** Bloom-prefiltered EXACT batch admission — the 100 TB shape for
+    * "admit only novel documents against a curated corpus":
+    *
+    *  1. ONE pass over the corpus builds a Bloom filter of content
+    *     fingerprints (Spark's own sketch via the exposed `bloom_agg`);
+    *     the driver pulls a single ~numBits/8-byte binary REGARDLESS of
+    *     corpus size — the broadcast-filter pattern, not a collect.
+    *  2. Batch rows whose fingerprint the filter has DEFINITELY not seen
+    *     (no false negatives) are admitted with NO join at all.
+    *  3. Only the "maybe" survivors — true duplicates plus the filter's
+    *     few false positives — pay the exact anti-join.
+    *
+    * The output is therefore EXACTLY the plain anti-join's (the bloom
+    * stage only routes rows, never decides), so the registry query keeps
+    * a DuckDB oracle; what scales is the join's probe side, which shrinks
+    * from |batch| to |dupes| + FP·|batch|. */
+  def admitBatchBloom(
+      corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      estimatedItems: Long = 1L << 16,
+      numBits: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val corpusFp = corpus
+      .select(md5(col(textCol).cast("binary")).as("__fp")).distinct()
+    val bloomRow = corpusFp
+      .agg(Bridge.column(new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(
+          new XxHash64(Seq(Bridge.expression(col("__fp")))),
+          Literal(estimatedItems), Literal(numBits))
+        .toAggregateExpression()).as("b"))
+      .head()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    val batchKeep = batch
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    if (bloomRow.isNullAt(0)) return batchKeep.drop("__fp") // empty corpus
+    val bloomBin = bloomRow.getAs[Array[Byte]](0)
+    val probed = batchKeep.withColumn("__maybe",
+      Bridge.column(BloomFilterMightContain(
+        Literal(bloomBin,
+          org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(Bridge.expression(col("__fp")))))))
+    val definite = probed.filter(!col("__maybe"))
+    val confirmed = probed.filter(col("__maybe"))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+    definite.unionByName(confirmed).drop("__maybe", "__fp")
+  }
+
+  /** The bloom admission over the fixture split (every fourth doc is the
+    * incoming batch) — output equals the plain anti-join bit-for-bit, so
+    * the whole bloom routing is oracle-checked. */
+  val admitBloom = QueryDef(
+    "q_dedup_admit_bloom",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      admitBatchBloom(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        estimatedItems = 4096L, numBits = 1L << 15)
+        .select(col("doc_id"), col("source"))
+    },
+    Some("""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+           batch  AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+           b AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                 FROM batch GROUP BY md5(text))
+      SELECT b.doc_id, d.source
+      FROM b JOIN batch d ON b.doc_id = d.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                        WHERE md5(c.text) = b.fp)"""))
+
   /** Benchmark decontamination — the cross-corpus overlap check every
     * training-data pipeline runs before shipping a corpus: which held-out
     * (test/benchmark) documents share verbatim word n-grams with the
@@ -624,5 +699,6 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, minhashLsh, simhash, embeddingNearDupLsh,
-    embeddingNearDup, connectedComponents, incremental, decontaminate)
+    embeddingNearDup, connectedComponents, incremental, admitBloom,
+    decontaminate)
 }

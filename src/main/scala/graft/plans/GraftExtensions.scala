@@ -111,6 +111,29 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "freq_sketch(col[, k]) requires a literal k")
       }),
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(longCol, items, bits) - Bloom-filter binary over a " +
+          "long column (Spark's sketch, exposed for set-membership " +
+          "prefilters)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(longCol, estimatedItems, numBits)")
+      }),
+    (FunctionIdentifier("bloom_contains"),
+      info("bloom_contains",
+        "bloom_contains(bloomBinary, longCol) - membership probe; false " +
+          "means DEFINITELY absent"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bloom, v) =>
+          org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(bloom, v)
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains(bloomBinary, longCol)")
+      }),
     (FunctionIdentifier("sign_proj"),
       info("sign_proj",
         "sign_proj(vec[, nbits]) - sign-random-projection LSH bucket id"),

@@ -118,6 +118,33 @@ class DedupSpec extends GraftSpecBase {
     assert(got == Set(101L, 103L))
   }
 
+  test("bloom admission equals the exact anti-join and actually prunes") {
+    import org.apache.spark.sql.functions._
+    plans.GraftFunctions.ensureRegistered(spark)
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    val got = operators.Dedup.admitBatchBloom(corpus, batch,
+        estimatedItems = 1024L, numBits = 1L << 13)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // ground truth: batch-internal keeper per fingerprint, anti corpus fps
+    val keepers = batch.withColumn("__fp", md5(col("text").cast("binary")))
+      .groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+    val want = keepers.join(
+        corpus.select(md5(col("text").cast("binary")).as("__fp")).distinct(),
+        Seq("__fp"), "left_anti")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == want, s"bloom routing changed the admitted set: " +
+      s"extra=${got -- want} missing=${want -- got}")
+    // no false negatives means every true duplicate fingerprint reads
+    // "maybe" — so a tiny filter (worse FP rate) may only shrink the
+    // definite-new side, never admit a duplicate
+    val tiny = operators.Dedup.admitBatchBloom(corpus, batch,
+        estimatedItems = 16L, numBits = 256L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(tiny == want, "FP-heavy filter must still confirm exactly")
+  }
+
   test("admitBatch additionally drops near-duplicates of corpus docs") {
     val s = spark; import s.implicits._
     val corpus = Seq((1L, baseText + " alpha"), (2L, baseText + " beta"))
