@@ -165,6 +165,16 @@ object ops {
       k: Int, iters: Int): DataFrame =
     operators.Clustering.kmeansI8(quantized, idCol, vecCol, k, iters)
 
+  /** Semantic deduplication (SemDeDup): k-means-cluster the embedding
+    * corpus, then drop members whose cosine to a farther-from-centroid
+    * clustermate reaches `tau` — pairwise work bounded to within-cluster
+    * pairs, joined on the cluster id (one hash shuffle, never corpus²).
+    * Returns (id, cluster, kept, max_prior_sim). See
+    * [[graft.operators.Clustering.semDedup]]. */
+  def semDedup(emb: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int, tau: Double): DataFrame =
+    operators.Clustering.semDedup(emb, idCol, embCol, k, iters, tau)
+
   /** Train k-means centroids only (the IVF coarse-quantizer trainer) —
     * returns k×d integer centroids after `iters − 1` Lloyd's rounds. */
   def fitKmeansI8(quantized: DataFrame, idCol: String, vecCol: String,

@@ -266,6 +266,83 @@ object Clustering {
              CAST(sum(dist2) AS BIGINT) AS wcss
       FROM a1 GROUP BY cid ORDER BY cluster"""))
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding corpus with k-means, then inside each cluster rank members
+    * by distance to the centroid (farthest first — the paper keeps the
+    * LEAST prototypical example of a duplicate group) and drop any member
+    * whose cosine similarity to a better-ranked clustermate reaches `tau`.
+    * Clustering is the scale lever: pairwise similarity is computed only
+    * WITHIN a cluster (the paper's whole point — |cluster|² pairs, never
+    * corpus²), and the cluster id is an equi-join key, so the pair join is
+    * one hash shuffle on (cluster), not a cartesian.
+    *
+    * Everything is deterministic — integer k-means (fitKmeansI8) +
+    * closed-form cosine — so the full path (training, assignment, ranking,
+    * pairwise prune) is DuckDB-reproducible and the registry query is
+    * oracle-checked, not rows-only.
+    *
+    * Returns (id, cluster, kept, max_prior_sim): `max_prior_sim` is the
+    * highest cosine to any better-ranked clustermate (NULL for each
+    * cluster's rank-1 row), `kept = max_prior_sim IS NULL OR < tau`. */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      iters: Int,
+      tau: Double): DataFrame = {
+    val q8 = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"quantize_i8($embCol)").as("v"))
+    val asg = kmeansI8(q8, "id", "v", k, iters)
+    val e = emb.select(col(idCol).cast("long").as("id"), col(embCol).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist2").desc, col("id"))
+    val ranked = asg.join(e, "id")
+      .withColumn("rk", row_number().over(w))
+    val better = ranked.select(col("cluster").as("cl_a"),
+      col("rk").as("rk_a"), col("e").as("ea"))
+    ranked.join(better,
+        col("cluster") === col("cl_a") && col("rk_a") < col("rk"), "left")
+      .withColumn("cs", expr("cosine_sim(ea, e)"))
+      .groupBy(col("id"), col("cluster"))
+      .agg(max(col("cs")).as("max_prior_sim"))
+      .withColumn("kept",
+        col("max_prior_sim").isNull || col("max_prior_sim") < lit(tau))
+  }
+
+  /** SemDeDup over the embeddings corpus: k=8 integer k-means (2 passes),
+    * farthest-from-centroid-first keep order, τ = 0.3 cosine. The entire
+    * path — training, assignment, per-cluster ranking, pairwise prune — is
+    * reproduced by the unrolled DuckDB oracle, so the dedup DECISIONS are
+    * oracle-checked, not just row counts. */
+  val semDedupQuery = QueryDef(
+    "q_dedup_semantic",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      semDedup(e, "vec_id", "embedding", kQ, iters = 2, tau = 0.3)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"),
+          col("max_prior_sim"))
+    },
+    Some(s"""
+      WITH ${duckQuantCte},
+      c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                      AS cid, q AS c
+             FROM qv ORDER BY vec_id LIMIT $kQ),
+      a0 AS (${duckAssign("c0")}),
+      c1 AS (${duckUpdate("a0", "c0")}),
+      a1 AS (${duckAssign("c1")}),
+      r AS (SELECT a1.vec_id, a1.cid, e.embedding,
+                   row_number() OVER (PARTITION BY a1.cid
+                                      ORDER BY a1.dist2 DESC, a1.vec_id) AS rk
+            FROM a1 JOIN embeddings e ON a1.vec_id = e.vec_id),
+      m AS (SELECT b.vec_id, b.cid,
+                   max(${Dedup.duckCosine("a.embedding", "b.embedding")}) AS ms
+            FROM r b LEFT JOIN r a ON a.cid = b.cid AND a.rk < b.rk
+            GROUP BY b.vec_id, b.cid)
+      SELECT vec_id, cid AS cluster,
+             (ms IS NULL OR ms < 3e-1) AS kept, ms AS max_prior_sim
+      FROM m"""))
+
   private val kIvf = 16
   private val nProbeIvf = 4
 
@@ -345,5 +422,6 @@ object Clustering {
         JOIN embeddings ce ON pr.cand_id = ce.vec_id)
       WHERE rn <= 10"""))
 
-  val all: Seq[QueryDef] = Seq(kmeansQuery, kmeansSizes, ivfKmeans)
+  val all: Seq[QueryDef] = Seq(kmeansQuery, kmeansSizes, semDedupQuery,
+    ivfKmeans)
 }

@@ -95,4 +95,30 @@ class ClusteringSpec extends GraftSpecBase {
         s"id=$id operator=($cl,$d2) bruteforce=(${best._2},${best._1})")
     }
   }
+
+  test("semDedup: drop decisions are exactly the pairwise-τ rule") {
+    plans.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val tau = 0.3
+    val out = ops.semDedup(emb, "vec_id", "embedding", k = 8, iters = 2, tau)
+      .select(col("id"), col("cluster"), col("kept"), col("max_prior_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out.map(_._1).distinct.size == out.size, "one row per input id")
+    val dropped = out.filter(!_._3)
+    assert(dropped.nonEmpty, "τ=0.3 must actually drop something at sf0.01")
+    assert(dropped.size < out.size / 2, "must not collapse the corpus")
+    // every decision consistent with its reported similarity evidence
+    out.foreach { case (id, _, kept, ms) =>
+      assert(kept == ms.forall(_ < tau),
+        s"id=$id kept=$kept but max_prior_sim=$ms")
+    }
+    // each cluster's rank-1 (farthest-from-centroid) row carries no prior
+    val noPrior = out.filter(_._4.isEmpty)
+    assert(noPrior.size == out.map(_._2).distinct.size &&
+      noPrior.forall(_._3), "exactly one prior-less, always-kept row per cluster")
+    // τ above any attainable cosine keeps everything
+    val all = ops.semDedup(emb, "vec_id", "embedding", 8, 2, tau = 1.1)
+    assert(all.filter(!col("kept")).count() == 0L)
+  }
 }
