@@ -175,6 +175,16 @@ object ops {
       k: Int, iters: Int, tau: Double): DataFrame =
     operators.Clustering.semDedup(emb, idCol, embCol, k, iters, tau)
 
+  /** Repeated-substring span discovery (character-grain intra-corpus
+    * dedup signal): fixed-width windows every `stride` chars, fingerprint
+    * census (one shuffle), per-doc island-merge into maximal repeated
+    * runs. See [[graft.operators.Dedup.repeatedSpans]]. */
+  def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 40, stride: Int = 10,
+      minDocs: Int = 2): DataFrame =
+    operators.Dedup.repeatedSpans(docs, idCol, textCol, window, stride,
+      minDocs)
+
   /** Train k-means centroids only (the IVF coarse-quantizer trainer) —
     * returns k×d integer centroids after `iters − 1` Lloyd's rounds. */
   def fitKmeansI8(quantized: DataFrame, idCol: String, vecCol: String,

@@ -274,7 +274,13 @@ object Clustering {
     * Clustering is the scale lever: pairwise similarity is computed only
     * WITHIN a cluster (the paper's whole point — |cluster|² pairs, never
     * corpus²), and the cluster id is an equi-join key, so the pair join is
-    * one hash shuffle on (cluster), not a cartesian.
+    * one hash shuffle on (cluster), not a cartesian. Two operating rules
+    * at 100 TB, same as the paper's: k scales WITH the corpus (k ≈ n/C
+    * keeps cluster size — and so per-cluster pair count — bounded at C²/2,
+    * making total pair work n·C/2, linear in n), and the stage runs AFTER
+    * exact dedup (verbatim duplicates all land in one cluster and pair
+    * quadratically in the duplication factor — the identical ordering
+    * lesson ScaleSmoke pins for raw LSH vs the curation pipeline).
     *
     * Everything is deterministic — integer k-means (fitKmeansI8) +
     * closed-form cosine — so the full path (training, assignment, ranking,

@@ -617,6 +617,93 @@ object Dedup {
       WHERE NOT EXISTS (SELECT 1 FROM corpus c
                         WHERE md5(c.text) = b.fp)"""))
 
+  /** Repeated-SUBSTRING span discovery — the character-grain intra-corpus
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": training corpora carry verbatim repeated
+    * SUBSTRINGS that word- or document-grain dedup never sees). The
+    * suffix-array approach is replaced by the distributable equivalent:
+    * fixed-width character windows every `stride` bytes, fingerprinted,
+    * census'd, and merged back into maximal repeated RUNS per document
+    * via gaps-and-islands.
+    *
+    * Plan at 100 TB: windows are ~bytes/stride rows (linear, one
+    * explode); the census is ONE shuffle on the fingerprint with partial
+    * aggregation; the mark-back is a semi-join on the same key; the
+    * run-merge window is per-document (bounded by document length).
+    * No pairwise comparison anywhere. Boilerplate-heavy fingerprints can
+    * be df-capped exactly like decontaminate's hot-gram cap.
+    *
+    * Returns one row per document: total spans, spans repeated in ≥
+    * `minDocs` documents, and the longest merged repeated run in chars. */
+  def repeatedSpans(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      window: Int = 40, stride: Int = 10,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && minDocs >= 2,
+      s"bad params: window=$window stride=$stride minDocs=$minDocs")
+    val spans = docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__t"),
+        explode(sequence(lit(0), length(col(textCol)) - window,
+          lit(stride))).as("pos"))
+      .withColumn("fp",
+        md5(expr(s"cast(substring(__t, pos + 1, $window) as binary)")))
+      .drop("__t")
+    val rep = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = spans.join(rep, Seq("fp"), "left_semi")
+      .withColumn("grp", col("pos") - lit(stride) * row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
+        count(lit(1)).as("c"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nr"),
+        max(col("p1") - col("p0") + lit(window)).as("mrc"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("nr"), lit(0L)).as("n_repeated"),
+        coalesce(col("mrc").cast("long"), lit(0L)).as("max_run_chars"))
+  }
+
+  /** Span discovery over the documents fixture — window/stride/census/
+    * island-merge all reproduced exactly by the DuckDB oracle. */
+  val repeatedSpansQuery = QueryDef(
+    "q_dedup_repeated_spans",
+    (spark, dir) =>
+      repeatedSpans(Tables(spark, dir, "documents"),
+        window = 40, stride = 10),
+    Some("""
+      WITH spans AS (
+        SELECT doc_id, u.pos, md5(substr(text, u.pos + 1, 40)) AS fp
+        FROM documents,
+             UNNEST(range(0, length(text) - 40 + 1, 10)) AS u(pos)
+        WHERE length(text) >= 40),
+      rep AS (SELECT fp FROM spans
+              GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      runs AS (
+        SELECT doc_id, grp, min(pos) AS p0, max(pos) AS p1, count(*) AS c
+        FROM (SELECT doc_id, pos,
+                     pos - 10 * row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY pos) AS grp
+              FROM spans WHERE fp IN (SELECT fp FROM rep))
+        GROUP BY doc_id, grp),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS nr,
+               CAST(max(p1 - p0 + 40) AS BIGINT) AS mrc
+        FROM runs GROUP BY doc_id)
+      SELECT t.doc_id, t.n_spans,
+             coalesce(p.nr, 0) AS n_repeated,
+             coalesce(p.mrc, 0) AS max_run_chars
+      FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+            FROM spans GROUP BY doc_id) t
+      LEFT JOIN per_doc p ON t.doc_id = p.doc_id"""))
+
   /** Benchmark decontamination — the cross-corpus overlap check every
     * training-data pipeline runs before shipping a corpus: which held-out
     * (test/benchmark) documents share verbatim word n-grams with the
@@ -700,5 +787,5 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, minhashLsh, simhash, embeddingNearDupLsh,
     embeddingNearDup, connectedComponents, incremental, admitBloom,
-    decontaminate)
+    repeatedSpansQuery, decontaminate)
 }

@@ -1108,7 +1108,140 @@ object GoldenSql {
        GROUP BY GROUPING SETS ((g), (g))
        ORDER BY g""")
 
+  /** Lateral column aliases — a SELECT item referencing an alias defined
+    * earlier in the SAME select list (reference corpus analogue:
+    * column-resolution tests; Spark ≥3.4 and DuckDB both resolve them,
+    * including through a chain). */
+  lazy val lateralAlias = QueryDef.sqlSame(
+    "q_golden_lateral_alias",
+    """SELECT x, x * 2 AS dbl, dbl + 1 AS dbl1, dbl1 * dbl AS chained
+       FROM (VALUES (1), (2), (5)) AS t(x)
+       ORDER BY x""")
+
+  /** array_sort with a COMPARATOR LAMBDA (Spark-only syntax): sort by
+    * (length, then lexical). The DuckDB oracle reaches the same order by
+    * sorting (length, value) structs — pinning that the comparator path
+    * produces the canonical multi-key order, not just that it runs. */
+  lazy val sortLambda = QueryDef.sql(
+    "q_golden_sort_lambda",
+    """SELECT array_join(array_sort(array('kiwi', 'fig', 'banana', 'apple',
+                                          'date'),
+              (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+                             WHEN length(l) > length(r) THEN 1
+                             WHEN l < r THEN -1 WHEN l > r THEN 1
+                             ELSE 0 END), ',') AS by_len_then_lex""",
+    """SELECT list_aggr(list_transform(list_sort(list_transform(
+                ['kiwi', 'fig', 'banana', 'apple', 'date'],
+                x -> {'k': length(x), 'v': x})), s -> s.v),
+              'string_agg', ',') AS by_len_then_lex""")
+
+  /** Map HOFs transform_keys / transform_values / map_zip_with (Spark-only
+    * functions; reference corpus: higher-order-functions golden file).
+    * Entries are dumped key-sorted as strings; the oracle pins the
+    * expected outputs golden-file style (hand-derived constants — exactly
+    * what the reference's sql-tests "results" .out files are). */
+  lazy val mapTransform = QueryDef.sql(
+    "q_golden_map_transform",
+    """SELECT
+         array_join(transform(array_sort(map_entries(
+           transform_keys(map('a', 1, 'b', 2), (k, v) -> upper(k)))),
+           e -> concat(e.key, '=', CAST(e.value AS STRING))), ',') AS tk,
+         array_join(transform(array_sort(map_entries(
+           transform_values(map('a', 1, 'b', 2), (k, v) -> v * 10 + length(k)))),
+           e -> concat(e.key, '=', CAST(e.value AS STRING))), ',') AS tv,
+         array_join(transform(array_sort(map_entries(
+           map_zip_with(map('a', 1, 'b', 2), map('b', 30, 'c', 40),
+             (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)))),
+           e -> concat(e.key, '=', CAST(e.value AS STRING))), ',') AS mzw,
+         array_join(transform(array_sort(map_entries(
+           map_filter(map('a', 1, 'b', 2, 'c', 3), (k, v) -> v % 2 = 1))),
+           e -> concat(e.key, '=', CAST(e.value AS STRING))), ',') AS mf""",
+    """SELECT 'A=1,B=2' AS tk, 'a=11,b=21' AS tv,
+              'a=1,b=32,c=40' AS mzw, 'a=1,c=3' AS mf""")
+
+  /** Array editing family array_insert / array_remove / array_compact /
+    * array_prepend / array_append (Spark 3.4+ names; DuckDB spells each
+    * differently, bridged). array_insert is 1-based like element_at. */
+  lazy val arrayEdit = QueryDef.sql(
+    "q_golden_array_edit",
+    """SELECT
+         array_join(array_insert(array(1, 2, 4), 3, 3), ',') AS ins,
+         array_join(array_remove(array(1, 2, 1, 3), 1), ',') AS rem,
+         array_join(array_compact(array(1, NULL, 2, NULL)), ',') AS comp,
+         array_join(array_prepend(array(2, 3), 1), ',') AS prep,
+         array_join(array_append(array(1, 2), 3), ',') AS app""",
+    """SELECT '1,2,3,4' AS ins,
+              list_aggr(list_filter([1, 2, 1, 3], x -> x != 1),
+                        'string_agg', ',') AS rem,
+              list_aggr(list_filter([1, NULL, 2, NULL], x -> x IS NOT NULL),
+                        'string_agg', ',') AS comp,
+              list_aggr(list_prepend(1, [2, 3]), 'string_agg', ',') AS prep,
+              list_aggr(list_append([1, 2], 3), 'string_agg', ',') AS app""")
+
+  /** The SQL PIVOT clause (Spark syntax) vs the universal conditional-
+    * aggregation spelling — pins that PIVOT is sugar for FILTERed
+    * aggregates, including the absent-cell NULL. */
+  lazy val sqlPivot = QueryDef.sql(
+    "q_golden_sql_pivot",
+    """SELECT * FROM (
+         SELECT g, season, v
+         FROM (VALUES ('x', 'spring', 10), ('x', 'fall', 20),
+                      ('y', 'spring', 5)) AS t(g, season, v))
+       PIVOT (CAST(sum(v) AS BIGINT) FOR season IN ('spring', 'fall'))
+       ORDER BY g""",
+    """SELECT g,
+              CAST(sum(v) FILTER (WHERE season = 'spring') AS BIGINT)
+                AS spring,
+              CAST(sum(v) FILTER (WHERE season = 'fall') AS BIGINT) AS fall
+       FROM (VALUES ('x', 'spring', 10), ('x', 'fall', 20),
+                    ('y', 'spring', 5)) AS t(g, season, v)
+       GROUP BY g ORDER BY g""")
+
+  /** element_at / try_element_at indexing semantics: 1-based, negative =
+    * from the end, try_ returns NULL out of bounds (Spark names; DuckDB
+    * list indexing bridges each). */
+  lazy val elementAt = QueryDef.sql(
+    "q_golden_element_at",
+    """SELECT element_at(array(10, 20, 30), 1) AS first,
+              element_at(array(10, 20, 30), -1) AS last,
+              try_element_at(array(10, 20, 30), 7) AS oob,
+              element_at(map('a', 1, 'b', 2), 'b') AS mv,
+              try_element_at(map('a', 1), 'z') AS mmiss""",
+    """SELECT [10, 20, 30][1] AS first, [10, 20, 30][-1] AS last,
+              [10, 20, 30][7] AS oob,
+              map_extract(map(['a', 'b'], [1, 2]), 'b')[1] AS mv,
+              map_extract(map(['a'], [1]), 'z')[1] AS mmiss""")
+
+  /** Tuple (row-value) IN subquery — multi-column membership incl. the
+    * no-match and the partial-match row. DuckDB lacks the row-value IN
+    * spelling, so the oracle uses the equivalent EXISTS. */
+  lazy val tupleIn = QueryDef.sql(
+    "q_golden_tuple_in",
+    """SELECT a, b,
+              (a, b) IN (SELECT x, y
+                         FROM (VALUES (1, 'p'), (2, 'q')) AS s(x, y)) AS hit
+       FROM (VALUES (1, 'p'), (1, 'q'), (2, 'q'), (3, 'p')) AS t(a, b)
+       ORDER BY a, b""",
+    """SELECT a, b,
+              EXISTS (SELECT 1 FROM (VALUES (1, 'p'), (2, 'q')) AS s(x, y)
+                      WHERE x = a AND y = b) AS hit
+       FROM (VALUES (1, 'p'), (1, 'q'), (2, 'q'), (3, 'p')) AS t(a, b)
+       ORDER BY a, b""")
+
+  /** Set-operation precedence: INTERSECT binds tighter than UNION /
+    * EXCEPT (ANSI), so a UNION b INTERSECT c = a UNION (b INTERSECT c). */
+  lazy val setopPrecedence = QueryDef.sqlSame(
+    "q_golden_setop_precedence",
+    """SELECT x FROM (VALUES (1), (2)) AS a(x)
+       UNION
+       SELECT x FROM (VALUES (2), (3), (4)) AS b(x)
+       INTERSECT
+       SELECT x FROM (VALUES (3), (5)) AS c(x)
+       ORDER BY x""")
+
   val all: Seq[QueryDef] = Seq(
+    lateralAlias, sortLambda, mapTransform, arrayEdit, sqlPivot, elementAt,
+    tupleIn, setopPrecedence,
     naturalJoin, likeAllAny, rangeTvf,
     decimalArith, decimalBoundary, nullOrder, nullProp, datetimeClamp,
     intervalArith, numericEdge, stringEdge, aggNull, inNull, unionWiden,

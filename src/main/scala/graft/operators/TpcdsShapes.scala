@@ -1448,7 +1448,147 @@ object TpcdsShapes {
        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
        GROUP BY days.d ORDER BY day""")
 
+  /** ds13/ds48/ds85: the OR-of-conjunctive-BANDS predicate — three
+    * disjuncts, each a conjunction mixing columns from BOTH join sides, so
+    * the planner must keep the clean equi-join and evaluate the disjunction
+    * as a post-join filter (it can't be pushed to either input alone;
+    * only the per-band dim/fact prefilters union-push). */
+  val bandDisjunction = QueryDef.sqlSame(
+    "q_ds_band_disjunction",
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_c
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE (c_mktsegment = 'BUILDING'
+              AND o_totalprice BETWEEN 1000 AND 60000
+              AND o_orderstatus = 'F')
+          OR (c_mktsegment = 'AUTOMOBILE'
+              AND o_totalprice BETWEEN 60000 AND 150000
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          OR (c_mktsegment = 'MACHINERY' AND o_totalprice > 150000
+              AND c_acctbal > 0)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** ds84: PROJECTION-ONLY star chain — no aggregate anywhere; the whole
+    * plan is a fact filter + two broadcast dim hops + a concat projection
+    * (the one DS query that is pure join/project, pinning that the engine
+    * doesn't insert a needless exchange when nothing reduces). */
+  val starConcat = QueryDef.sqlSame(
+    "q_ds_star_concat",
+    """SELECT c_custkey AS custkey,
+              concat(c_name, ' : ', n_name, ' / ', r_name) AS who
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE c_acctbal BETWEEN 100 AND 400
+       ORDER BY custkey""")
+
+  /** ds28: the BAND BATTERY of scalar subqueries — six scalar aggregates
+    * (count / count DISTINCT / exact sum) over three disjoint quantity
+    * bands of ONE fact table, materialized into a single row; pins scalar
+    * subquery execution + the scan-reuse opportunity across bands. */
+  val bandDistinctBattery = QueryDef.sqlSame(
+    "q_ds_band_distinct_battery",
+    s"""SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_quantity BETWEEN 1 AND 15) AS n_low,
+         (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+          WHERE l_quantity BETWEEN 1 AND 15) AS nd_low,
+         (SELECT CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT)
+          FROM lineitem WHERE l_quantity BETWEEN 1 AND 15) AS rev_low_c,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_quantity BETWEEN 16 AND 35) AS n_mid,
+         (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+          WHERE l_quantity BETWEEN 16 AND 35) AS nd_mid,
+         (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+          WHERE l_quantity > 35) AS nd_high""")
+
+  /** ds65: BELOW-HALF-OF-GROUP-AVERAGE join — the (supplier, part) revenue
+    * grain re-aggregated to supplier grain, then joined back with the
+    * threshold spelled as an integer cross-multiplication
+    * (2·rev·n ≤ total ⟺ rev ≤ avg/2), so no division exists to flip a
+    * boundary row. Two-level re-aggregation of one derived relation. */
+  val belowAvgRevenue = QueryDef.sqlSame(
+    "q_ds_below_avg_revenue",
+    s"""WITH pr AS (
+         SELECT l_suppkey, l_partkey,
+                CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_c
+         FROM lineitem GROUP BY l_suppkey, l_partkey),
+       sa AS (
+         SELECT l_suppkey, CAST(sum(rev_c) AS BIGINT) AS tot_c,
+                CAST(count(*) AS BIGINT) AS np
+         FROM pr GROUP BY l_suppkey)
+       SELECT pr.l_suppkey AS suppkey, pr.l_partkey AS partkey, pr.rev_c
+       FROM pr JOIN sa ON pr.l_suppkey = sa.l_suppkey
+       WHERE 2 * pr.rev_c * sa.np <= sa.tot_c
+       ORDER BY suppkey, partkey""")
+
+  /** ds75: three-channel UNION ALL re-aggregated to (year, part), then the
+    * prior-year self-join keeping parts whose order COUNT dropped >20% —
+    * the decrease filter as an integer cross-multiplication
+    * (5·cur < 4·prev). Union-in, window-free year-over-year out. */
+  val channelCountDelta = QueryDef.sqlSame(
+    "q_ds_channel_count_delta",
+    """WITH ch AS (
+         SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+                count(*) AS cnt
+         FROM lineitem WHERE l_returnflag = 'A' GROUP BY year(l_shipdate), l_partkey
+         UNION ALL
+         SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+                count(*) AS cnt
+         FROM lineitem WHERE l_returnflag = 'N' GROUP BY year(l_shipdate), l_partkey
+         UNION ALL
+         SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
+                count(*) AS cnt
+         FROM lineitem WHERE l_returnflag = 'R' GROUP BY year(l_shipdate), l_partkey),
+       tot AS (
+         SELECT yr, l_partkey, CAST(sum(cnt) AS BIGINT) AS cnt
+         FROM ch GROUP BY yr, l_partkey)
+       SELECT cur.l_partkey AS partkey, prev.yr AS prev_yr,
+              prev.cnt AS prev_cnt, cur.cnt AS cur_cnt
+       FROM tot cur JOIN tot prev
+         ON cur.l_partkey = prev.l_partkey AND cur.yr = prev.yr + 1
+       WHERE 5 * cur.cnt < 4 * prev.cnt
+       ORDER BY partkey, prev_yr""")
+
+  /** ds61: the PROMOTION-SHARE ratio — two aggregates over the SAME
+    * join tree (promo-filtered numerator, unfiltered denominator), the
+    * classic exchange/scan-reuse opportunity, output as one exact-cents
+    * ratio row per region. */
+  val promoRatio = QueryDef.sqlSame(
+    "q_ds_promo_ratio",
+    s"""WITH base AS (
+         SELECT r_name, o_orderpriority,
+                ${centsSql("o_totalprice")} AS price_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey),
+       promo AS (SELECT r_name, CAST(sum(price_c) AS BIGINT) AS v
+                 FROM base
+                 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 GROUP BY r_name),
+       total AS (SELECT r_name, CAST(sum(price_c) AS BIGINT) AS v
+                 FROM base GROUP BY r_name)
+       SELECT t.r_name AS region, p.v AS promo_c, t.v AS total_c,
+              CAST(p.v AS DOUBLE) / CAST(t.v AS DOUBLE) AS promo_share
+       FROM total t JOIN promo p ON t.r_name = p.r_name
+       ORDER BY region""")
+
+  /** ds35-family MULTI-DISTINCT aggregate: several COUNT(DISTINCT x) over
+    * DIFFERENT columns plus a plain sum in ONE aggregate — the planner
+    * must rewrite through Expand (one input replica per distinct set)
+    * and keep the non-distinct aggregate consistent across replicas. */
+  val multiDistinct = QueryDef.sqlSame(
+    "q_ds_multi_distinct",
+    s"""SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_order,
+              CAST(sum(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
+       FROM lineitem
+       GROUP BY l_returnflag ORDER BY l_returnflag""")
+
   val all: Seq[QueryDef] = Seq(
+    bandDisjunction, starConcat, bandDistinctBattery, belowAvgRevenue,
+    channelCountDelta, promoRatio, multiDistinct,
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,
     intersectCount, rollupGroupingRank, frequentBuyers, movingAvg,
     multiExists, dateInSubquery, lapsedCohorts, aboveGroupAvg, dualRank,

@@ -20,6 +20,25 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   */
 object PlanSignature {
 
+  /** Unwrap AQE/codegen shells, then lift a leading exchange off a join
+    * child: returns (exchange kind, subtree under it). */
+  private def stripExchange(n: SparkPlan): (String, SparkPlan) = n match {
+    case a: AdaptiveSparkPlanExec => stripExchange(a.executedPlan)
+    case q: QueryStageExec => stripExchange(q.plan)
+    case w: WholeStageCodegenExec => stripExchange(w.child)
+    case i: InputAdapter => stripExchange(i.child)
+    case r: ReusedExchangeExec => stripExchange(r.child)
+    case s if s.nodeName == "AQEShuffleRead" => stripExchange(s.children.head)
+    case e if e.nodeName == "BroadcastExchange" => ("broadcast", e.children.head)
+    // a join-input SHUFFLE is orientation noise too: when AQE converts a
+    // planned shuffle join to broadcast at runtime, the probe side keeps
+    // its already-materialized shuffle; the statically-planned orientation
+    // has none. The join's nodeName already pins the strategy, so under a
+    // join only broadcast-vs-not is signed.
+    case e if e.nodeName == "Exchange" => ("plain", e.children.head)
+    case other => ("plain", other)
+  }
+
   def signature(plan: SparkPlan): String = {
     def walk(n: SparkPlan, d: Int): Seq[String] = n match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan, d)
@@ -39,12 +58,22 @@ object PlanSignature {
         other.children.flatMap(walk(_, d))
       case other if other.children.length == 2 &&
           other.nodeName.contains("Join") =>
-        // join children sort lexicographically by subtree: when both sides
-        // have equal stats (e.g. two probes of one cached table) the
-        // planner's build-side pick races on which side's cache stats
-        // materialize first — a flip that changes nothing semantic here
-        val blocks = other.children.map(c => walk(c, d + 1)).sortBy(_.mkString("\n"))
-        (("  " * d) + other.nodeName) +: blocks.flatten
+        // join children sort lexicographically by subtree, and the
+        // per-child exchange wrapper is lifted into a SORTED annotation on
+        // the join line: AQE's build-side pick between two broadcastable
+        // sides is a runtime-stats tie-break (suite order shifts it via
+        // which stage's exact size lands first), and a flip moves the
+        // BroadcastExchange wrapper to the other child — semantically
+        // neutral, so both orientations must sign identically. A real
+        // strategy regression still fails: broadcast→shuffle changes the
+        // join nodeName AND this annotation.
+        val parts = other.children.map { c =>
+          val (kind, inner) = stripExchange(c)
+          (kind, walk(inner, d + 1))
+        }
+        val kinds = parts.map(_._1).sorted.mkString(",")
+        val blocks = parts.map(_._2).sortBy(_.mkString("\n"))
+        (("  " * d) + other.nodeName + s" [$kinds]") +: blocks.flatten
       case other =>
         (("  " * d) + other.nodeName) +: other.children.flatMap(walk(_, d + 1))
     }

@@ -48,7 +48,13 @@ object ScaleSmoke {
     // (embeddings_rep, vec_ids shifted) — assignment is a narrow map and
     // the update shuffle is partitions·k·d regardless of n, so wall time
     // must track the corpus linearly
-    "op_kmeans_i8")
+    "op_kmeans_i8",
+    // round 5e: substring-span census (one explode + one fp shuffle, rows
+    // ~ bytes/stride — must stay linear even though the replicated corpus
+    // makes nearly every span "repeated") and bloom-routed admission (the
+    // bloom build is one pass, the residual anti-join is bounded by the
+    // duplicate volume)
+    "q_dedup_repeated_spans", "q_dedup_admit_bloom")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -1,37 +1,5 @@
 Project
-  BroadcastHashJoin
-    BroadcastExchange
-      HashAggregate
-        Exchange
-          HashAggregate
-            HashAggregate
-              HashAggregate
-                Project
-                  BroadcastHashJoin
-                    BroadcastExchange
-                      Project
-                        Generate
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                    Project
-                      BroadcastHashJoin
-                        BroadcastExchange
-                          Generate
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                        Project
-                          Filter
-                            HashAggregate
-                              Exchange
-                                HashAggregate
-                                  Generate
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
+  BroadcastHashJoin [broadcast,plain]
     HashAggregate
       Exchange
         HashAggregate
@@ -39,21 +7,9 @@ Project
             Exchange
               HashAggregate
                 Project
-                  BroadcastHashJoin
-                    BroadcastExchange
-                      Project
-                        Generate
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                  BroadcastHashJoin [broadcast,plain]
                     Project
-                      BroadcastHashJoin
-                        BroadcastExchange
-                          Project
-                            Generate
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                      BroadcastHashJoin [broadcast,plain]
                         Project
                           Filter
                             HashAggregate
@@ -64,3 +20,42 @@ Project
                                       Filter
                                         ColumnarToRow
                                           Scan parquet 
+                        Project
+                          Generate
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                    Project
+                      Generate
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+    HashAggregate
+      Exchange
+        HashAggregate
+          HashAggregate
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Generate
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                      Project
+                        Filter
+                          HashAggregate
+                            Exchange
+                              HashAggregate
+                                Generate
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                  Project
+                    Generate
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 

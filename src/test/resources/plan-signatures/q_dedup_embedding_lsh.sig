@@ -2,13 +2,12 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Project
-              Filter
-                Generate
-                  Filter
-                    InMemoryTableScan
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            Filter
+              Generate
+                Filter
+                  InMemoryTableScan
           Project
             Filter
               Generate

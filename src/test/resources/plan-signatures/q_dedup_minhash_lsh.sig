@@ -2,11 +2,10 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Generate
-              Filter
-                InMemoryTableScan
+        BroadcastHashJoin [broadcast,plain]
+          Generate
+            Filter
+              InMemoryTableScan
           Generate
             Filter
               InMemoryTableScan

@@ -2,11 +2,9 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Exchange
-              Project
-                Filter
-                  Scan ExistingRDD
+        BroadcastHashJoin [broadcast,plain]
           Exchange
-            InMemoryTableScan
+            Project
+              Filter
+                Scan ExistingRDD
+          InMemoryTableScan

@@ -1,39 +1,7 @@
 HashAggregate
   HashAggregate
     Project
-      BroadcastHashJoin
-        BroadcastExchange
-          Project
-            BroadcastHashJoin
-              BroadcastExchange
-                HashAggregate
-                  Exchange
-                    HashAggregate
-                      HashAggregate
-                        Exchange
-                          HashAggregate
-                            Project
-                              BroadcastHashJoin
-                                BroadcastExchange
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-              Filter
-                HashAggregate
-                  Exchange
-                    HashAggregate
-                      Project
-                        BroadcastHashJoin
-                          BroadcastExchange
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+      BroadcastHashJoin [broadcast,plain]
         Filter
           HashAggregate
             Exchange
@@ -42,11 +10,38 @@ HashAggregate
                   Exchange
                     HashAggregate
                       Project
-                        BroadcastHashJoin
-                          BroadcastExchange
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            Filter
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+            HashAggregate
+              Exchange
+                HashAggregate
+                  HashAggregate
+                    Exchange
+                      HashAggregate
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 

@@ -2,15 +2,14 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Filter
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+        BroadcastHashJoin [broadcast,plain]
+          Filter
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
           Project
             Filter
               ColumnarToRow

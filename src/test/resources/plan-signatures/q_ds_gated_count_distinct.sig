@@ -5,18 +5,16 @@ HashAggregate
         Exchange
           HashAggregate
             Project
-              BroadcastHashJoin
-                BroadcastExchange
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+              BroadcastHashJoin [broadcast,plain]
                 Project
-                  BroadcastHashJoin
-                    BroadcastExchange
-                      ColumnarToRow
-                        Scan parquet 
+                  BroadcastHashJoin [broadcast,plain]
+                    ColumnarToRow
+                      Scan parquet 
                     Project
                       Filter
                         ColumnarToRow
                           Scan parquet 
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 

@@ -3,19 +3,17 @@ TakeOrderedAndProject
     Exchange
       HashAggregate
         Project
-          BroadcastHashJoin
-            BroadcastExchange
-              Project
+          BroadcastHashJoin [broadcast,plain]
+            Project
+              BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
                     Scan parquet 
-            Project
-              BroadcastHashJoin
-                BroadcastExchange
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
                 Project
                   Filter
                     ColumnarToRow
                       Scan parquet 
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 

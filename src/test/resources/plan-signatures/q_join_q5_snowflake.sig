@@ -2,36 +2,31 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Filter
-              ColumnarToRow
-                Scan parquet 
+        BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           Project
-            BroadcastHashJoin
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
-                BroadcastHashJoin
-                  BroadcastExchange
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
                   Project
-                    BroadcastHashJoin
-                      BroadcastExchange
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
-                        BroadcastHashJoin
-                          BroadcastExchange
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 

@@ -2,13 +2,12 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Generate
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+        BroadcastHashJoin [broadcast,plain]
+          Generate
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
           Project
             Filter
               ColumnarToRow

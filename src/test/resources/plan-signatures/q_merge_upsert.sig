@@ -2,7 +2,7 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        SortMergeJoin
+        SortMergeJoin [plain,plain]
           Sort
             Exchange
               Project

@@ -7,34 +7,9 @@ Project
             WindowGroupLimit
               Sort
                 Project
-                  BroadcastHashJoin
-                    BroadcastExchange
-                      Project
-                        Filter
-                          Window
-                            WindowGroupLimit
-                              Sort
-                                Exchange
-                                  WindowGroupLimit
-                                    Sort
-                                      Project
-                                        BroadcastNestedLoopJoin
-                                          BroadcastExchange
-                                            Project
-                                              Filter
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
+                  BroadcastHashJoin [broadcast,plain]
                     Project
-                      BroadcastHashJoin
-                        BroadcastExchange
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                      BroadcastHashJoin [broadcast,plain]
                         Filter
                           SortAggregate
                             Sort
@@ -42,12 +17,33 @@ Project
                                 SortAggregate
                                   Sort
                                     Project
-                                      BroadcastNestedLoopJoin
-                                        BroadcastExchange
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
+                                      BroadcastNestedLoopJoin [broadcast,plain]
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                    Project
+                      Filter
+                        Window
+                          WindowGroupLimit
+                            Sort
+                              Exchange
+                                WindowGroupLimit
+                                  Sort
+                                    Project
+                                      BroadcastNestedLoopJoin [broadcast,plain]
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
                                         Project
                                           Filter
                                             ColumnarToRow

@@ -12,14 +12,13 @@ Project
                       SortAggregate
                         Sort
                           Project
-                            BroadcastHashJoin
-                              BroadcastExchange
-                                Filter
-                                  Generate
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                Generate
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
                               Filter
                                 Generate
                                   Project

@@ -1,12 +1,11 @@
 TopKPerGroup
   Exchange
     Project
-      BroadcastNestedLoopJoin
-        BroadcastExchange
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 
+      BroadcastNestedLoopJoin [broadcast,plain]
+        Project
+          Filter
+            ColumnarToRow
+              Scan parquet 
         Project
           Filter
             ColumnarToRow

@@ -7,12 +7,11 @@ Project
             WindowGroupLimit
               Sort
                 Project
-                  BroadcastNestedLoopJoin
-                    BroadcastExchange
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                  BroadcastNestedLoopJoin [broadcast,plain]
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                     Project
                       Filter
                         ColumnarToRow

@@ -2,37 +2,24 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
                   Scan parquet 
-          Project
-            BroadcastHashJoin
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
               Project
-                BroadcastHashJoin
-                  BroadcastExchange
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
                   Project
-                    BroadcastHashJoin
-                      BroadcastExchange
-                        Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                      Project
-                        BroadcastHashJoin
-                          BroadcastExchange
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
                           HashAggregate
                             Exchange
                               HashAggregate
@@ -40,3 +27,11 @@ HashAggregate
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

@@ -1,35 +1,22 @@
 TakeOrderedAndProject
   Project
-    BroadcastNestedLoopJoin
-      BroadcastExchange
+    BroadcastNestedLoopJoin [broadcast,plain]
+      BroadcastNestedLoopJoin [broadcast,plain]
         HashAggregate
           Exchange
             HashAggregate
-              Project
-                ColumnarToRow
-                  Scan parquet 
-      BroadcastNestedLoopJoin
-        BroadcastExchange
-          HashAggregate
-            Exchange
               HashAggregate
-                HashAggregate
-                  Exchange
+                Exchange
+                  HashAggregate
                     HashAggregate
-                      HashAggregate
-                        Exchange
-                          HashAggregate
-                            Filter
-                              Generate
-                                ColumnarToRow
-                                  Scan parquet 
+                      Exchange
+                        HashAggregate
+                          Filter
+                            Generate
+                              ColumnarToRow
+                                Scan parquet 
         Project
-          BroadcastHashJoin
-            BroadcastExchange
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+          BroadcastHashJoin [broadcast,plain]
             HashAggregate
               Exchange
                 HashAggregate
@@ -41,3 +28,13 @@ TakeOrderedAndProject
                             Filter
                               ColumnarToRow
                                 Scan parquet 
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
+      HashAggregate
+        Exchange
+          HashAggregate
+            Project
+              ColumnarToRow
+                Scan parquet 

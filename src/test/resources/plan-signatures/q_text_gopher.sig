@@ -3,19 +3,18 @@ HashAggregate
     HashAggregate
       Project
         Project
-          BroadcastHashJoin
-            BroadcastExchange
-              HashAggregate
-                Exchange
+          BroadcastHashJoin [broadcast,plain]
+            HashAggregate
+              Exchange
+                HashAggregate
                   HashAggregate
-                    HashAggregate
-                      Exchange
-                        HashAggregate
-                          Generate
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                    Exchange
+                      HashAggregate
+                        Generate
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
             Project
               Project
                 Project

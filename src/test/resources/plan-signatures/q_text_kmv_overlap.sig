@@ -1,13 +1,12 @@
 Project
-  BroadcastNestedLoopJoin
-    BroadcastExchange
-      ObjectHashAggregate
-        Exchange
-          ObjectHashAggregate
-            Generate
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+  BroadcastNestedLoopJoin [broadcast,plain]
+    ObjectHashAggregate
+      Exchange
+        ObjectHashAggregate
+          Generate
+            Filter
+              ColumnarToRow
+                Scan parquet 
     ObjectHashAggregate
       Exchange
         ObjectHashAggregate

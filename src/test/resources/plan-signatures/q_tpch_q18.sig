@@ -1,16 +1,14 @@
 TakeOrderedAndProject
   Project
-    BroadcastHashJoin
-      BroadcastExchange
-        Filter
-          ColumnarToRow
-            Scan parquet 
+    BroadcastHashJoin [broadcast,plain]
+      Filter
+        ColumnarToRow
+          Scan parquet 
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Filter
-              ColumnarToRow
-                Scan parquet 
+        BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           Filter
             HashAggregate
               Exchange

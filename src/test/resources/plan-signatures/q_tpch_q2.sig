@@ -1,67 +1,59 @@
 TakeOrderedAndProject
   Project
-    BroadcastHashJoin
-      BroadcastExchange
-        Project
+    BroadcastHashJoin [broadcast,plain]
+      Project
+        BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
               Scan parquet 
-      Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Filter
-              ColumnarToRow
-                Scan parquet 
           Project
-            BroadcastHashJoin
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
-                BroadcastHashJoin
-                  BroadcastExchange
-                    Exchange
-                      Project
-                        BroadcastHashJoin
-                          BroadcastExchange
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                BroadcastHashJoin [broadcast,plain]
+                  Exchange
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          HashAggregate
+                            Exchange
+                              HashAggregate
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                        Project
                           Filter
-                            HashAggregate
-                              Exchange
-                                HashAggregate
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
+                            ColumnarToRow
+                              Scan parquet 
                   Filter
                     HashAggregate
                       Exchange
                         HashAggregate
                           Project
-                            BroadcastHashJoin
-                              BroadcastExchange
-                                Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
-                              Project
-                                BroadcastHashJoin
-                                  BroadcastExchange
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
                                   Project
-                                    BroadcastHashJoin
-                                      BroadcastExchange
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                       HashAggregate
                                         Exchange
                                           HashAggregate
                                             Filter
                                               ColumnarToRow
                                                 Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+      Project
+        Filter
+          ColumnarToRow
+            Scan parquet 

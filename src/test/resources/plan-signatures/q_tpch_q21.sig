@@ -2,34 +2,29 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+        BroadcastHashJoin [broadcast,plain]
           Project
-            BroadcastHashJoin
-              BroadcastExchange
-                ColumnarToRow
-                  Scan parquet 
+            BroadcastHashJoin [broadcast,plain]
+              ColumnarToRow
+                Scan parquet 
               Project
-                BroadcastHashJoin
-                  BroadcastExchange
-                    Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      BroadcastHashJoin [broadcast,plain]
+                        ColumnarToRow
+                          Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                       Filter
                         ColumnarToRow
                           Scan parquet 
                   Project
-                    BroadcastHashJoin
-                      BroadcastExchange
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                      BroadcastHashJoin
-                        BroadcastExchange
-                          ColumnarToRow
-                            Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

@@ -2,18 +2,12 @@ HashAggregate
   Exchange
     HashAggregate
       Project
-        BroadcastHashJoin
-          BroadcastExchange
-            Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
                   Scan parquet 
-          Project
-            BroadcastHashJoin
-              BroadcastExchange
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
               Project
                 Filter
                   Window
@@ -24,12 +18,15 @@ HashAggregate
                             Exchange
                               HashAggregate
                                 Project
-                                  BroadcastHashJoin
-                                    BroadcastExchange
-                                      Project
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
+                                  BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

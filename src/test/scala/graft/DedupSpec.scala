@@ -145,6 +145,31 @@ class DedupSpec extends GraftSpecBase {
     assert(tiny == want, "FP-heavy filter must still confirm exactly")
   }
 
+  test("repeatedSpans: shared block found, run merged to its exact extent") {
+    val s = spark; import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and " +
+      "again." // 60 chars
+    assert(shared.length == 60)
+    val docs = Seq(
+      (1L, shared + " unique tail alpha goes here padding padding one"),
+      (2L, shared + " another completely different ending two padding"),
+      (3L, "no overlap with anything else at all in this document xyz")
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.repeatedSpans(docs, window = 40, stride = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // windows at pos 0/10/20 sit fully inside the shared 60-char block →
+    // 3 repeated spans per doc, merged into one 20-0+40 = 60-char run
+    assert(out(1L)._2 == 3 && out(1L)._3 == 60, s"doc1: ${out(1L)}")
+    assert(out(2L)._2 == 3 && out(2L)._3 == 60, s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0, s"doc3: ${out(3L)}")
+    // span totals: floor((len - 40) / 10) + 1
+    docs.collect().foreach { r =>
+      val want = (r.getString(1).length - 40) / 10 + 1
+      assert(out(r.getLong(0))._1 == want.toLong)
+    }
+  }
+
   test("admitBatch additionally drops near-duplicates of corpus docs") {
     val s = spark; import s.implicits._
     val corpus = Seq((1L, baseText + " alpha"), (2L, baseText + " beta"))
