@@ -165,14 +165,102 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH banding over the documents fixture via [[minHashNearDup]].
-    * No SQL oracle (xxhash64 is Spark-specific); the ScalaTest spec
-    * cross-checks recall against exact Jaccard ground truth. */
+  /** Fixed affine-permutation coefficients for the DETERMINISTIC MinHash
+    * below: h_i(x) = (a_i·x + b_i) mod p with p = 2^31−1 (the classic
+    * universal family, same construction Spark MLlib's MinHashLSH uses —
+    * but with FIXED constants so an external engine can replay them).
+    * Base hash = first 7 hex chars of md5 (28 bits), so a_i·x < 2^59
+    * stays inside signed-64 arithmetic in every engine. */
+  private[operators] val arithP = 2147483647L
+  private[operators] val arithCoeffs: Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a0 = (2654435761L * (2 * i + 1)) % arithP
+      val a = if (a0 == 0L) 1L else a0
+      val b = (1013904223L * (i + 1)) % arithP
+      (a, b)
+    }
+
+  /** Library API: MinHash + LSH with DETERMINISTIC md5-derived arithmetic
+    * signatures — identical plan shape to [[minHashNearDup]] (signature →
+    * band → bucket-join, one shuffle on the band key, O(n·bands) candidate
+    * pairs), but every hash is plain integer arithmetic over
+    * `conv(substr(md5(gram),1,7),16,10)`, so ANY ANSI engine reproduces the
+    * signatures bit-for-bit and the whole near-dup output is
+    * oracle-checkable. The xxhash kernel path above stays the single-pass
+    * hot path; this is the auditable twin. */
+  def minHashNearDupArith(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.25): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(toks(col(textCol)))).as("g"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(g), 1, 7), 16, 10) as bigint)").as("h"))
+    val minCols = arithCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(arithP)).as(s"m$i") }
+    val sigs = grams.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .persist()
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until numBands).map(bnd => struct(
+        (0 until rowsPerBand).map(j =>
+          element_at(col("sig"), bnd * rowsPerBand + j + 1).as(s"k$j")): _*))
+        : _*))
+      .as(Seq("band_id", "band_key")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        (aggregate(zip_with(col("x.sig"), col("y.sig"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / numHashes.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** DuckDB replay of [[minHashNearDupArith]] — same shingles, same md5
+    * base hash, same 32 affine permutations, same 8×4 banding, unrolled. */
+  private def minhashArithOracle: String = {
+    val minExprs = arithCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $arithP) AS m$i" }.mkString(", ")
+    val sigCols = (0 until numHashes).map(i => s"m$i").mkString(", ")
+    val bandSelects = (0 until numBands).map { bnd =>
+      val keys = (0 until rowsPerBand).map(j =>
+        s"m${bnd * rowsPerBand + j} AS k$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band_id, $keys, $sigCols FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until numHashes).map(i =>
+      s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val keyEq = (0 until rowsPerBand).map(j => s"x.k$j = y.k$j")
+      .mkString(" AND ")
+    s"""
+      WITH g AS (SELECT doc_id, unnest($duckShingles) AS g FROM documents),
+      h AS (SELECT doc_id,
+                   ('0x' || substr(md5(g), 1, 7))::BIGINT AS h FROM g),
+      sig AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
+      banded AS ($bandSelects),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST($matches AS DOUBLE) / $numHashes.0 AS est_jaccard
+        FROM banded x JOIN banded y
+          ON x.band_id = y.band_id AND $keyEq AND x.doc_id < y.doc_id)
+      SELECT DISTINCT doc_a, doc_b, est_jaccard FROM pairs
+      WHERE est_jaccard >= 0.25"""
+  }
+
+  /** MinHash + LSH banding over the documents fixture — the deterministic
+    * arithmetic variant, so the full near-dup output (pairs + estimates) is
+    * DuckDB-oracle-checked; DedupSpec additionally pins recall against
+    * exact-Jaccard ground truth. */
   val minhashLsh = QueryDef(
     "q_dedup_minhash_lsh",
-    (spark, dir) => minHashNearDup(
+    (spark, dir) => minHashNearDupArith(
       Tables(spark, dir, "documents"), "doc_id", "text"),
-    None)
+    Some(minhashArithOracle))
 
   /** SimHash: 64-bit token-hash majority fingerprint; candidate pairs via
     * 4×16-bit chunk buckets (pigeonhole: hamming≤3 ⇒ ≥1 chunk equal);
@@ -208,11 +296,84 @@ object Dedup {
       .distinct()
   }
 
+  /** Library API: SimHash with DETERMINISTIC md5-derived token hashes — a
+    * 60-bit fingerprint (bits 0..59 of the per-token majority vote, kept
+    * below the sign bit so every engine's signed-64 shifts agree), candidate
+    * pairs via 4×15-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 chunk
+    * equal), verified with bit_count(xor) — same plan shape as the xxhash
+    * kernel path ([[simHashNearDup]]) but fully replayable in ANSI SQL. */
+  private[operators] val simBits = 60
+  def simHashNearDupArith(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole guarantee holds only for maxHamming <= 3, got $maxHamming")
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+    val voteCols = (0 until simBits).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    val sim = tokens.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until simBits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .persist()
+    val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map(k =>
+        expr(s"shiftright(simhash, ${15 * k}) & 32767")): _*))
+      .as(Seq("chunk_id", "chunk_val")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB replay of [[simHashNearDupArith]]: unrolled 60 per-bit majority
+    * votes, fingerprint reassembly from literal powers of two, 4-chunk
+    * pigeonhole buckets, bit_count(xor) verify. */
+  private def simhashArithOracle: String = {
+    val votes = (0 until simBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val build = (0 until simBits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val chunkSelects = (0 until 4).map(k =>
+      s"SELECT doc_id, simhash, $k AS chunk_id, (simhash >> ${15 * k}) & 32767 AS chunk_val FROM s")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+                 FROM documents),
+      h AS (SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM t),
+      v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+      s AS (SELECT doc_id, $build AS simhash FROM v),
+      c AS ($chunkSelects),
+      pairs AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                 AS hamming
+        FROM c x JOIN c y
+          ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+         AND x.doc_id < y.doc_id)
+      SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3"""
+  }
+
+  /** SimHash near-dup over the documents fixture — deterministic arithmetic
+    * variant, DuckDB-oracle-checked end to end. */
   val simhash = QueryDef(
     "q_dedup_simhash",
-    (spark, dir) => simHashNearDup(
+    (spark, dir) => simHashNearDupArith(
       Tables(spark, dir, "documents"), "doc_id", "text"),
-    None)
+    Some(simhashArithOracle))
 
   /** Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path (this is
     * the variant to run at 100 TB; [[embeddingNearDup]] below is the bounded

@@ -50,11 +50,12 @@ class RegistrySpec extends GraftSpecBase {
     // with an oracle-checked exact twin or a bound/recall spec:
     // q_profile_lineitem -> q_profile_lineitem_exact,
     // q_text_freq_tokens -> q_text_freq_tokens_exact (round 5),
-    // the minhash/simhash pair -> q_dedup_ngram_jaccard + the now-oracled
-    // q_docs_pipeline, the cardinality/quantile sketches -> KmvSpec/KllSpec
-    // (q_docs_pipeline and q_agg_approx_percentile gained oracles in r5)
+    // the cardinality/quantile sketches -> KmvSpec/KllSpec
+    // (q_docs_pipeline and q_agg_approx_percentile gained oracles in r5;
+    // minhash/simhash switched to deterministic md5-arithmetic signatures
+    // in r6 and are now DuckDB-oracle-checked end to end)
     assert(noOracle.toSet ==
-      Set("q_dedup_minhash_lsh", "q_dedup_simhash", "q_agg_kmv_sketch",
+      Set("q_agg_kmv_sketch",
         "q_agg_approx_distinct", "q_agg_kll_quantile",
         "q_profile_lineitem", "q_text_freq_tokens",
         // r5: materialized sketch-state rollup — lossless two-level merge
