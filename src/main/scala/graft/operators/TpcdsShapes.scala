@@ -20,6 +20,11 @@ import graft.Exact._
   *  - ds54/ds58: fact restricted to a subquery-derived date set
   *  - ds78: LEFT-joined year-over-year cohorts incl. the lapsed bucket
   *
+  * As of round 6 every DS query number ds1–ds99 is accounted for: each
+  * QueryDef's scaladoc names the query famil(ies) it stands in for, and
+  * template families that differ only in constants (e.g. the ds3/ds42/
+  * ds52/ds55 brand report) share one shape.
+  *
   * All exact-cents arithmetic; identical text runs on Spark and DuckDB.
   * Scale notes: the rollup/window pass shuffles once per grouping key; the
   * ds51 cumulative window is single-partition here (a month-grain series of
@@ -398,7 +403,8 @@ object TpcdsShapes {
                                AND b.o_custkey IS NOT NULL) AS only_second
        FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""")
 
-  /** ds2: calendar-bucket PIVOT (conditional aggregation into 7 columns)
+  /** ds2/ds43: calendar-bucket PIVOT (conditional aggregation into 7
+    * columns)
     * self-joined across years into per-bucket ratios — the "week-over-week
     * by weekday column" shape. `day(date) % 7` is the dialect-portable
     * stand-in for the DS weekday (Spark and DuckDB disagree on dayofweek
@@ -487,7 +493,7 @@ object TpcdsShapes {
                    AS DOUBLE) AS am_pm_ratio
        FROM events GROUP BY event_type""")
 
-  /** ds21: before/after-threshold balance — per-key conditional sums
+  /** ds21/ds40: before/after-threshold balance — per-key conditional sums
     * around a date cut, HAVING a bounded ratio expressed as INTEGER
     * cross-multiplication (2·after ≤ 3·before ∧ 2·before ≤ 3·after ⇔
     * ratio ∈ [⅔, 3/2]) so no double division can flip a boundary group. */
@@ -759,7 +765,7 @@ object TpcdsShapes {
                  s"AS BIGINT) AS m$m").mkString(", ")}
        FROM u GROUP BY channel, s_nationkey""")
 
-  /** ds17/ds29: THREE fact instances chained on two different keys — a
+  /** ds17/ds25/ds29: THREE fact instances chained on two different keys — a
     * returned line joined to its order, to a LATER order of the same
     * customer (bounded residual range), to that order's lines; quantity
     * accounting per follow-up priority. The planner keys the first join on
@@ -909,7 +915,7 @@ object TpcdsShapes {
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
-  /** ds32: "excess discount" — rows whose discount exceeds 1.3x the
+  /** ds32/ds92: "excess discount" — rows whose discount exceeds 1.3x the
     * average discount of the SAME part, via a correlated scalar aggregate.
     * Catalyst decorrelates to a per-part aggregate joined back on
     * partkey; the 1.3x compare is one IEEE multiply on an exactly-
@@ -926,7 +932,8 @@ object TpcdsShapes {
                               / 100.0 / CAST(count(*) AS DOUBLE))
               FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""")
 
-  /** ds68/ds79: per-order aggregate joined back to the order header with
+  /** ds46/ds68/ds79: per-order aggregate joined back to the order header
+    * with
     * an INEQUALITY between two conditionally-accumulated columns (orders
     * whose deep-discount revenue dwarfs their list-rate revenue) — the
     * filter can only run post-aggregation, post-join. Integer cents. */
@@ -946,7 +953,8 @@ object TpcdsShapes {
        WHERE hi_c > 3 * lo_c AND lo_c > 0
        ORDER BY hi_rev DESC, orderkey LIMIT 40""")
 
-  /** ds5/ds77: ROLLUP over a UNION ALL of SIGNED measure streams (gross
+  /** ds5/ds77/ds80: ROLLUP over a UNION ALL of SIGNED measure streams
+    * (gross
     * lines positive, returned lines negative) — the sales-and-returns
     * netting plan where the set-op feeds Expand directly. */
   val signedUnionRollup = QueryDef.sqlSame(
@@ -963,7 +971,8 @@ object TpcdsShapes {
          FROM lineitem WHERE l_returnflag = 'R')
        GROUP BY ROLLUP (kind, flag)""")
 
-  /** ds53/ds63: months deviating >10% from their (flag, year) partition
+  /** ds53/ds63/ds89: months deviating >10% from their (flag, year)
+    * partition
     * mean — full-partition window sum + count feeding an all-integer
     * deviation predicate 10*|q*n - tot| > tot (no division anywhere). */
   val partitionDeviation = QueryDef.sqlSame(
@@ -1586,7 +1595,201 @@ object TpcdsShapes {
        FROM lineitem
        GROUP BY l_returnflag ORDER BY l_returnflag""")
 
+  /** ds3/ds42/ds52/ds55: the manager's BRAND REPORT family — one
+    * date-windowed fact scan joined to the item dimension, grouped by
+    * brand, ordered by revenue with the brand as tiebreak. The simplest
+    * star shape in DS (four of its queries are this template verbatim);
+    * the dim broadcasts, the date filter reaches the parquet scan. */
+  val brandStarReport = QueryDef.sqlSame(
+    "q_ds_brand_star_report",
+    s"""SELECT p_brand, ${sumdSql("l_extendedprice")} AS brand_rev,
+              count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 12
+       GROUP BY p_brand
+       ORDER BY brand_rev DESC, p_brand LIMIT 25""")
+
+  /** ds7/ds26: the four-AVERAGE battery — avg quantity / list price /
+    * discount / tax per item class under dimension filters. Partial-avg
+    * decomposition (sum+count split across the exchange) on four measures
+    * at once; exact cent accumulation keeps every mean bit-portable. */
+  val avgBattery = QueryDef.sqlSame(
+    "q_ds_avg_battery",
+    s"""SELECT p_type, ${avgdSql("l_quantity")} AS avg_qty,
+              ${avgdSql("l_extendedprice")} AS avg_price,
+              ${avgdSql("l_discount")} AS avg_disc,
+              ${avgdSql("l_tax")} AS avg_tax
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_returnflag = 'N' AND year(l_shipdate) = 1997
+       GROUP BY p_type ORDER BY p_type""")
+
+  /** ds4: the SIX-INSTANCE yearly-spend self-join — per (customer,
+    * channel, year) aggregate instantiated six times (three channels ×
+    * two years) and chained on the customer key; "grew faster in channel
+    * F than in O and P". Spark plans ONE aggregate and reuses the
+    * exchange six ways; growth compares are integer cross-multiplication
+    * (sp > 0 always), so no division, no boundary flips. */
+  val tripleChannelYoy = QueryDef.sqlSame(
+    "q_ds_triple_channel_yoy",
+    s"""WITH yt AS (
+         SELECT o_custkey AS ck, o_orderstatus AS ch,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                sum(${centsSql("o_totalprice")}) AS sp
+         FROM orders GROUP BY 1, 2, 3)
+       SELECT f1.ck AS custkey,
+              CAST(f1.sp AS DOUBLE) / 100.0 AS f_1997,
+              CAST(f2.sp AS DOUBLE) / 100.0 AS f_1998
+       FROM yt f1 JOIN yt f2 ON f1.ck = f2.ck
+        AND f1.ch = 'F' AND f2.ch = 'F' AND f1.yr = 1997 AND f2.yr = 1998
+       JOIN yt o1 ON o1.ck = f1.ck AND o1.ch = 'O' AND o1.yr = 1997
+       JOIN yt o2 ON o2.ck = f1.ck AND o2.ch = 'O' AND o2.yr = 1998
+       JOIN yt p1 ON p1.ck = f1.ck AND p1.ch = 'P' AND p1.yr = 1997
+       JOIN yt p2 ON p2.ck = f1.ck AND p2.ch = 'P' AND p2.yr = 1998
+       WHERE f2.sp * o1.sp > o2.sp * f1.sp
+         AND f2.sp * p1.sp > p2.sp * f1.sp
+       ORDER BY custkey""")
+
+  /** ds15: CROSS-ATTRIBUTE disjunction gate — an OR spanning a suffix
+    * test, a balance threshold, and a segment IN-list on the customer
+    * dimension, none of which filters alone; the whole predicate rides the
+    * dim side of the fact join (pushed below the shuffle, not expanded
+    * into a union of scans). */
+  val crossAttrDisjunction = QueryDef.sqlSame(
+    "q_ds_cross_attr_disjunction",
+    s"""SELECT c_nationkey, count(*) AS n_orders,
+              ${sumdSql("o_totalprice")} AS rev
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE substr(c_name, -2) IN ('01', '33', '60')
+          OR c_acctbal > 9900.0
+          OR c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+  /** ds18: AVERAGES under ROLLUP — the partial-avg sum/count split must
+    * survive the Expand replication (each grouping level accumulates its
+    * own exact cent sum and count); grouping() disambiguates NULL-valued
+    * subtotal rows from NULL data. */
+  val rollupAvg = QueryDef.sqlSame(
+    "q_ds_rollup_avg",
+    s"""SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                   AS INT) AS lvl,
+              ${avgdSql("l_quantity")} AS avg_qty,
+              ${avgdSql("l_extendedprice")} AS avg_price,
+              ${avgdSql("l_discount")} AS avg_disc
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+
+  /** ds19: the ZIP-MISMATCH brand report — revenue by brand where the
+    * customer's nation differs from the supplier's, an INEQUALITY between
+    * two dimension keys that only becomes evaluable after both dim joins
+    * (a residual filter above a 4-way star). */
+  val nationMismatch = QueryDef.sqlSame(
+    "q_ds_nation_mismatch",
+    s"""SELECT p_brand, ${sumdSql("l_extendedprice")} AS rev,
+              count(*) AS n_lines
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN part     ON l_partkey = p_partkey
+       WHERE c_nationkey <> s_nationkey AND year(o_orderdate) = 1998
+       GROUP BY p_brand ORDER BY rev DESC, p_brand LIMIT 20""")
+
+  /** ds37/ds82: items in a PRICE BAND that actually moved in a date
+    * window — dim-side band filter AND a semi-join (IN-subquery) against
+    * the date-restricted fact. The planner pushes the band to the part
+    * scan and plans the IN as a LeftSemi with the fact aggregated to
+    * distinct keys on the build side. */
+  val priceBandSemi = QueryDef.sqlSame(
+    "q_ds_price_band_semi",
+    """SELECT p_partkey AS partkey, p_name, p_retailprice
+       FROM part
+       WHERE p_retailprice BETWEEN 920.0 AND 940.0
+         AND p_partkey IN
+             (SELECT l_partkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                AND l_shipdate < TIMESTAMP '1997-09-01')
+       ORDER BY partkey LIMIT 50""")
+
+  /** ds71: per-HOUR brand-style report over a UNION of three channels —
+    * each channel is a filtered scan of the events stream, the union
+    * feeds one time-of-day aggregation (the "which hour sells" shape).
+    * events.value is 2-dp (FIXTURES.md), so cents stay exact. */
+  val hourChannelUnion = QueryDef.sqlSame(
+    "q_ds_hour_channel_union",
+    s"""WITH u AS (
+         SELECT 'web' AS channel, user_id, value, ts FROM events
+         WHERE event_type = 'click'
+         UNION ALL
+         SELECT 'app', user_id, value, ts FROM events
+         WHERE event_type = 'view'
+         UNION ALL
+         SELECT 'store', user_id, value, ts FROM events
+         WHERE event_type = 'purchase')
+       SELECT channel, CAST(hour(ts) AS INT) AS hr, count(*) AS n,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              ${sumdSql("value")} AS amount
+       FROM u GROUP BY channel, hour(ts)
+       ORDER BY channel, hr""")
+
+  /** ds83: the three-branch RETURNS MATRIX — per-flag counts aggregated
+    * in three CTE branches over a shared IN-subquery date set, then
+    * joined pairwise on the item key into one row per part. Subquery
+    * reuse dedups the date-set scan; the three branch aggregates share
+    * one partkey exchange each. */
+  val returnsMatrix = QueryDef.sqlSame(
+    "q_ds_returns_matrix",
+    """WITH ds AS (
+         SELECT DISTINCT l_shipdate FROM lineitem
+         WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (1, 4, 7)),
+       r1 AS (SELECT l_partkey, count(*) AS n_r FROM lineitem
+              WHERE l_returnflag = 'R'
+                AND l_shipdate IN (SELECT l_shipdate FROM ds)
+              GROUP BY l_partkey),
+       r2 AS (SELECT l_partkey, count(*) AS n_a FROM lineitem
+              WHERE l_returnflag = 'A'
+                AND l_shipdate IN (SELECT l_shipdate FROM ds)
+              GROUP BY l_partkey),
+       r3 AS (SELECT l_partkey, count(*) AS n_n FROM lineitem
+              WHERE l_returnflag = 'N'
+                AND l_shipdate IN (SELECT l_shipdate FROM ds)
+              GROUP BY l_partkey)
+       SELECT r1.l_partkey AS partkey, n_r, n_a, n_n
+       FROM r1 JOIN r2 ON r1.l_partkey = r2.l_partkey
+       JOIN r3 ON r1.l_partkey = r3.l_partkey
+       ORDER BY partkey LIMIT 60""")
+
+  /** ds96: the SELECTIVE COUNT — one scalar count(*) through a two-hop
+    * dim chain with every filter pushed to its own scan; the whole plan
+    * is broadcast joins under a single partial/final count. */
+  val selectiveCount = QueryDef.sqlSame(
+    "q_ds_selective_count",
+    """SELECT count(*) AS n
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderpriority = '1-URGENT'
+         AND c_mktsegment = 'BUILDING'
+         AND n_regionkey = 2""")
+
+  /** ds91: disjunction of attribute PAIRS straddling the join — (priority
+    * AND negative balance) OR (status AND segment) mixes columns of BOTH
+    * tables in each conjunct, so neither side of the join can evaluate the
+    * predicate alone; it must run as a residual filter above the join
+    * while each conjunct's single-table half still prunes its scan. */
+  val crossTablePairDisjunction = QueryDef.sqlSame(
+    "q_ds_pair_disjunction",
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+              ${sumdSql("o_totalprice")} AS rev
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE (o_orderpriority = '1-URGENT' AND c_acctbal < 500.0)
+          OR (o_orderstatus = 'F' AND c_mktsegment = 'HOUSEHOLD')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+
   val all: Seq[QueryDef] = Seq(
+    brandStarReport, avgBattery, tripleChannelYoy, crossAttrDisjunction,
+    rollupAvg, nationMismatch, priceBandSemi, hourChannelUnion,
+    returnsMatrix, selectiveCount, crossTablePairDisjunction,
     bandDisjunction, starConcat, bandDistinctBattery, belowAvgRevenue,
     channelCountDelta, promoRatio, multiDistinct,
     rollupRank, yoyRatio, cumulativeFullJoin, multiScalar, unionReagg,

@@ -1,11 +1,10 @@
 HashAggregate
-  Exchange
-    HashAggregate
-      Project
-        BroadcastHashJoin [broadcast,plain]
-          Generate
-            Filter
-              InMemoryTableScan
-          Generate
-            Filter
-              InMemoryTableScan
+  HashAggregate
+    Project
+      BroadcastHashJoin [broadcast,plain]
+        Generate
+          Filter
+            InMemoryTableScan
+        Generate
+          Filter
+            InMemoryTableScan

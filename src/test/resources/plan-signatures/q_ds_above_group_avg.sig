@@ -1,36 +1,9 @@
 HashAggregate
-  HashAggregate
-    Project
-      BroadcastHashJoin [broadcast,plain]
-        Filter
-          HashAggregate
-            Exchange
-              HashAggregate
-                HashAggregate
-                  Exchange
-                    HashAggregate
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-        Project
-          BroadcastHashJoin [broadcast,plain]
-            Filter
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Filter
             HashAggregate
               Exchange
                 HashAggregate
@@ -45,3 +18,31 @@ HashAggregate
                             Filter
                               ColumnarToRow
                                 Scan parquet 
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    HashAggregate
+                      Exchange
+                        HashAggregate
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 

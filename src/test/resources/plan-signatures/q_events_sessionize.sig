@@ -8,6 +8,5 @@ HashAggregate
               Window
                 Sort
                   Exchange
-                    Project
-                      ColumnarToRow
-                        Scan parquet 
+                    ColumnarToRow
+                      Scan parquet 
