@@ -1239,7 +1239,141 @@ object GoldenSql {
        SELECT x FROM (VALUES (3), (5)) AS c(x)
        ORDER BY x""")
 
+  /** inline-table.sql: a multi-row VALUES relation as a first-class FROM
+    * item — nulls in both columns, numeric widening across rows (INT and
+    * DECIMAL literals unify), and a join from the inline table to a real
+    * one. */
+  val valuesTable = QueryDef.sqlSame(
+    "q_golden_values_table",
+    """SELECT t.k, t.tag, n.n_name,
+              CAST(t.w * 2 AS DOUBLE) AS widened_x2
+       FROM (VALUES (0, 'a', 1), (1, NULL, 2.5), (2, 'c', NULL))
+            AS t(k, tag, w)
+       LEFT JOIN nation n ON t.k = n.n_nationkey""")
+
+  /** join-empty-relation.sql: every join flavor against a provably-empty
+    * side, plus aggregate-over-empty seeding (count 0, sum NULL — both
+    * engines agree once coalesced). Catalyst folds these through
+    * PropagateEmptyRelation; the answers must survive the folding. */
+  val emptyJoin = QueryDef.sqlSame(
+    "q_golden_empty_join",
+    """WITH e AS (SELECT n_nationkey AS k, n_name AS nm FROM nation
+                  WHERE 1 = 0)
+       SELECT
+         (SELECT count(*) FROM e) AS cnt_empty,
+         (SELECT count(*) FROM nation JOIN e ON n_nationkey = e.k)
+           AS inner_drop,
+         (SELECT count(*) FROM nation LEFT JOIN e ON n_nationkey = e.k)
+           AS left_keep,
+         (SELECT count(*) FROM nation
+          WHERE n_nationkey IN (SELECT k FROM e)) AS in_empty,
+         (SELECT count(*) FROM nation
+          WHERE n_nationkey NOT IN (SELECT k FROM e)) AS not_in_empty,
+         CAST((SELECT coalesce(sum(k), -1) FROM e) AS BIGINT) AS sum_empty,
+         CAST((SELECT max(nm) FROM e) IS NULL AS INT) AS max_empty_null""")
+
+  /** cte-nested.sql: WITH inside a CTE definition, the inner definition
+    * SHADOWING the outer name (the modern precedence both engines apply),
+    * while a sibling CTE still sees the outer one. */
+  val cteNested = QueryDef.sqlSame(
+    "q_golden_cte_nested",
+    """WITH t AS (SELECT 1 AS v),
+         u AS (WITH t AS (SELECT 10 AS v) SELECT v FROM t),
+         w AS (SELECT v + 100 AS v FROM t)
+       SELECT (SELECT v FROM t) AS outer_v,
+              (SELECT v FROM u) AS shadowed_v,
+              (SELECT v FROM w) AS sibling_v""")
+
+  /** sql-compatibility-functions.sql: the nvl/nvl2/ifnull compatibility
+    * shims — DuckDB spells them ifnull/CASE, so the oracle text differs
+    * while the semantics are pinned identical. */
+  val nvlCompat = QueryDef.sql(
+    "q_golden_nvl_compat",
+    """SELECT CAST(nvl(NULL, 5) AS INT) AS nvl_null,
+              CAST(nvl(3, 5) AS INT) AS nvl_set,
+              nvl2(4, 'a', 'b') AS nvl2_set,
+              nvl2(NULL, 'a', 'b') AS nvl2_null,
+              CAST(ifnull(NULL, 9) AS INT) AS ifnull_null,
+              CAST(nullif(3, 3) AS INT) AS nullif_eq,
+              CAST(nullif(3, 4) AS INT) AS nullif_ne""",
+    """SELECT CAST(ifnull(NULL, 5) AS INT) AS nvl_null,
+              CAST(ifnull(3, 5) AS INT) AS nvl_set,
+              CASE WHEN 4 IS NOT NULL THEN 'a' ELSE 'b' END AS nvl2_set,
+              CASE WHEN NULL IS NOT NULL THEN 'a' ELSE 'b' END AS nvl2_null,
+              CAST(ifnull(NULL, 9) AS INT) AS ifnull_null,
+              CAST(nullif(3, 3) AS INT) AS nullif_eq,
+              CAST(nullif(3, 4) AS INT) AS nullif_ne""")
+
+  /** operators.sql: integral division and modulo SIGN semantics — DIV
+    * truncates toward zero in both engines (Spark `DIV`, DuckDB `//`),
+    * `%` follows the dividend's sign, pmod is the always-positive variant
+    * (emulated in DuckDB), and fractional modulo keeps the decimal. */
+  val intDivMod = QueryDef.sql(
+    "q_golden_intdiv_mod",
+    """SELECT CAST(7 DIV -2 AS BIGINT) AS div_trunc_neg,
+              CAST(-7 DIV 2 AS BIGINT) AS div_neg_trunc,
+              CAST(-7 % 2 AS INT) AS mod_dividend_sign,
+              CAST(7 % -2 AS INT) AS mod_pos_dividend,
+              CAST(pmod(-7, 2) AS INT) AS pmod_pos,
+              CAST(7.5 % 2 AS STRING) AS mod_decimal""",
+    """SELECT CAST(7 // -2 AS BIGINT) AS div_trunc_neg,
+              CAST(-7 // 2 AS BIGINT) AS div_neg_trunc,
+              CAST(-7 % 2 AS INT) AS mod_dividend_sign,
+              CAST(7 % -2 AS INT) AS mod_pos_dividend,
+              CAST(((-7 % 2) + 2) % 2 AS INT) AS pmod_pos,
+              CAST(7.5 % 2 AS STRING) AS mod_decimal""")
+
+  /** datetime-formatting.sql: pattern-based timestamp rendering — Spark's
+    * SimpleDateFormat-style patterns vs DuckDB's strftime, pinned to agree
+    * on the portable core (numeric fields, English day/month names). */
+  val dateFormat = QueryDef.sql(
+    "q_golden_date_format",
+    """SELECT date_format(TIMESTAMP '2026-08-13 14:05:09',
+                          'yyyy-MM-dd HH:mm:ss') AS iso_full,
+              date_format(DATE '2026-08-13', 'EEEE') AS day_name,
+              date_format(DATE '2026-02-01', 'MMMM') AS month_name,
+              date_format(TIMESTAMP '2026-08-13 14:05:09', 'HH') AS hh24,
+              date_format(DATE '2026-08-13', 'yyyy') AS just_year""",
+    """SELECT strftime(TIMESTAMP '2026-08-13 14:05:09',
+                       '%Y-%m-%d %H:%M:%S') AS iso_full,
+              strftime(DATE '2026-08-13', '%A') AS day_name,
+              strftime(DATE '2026-02-01', '%B') AS month_name,
+              strftime(TIMESTAMP '2026-08-13 14:05:09', '%H') AS hh24,
+              strftime(DATE '2026-08-13', '%Y') AS just_year""")
+
+  /** array.sql (nesting): flatten one level, array_repeat, sequence —
+    * DuckDB spells them flatten / list-comprehension / range. */
+  val arrayFlatten = QueryDef.sql(
+    "q_golden_array_flatten",
+    """SELECT array_join(flatten(array(array(1, 2), array(3),
+                                       array())), ',') AS flat,
+              array_join(array_repeat(5, 3), ',') AS repeated,
+              array_join(sequence(1, 5), ',') AS seq_up,
+              array_join(sequence(5, 1, -2), ',') AS seq_down""",
+    """SELECT array_to_string(flatten([[1, 2], [3], []]), ',') AS flat,
+              array_to_string([5 FOR x IN range(3)], ',') AS repeated,
+              array_to_string(range(1, 6), ',') AS seq_up,
+              array_to_string(range(5, 0, -2), ',') AS seq_down""")
+
+  /** comparator.sql (portable core): comparison COERCION — boolean
+    * ordering, ASCII string ordering, date-vs-timestamp promotion,
+    * int-vs-decimal equality, decimal-literal exactness (0.1 + 0.2 IS
+    * 0.3 in decimal arithmetic), lexicographic BETWEEN on strings, and
+    * string→numeric equality coercion. */
+  val compareCoercion = QueryDef.sqlSame(
+    "q_golden_compare_coercion",
+    """SELECT CAST(true > false AS INT) AS bool_gt,
+              CAST('abc' < 'abd' AS INT) AS str_lt,
+              CAST(DATE '2020-01-01' < TIMESTAMP '2020-01-01 00:00:01'
+                   AS INT) AS date_ts_promote,
+              CAST(1 = 1.0 AS INT) AS int_dec_eq,
+              CAST(0.1 + 0.2 = 0.3 AS INT) AS decimal_exact,
+              CAST('2' BETWEEN '10' AND '3' AS INT) AS str_between,
+              CAST('01' = 1 AS INT) AS str_num_eq""")
+
   val all: Seq[QueryDef] = Seq(
+    valuesTable, emptyJoin, cteNested, nvlCompat, intDivMod, dateFormat,
+    arrayFlatten, compareCoercion,
     lateralAlias, sortLambda, mapTransform, arrayEdit, sqlPivot, elementAt,
     tupleIn, setopPrecedence,
     naturalJoin, likeAllAny, rangeTvf,
