@@ -160,10 +160,12 @@ class StreamingSpec extends GraftSpecBase {
 
   test("file-source streaming replay matches the batch tumbling aggregation") {
     import org.apache.spark.sql.types._
-    // events.parquet carries TIMESTAMP(NANOS) → LongType under nanosAsLong,
-    // mirroring Tables.apply's batch normalization
+    // ts arrives either as TIMESTAMP(NANOS) → LongType under nanosAsLong
+    // (older fixture generations) or as a plain TIMESTAMP(MICROS); mirror
+    // Tables.apply's batch normalization by adapting to the batch schema
+    val tsType = sp.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file stream source needs a directory
@@ -171,8 +173,11 @@ class StreamingSpec extends GraftSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = sp.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = sp.readStream.schema(schema).parquet(dir.toString)
+    val stream =
+      if (tsType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
