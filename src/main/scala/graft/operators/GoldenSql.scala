@@ -1371,7 +1371,181 @@ object GoldenSql {
               CAST('2' BETWEEN '10' AND '3' AS INT) AS str_between,
               CAST('01' = 1 AS INT) AS str_num_eq""")
 
+  /** Typed numeric literal suffixes and scientific notation (reference:
+    * sql-tests/inputs/literals.sql): Y/S/L tinyint/smallint/bigint bounds,
+    * int→bigint literal promotion, decimal-vs-double-vs-float literal
+    * typing, `.9e+2`/`900e-1`/`9.e+1` all parsing to the same double, hex
+    * binary literals, and the 38-digit decimal precision ceiling (39 digits
+    * fails to parse under ANSI — pinned via try_cast instead). Oracle is a
+    * hardcoded row: DuckDB has no literal-suffix grammar, so the pinned
+    * values ARE the cross-engine contract. */
+  val typedLiterals = QueryDef.sql(
+    "q_golden_typed_literals",
+    """SELECT CAST(127Y AS STRING) AS tiny_max,
+              CAST(-32768S AS STRING) AS small_min,
+              CAST(9223372036854775807L AS STRING) AS big_max,
+              typeof(2147483648) AS t_promote,
+              typeof(1.5) AS t_dec, typeof(1.5D) AS t_dbl, typeof(1.5F) AS t_flt,
+              CAST(.9e+2 AS STRING) AS sci1, CAST(900e-1 AS STRING) AS sci2,
+              CAST(9.e+1 AS STRING) AS sci3, CAST(0.10f AS STRING) AS flt_lit,
+              hex(X'1f2a') AS hex_bin,
+              CAST(try_cast('1234567890123456789012345678901234567890.0'
+                            AS DECIMAL(38,1)) AS STRING) AS huge_null,
+              CAST(1234567890123456789012345678901234567.8BD AS STRING) AS bd38""",
+    """SELECT '127' AS tiny_max, '-32768' AS small_min,
+              '9223372036854775807' AS big_max, 'bigint' AS t_promote,
+              'decimal(2,1)' AS t_dec, 'double' AS t_dbl, 'float' AS t_flt,
+              '90.0' AS sci1, '90.0' AS sci2, '90.0' AS sci3, '0.1' AS flt_lit,
+              '1F2A' AS hex_bin, CAST(NULL AS VARCHAR) AS huge_null,
+              '1234567890123456789012345678901234567.8' AS bd38""")
+
+  /** CSV scalar functions (reference: sql-tests/inputs/csv-functions.sql):
+    * from_csv with an inline DDL schema, from_csv with a timestampFormat
+    * option, schema_of_csv inference (with and without a delimiter option),
+    * and to_csv round-trips incl. a formatted timestamp. DuckDB's CSV
+    * machinery is table-level, not scalar, so the oracle pins values. */
+  val fromCsv = QueryDef.sql(
+    "q_golden_from_csv",
+    """SELECT c1.a AS a1, CAST(c1.f AS STRING) AS f1,
+              CAST(c2.time AS STRING) AS t2,
+              schema_of_csv('1,abc') AS sch,
+              schema_of_csv('1|abc', map('delimiter','|')) AS sch2,
+              to_csv(named_struct('a',1,'b',2)) AS csv1,
+              to_csv(named_struct('time', to_timestamp('2015-08-26','yyyy-MM-dd')),
+                     map('timestampFormat','dd/MM/yyyy')) AS csv2
+       FROM (SELECT from_csv('1, 3.14','a INT, f FLOAT') c1,
+                    from_csv('26/08/2015','time Timestamp',
+                             map('timestampFormat','dd/MM/yyyy')) c2)""",
+    """SELECT 1 AS a1, '3.14' AS f1, '2015-08-26 00:00:00' AS t2,
+              'STRUCT<_c0: INT, _c1: STRING>' AS sch,
+              'STRUCT<_c0: INT, _c1: STRING>' AS sch2,
+              '1,2' AS csv1, '26/08/2015' AS csv2""")
+
+  /** CHAR(n)/VARCHAR(n) cast semantics (reference: sql-tests/inputs/
+    * charvarchar.sql): Spark pads CHAR only on table-column reads, NOT on a
+    * plain cast — `CAST('ab' AS CHAR(5))` stays 'ab' (length 2, ≠ rpad) —
+    * and a cast to a shorter VARCHAR passes the string through untruncated.
+    * Divergent-from-PostgreSQL corners worth pinning explicitly. */
+  val charVarchar = QueryDef.sql(
+    "q_golden_char_varchar",
+    """SELECT CAST('ab' AS CHAR(5)) AS padded,
+              length(CAST('ab' AS CHAR(5))) AS len_pad,
+              CAST(CAST('ab' AS CHAR(5)) = 'ab' AS INT) AS pad_eq_plain,
+              CAST(CAST('ab' AS CHAR(5)) = rpad('ab',5,' ') AS INT) AS pad_eq_rpad,
+              try_cast('abcdef' AS VARCHAR(3)) AS vc_over,
+              CAST('xy' AS VARCHAR(3)) AS vc_ok,
+              length(CAST('xy' AS VARCHAR(3))) AS vc_len""",
+    """SELECT 'ab' AS padded, 2 AS len_pad, 1 AS pad_eq_plain,
+              0 AS pad_eq_rpad, 'abcdef' AS vc_over, 'xy' AS vc_ok, 2 AS vc_len""")
+
+  /** Named-zone conversions (reference: sql-tests/inputs/timezone.sql,
+    * datetime.sql): from_utc_timestamp across both US DST transitions
+    * (spring-forward gap, fall-back overlap), a half-hour zone (Kolkata),
+    * a southern-hemisphere winter offset (Sydney AEST+10), and a
+    * 45-minute zone (Kathmandu +5:45). Session TZ is UTC; the oracle pins
+    * the converted wall-clock strings. */
+  val timezoneConv = QueryDef.sql(
+    "q_golden_timezone",
+    """SELECT CAST(from_utc_timestamp(TIMESTAMP '2021-03-14 10:30:00',
+                'America/Los_Angeles') AS STRING) AS la_spring,
+              CAST(from_utc_timestamp(TIMESTAMP '2021-11-07 08:30:00',
+                'America/Los_Angeles') AS STRING) AS la_fall,
+              CAST(to_utc_timestamp(TIMESTAMP '2021-06-15 12:00:00',
+                'Asia/Kolkata') AS STRING) AS ist_utc,
+              CAST(from_utc_timestamp(TIMESTAMP '2021-06-15 12:00:00',
+                'Australia/Sydney') AS STRING) AS syd,
+              hour(from_utc_timestamp(TIMESTAMP '2021-01-01 00:30:00',
+                'Asia/Kathmandu')) AS kat_hour,
+              minute(from_utc_timestamp(TIMESTAMP '2021-01-01 00:30:00',
+                'Asia/Kathmandu')) AS kat_min""",
+    """SELECT '2021-03-14 03:30:00' AS la_spring,
+              '2021-11-07 01:30:00' AS la_fall,
+              '2021-06-15 06:30:00' AS ist_utc,
+              '2021-06-15 22:00:00' AS syd, 6 AS kat_hour, 15 AS kat_min""")
+
+  /** JSON path extraction (reference: sql-tests/inputs/json-functions.sql):
+    * get_json_object with an array index path, a `[*]` wildcard projection
+    * (returns a JSON array string), a missing path (NULL), json_tuple
+    * multi-field extraction via LATERAL VIEW, from_json with an array
+    * schema + element access, and schema_of_json inference. */
+  val jsonPath = QueryDef.sql(
+    "q_golden_json_path",
+    """SELECT get_json_object(j, '$.store.book[1].price') AS p1,
+              get_json_object(j, '$.store.book[*].author') AS authors,
+              get_json_object(j, '$.missing') AS miss,
+              jt.c0 AS x, jt.c1 AS y,
+              size(from_json('[{"a":1},{"a":2},{"a":3}]',
+                             'array<struct<a:int>>')) AS arr_n,
+              from_json('[{"a":1},{"a":2},{"a":3}]',
+                        'array<struct<a:int>>')[2].a AS arr_last,
+              schema_of_json('[{"a":1}]') AS sch
+       FROM (SELECT '{"store":{"book":[{"author":"A","price":7.5},{"author":"B","price":12.0}]}}' AS j)
+       LATERAL VIEW json_tuple('{"x":1,"y":"two"}','x','y') jt AS c0, c1""",
+    """SELECT '12.0' AS p1, '["A","B"]' AS authors,
+              CAST(NULL AS VARCHAR) AS miss, '1' AS x, 'two' AS y,
+              3 AS arr_n, 3 AS arr_last, 'ARRAY<STRUCT<a: BIGINT>>' AS sch""")
+
+  /** IEEE-754 special-value semantics under ANSI (reference: sql-tests/
+    * inputs/postgreSQL/float8.sql + predicate-functions.sql): Spark treats
+    * NaN as equal to itself and greater than +Infinity (total order),
+    * Inf + -Inf = NaN, double overflow saturates to Infinity (no ANSI
+    * error, unlike integer overflow), -0.0 = 0.0, and try_divide by zero
+    * yields NULL rather than the ANSI DIVIDE_BY_ZERO error. */
+  val floatEdge = QueryDef.sql(
+    "q_golden_float_edge",
+    """SELECT CAST(CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS INT) AS nan_eq,
+              CAST(CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE) AS INT) AS nan_gt_inf,
+              CAST(nanvl(CAST('NaN' AS DOUBLE), 1.5) AS STRING) AS nanvl_v,
+              CAST(isnan(CAST('Infinity' AS DOUBLE) + CAST('-Infinity' AS DOUBLE)) AS INT) AS inf_sum_nan,
+              CAST(CAST('Infinity' AS DOUBLE) AS STRING) AS inf_str,
+              CAST(1.7976931348623157E308D * 2 AS STRING) AS overflow_inf,
+              CAST(-0.0D = 0.0D AS INT) AS negzero_eq,
+              CAST(CAST('-Infinity' AS DOUBLE) < -1.7976931348623157E308D AS INT) AS neginf_lt_min,
+              CAST(try_divide(1.0D, 0.0D) AS STRING) AS try_div_zero""",
+    """SELECT 1 AS nan_eq, 1 AS nan_gt_inf, '1.5' AS nanvl_v, 1 AS inf_sum_nan,
+              'Infinity' AS inf_str, 'Infinity' AS overflow_inf, 1 AS negzero_eq,
+              1 AS neginf_lt_min, CAST(NULL AS VARCHAR) AS try_div_zero""")
+
+  /** URL dissection (Spark's Hive-inherited parse_url; no reference input
+    * file covers it but the reference whitelists it in its expression
+    * converter): every component part of an authority-full URL plus
+    * url_encode's application/x-www-form-urlencoded space-as-plus
+    * convention and url_decode's %-unescaping. */
+  val parseUrl = QueryDef.sql(
+    "q_golden_parse_url",
+    """SELECT parse_url(u,'HOST') AS host, parse_url(u,'PATH') AS path,
+              parse_url(u,'QUERY') AS q_all, parse_url(u,'QUERY','b') AS qb,
+              parse_url(u,'REF') AS frag, parse_url(u,'PROTOCOL') AS proto,
+              parse_url(u,'USERINFO') AS userinfo,
+              url_encode('a b&c=d') AS enc, url_decode('a%20b%26c') AS dec_out
+       FROM (SELECT 'https://user@example.com:8443/p/q.html?a=1&b=two#frag' AS u)""",
+    """SELECT 'example.com' AS host, '/p/q.html' AS path, 'a=1&b=two' AS q_all,
+              'two' AS qb, 'frag' AS frag, 'https' AS proto, 'user' AS userinfo,
+              'a+b%26c%3Dd' AS enc, 'a b&c' AS dec_out""")
+
+  /** typeof() over the full type lattice + byte-vs-bit-vs-char lengths on
+    * multibyte input (reference: sql-tests/inputs/misc-functions.sql,
+    * string-functions.sql): pins the engine's type names — incl. the
+    * day-granularity ANSI interval literal and BD decimal suffix — and
+    * that octet_length counts UTF-8 bytes while char_length counts
+    * codepoints. */
+  val miscTypeof = QueryDef.sql(
+    "q_golden_misc_typeof",
+    """SELECT typeof(DATE '2020-01-01') AS t_date,
+              typeof(TIMESTAMP '2020-01-01 00:00:00') AS t_ts,
+              typeof(array(1,2)) AS t_arr, typeof(map('a',1)) AS t_map,
+              typeof(named_struct('a',1)) AS t_struct, typeof(X'00') AS t_bin,
+              typeof(INTERVAL 3 DAY) AS t_ival, typeof(1.5BD) AS t_bd,
+              octet_length('héllo') AS olen, bit_length('ab') AS blen,
+              char_length('héllo') AS clen""",
+    """SELECT 'date' AS t_date, 'timestamp' AS t_ts, 'array<int>' AS t_arr,
+              'map<string,int>' AS t_map, 'struct<a:int>' AS t_struct,
+              'binary' AS t_bin, 'interval day' AS t_ival,
+              'decimal(2,1)' AS t_bd, 6 AS olen, 16 AS blen, 5 AS clen""")
+
   val all: Seq[QueryDef] = Seq(
+    typedLiterals, fromCsv, charVarchar, timezoneConv, jsonPath, floatEdge,
+    parseUrl, miscTypeof,
     valuesTable, emptyJoin, cteNested, nvlCompat, intDivMod, dateFormat,
     arrayFlatten, compareCoercion,
     lateralAlias, sortLambda, mapTransform, arrayEdit, sqlPivot, elementAt,
