@@ -191,5 +191,88 @@ object Retrieval {
       ORDER BY score DESC, doc_id LIMIT 15"""
     })
 
-  val all: Seq[QueryDef] = Seq(invertedIndex, tfidf, bm25)
+  /** RAG chunk retrieval — the shape a retrieval-augmented pipeline runs at
+    * serving-index build time: slide a fixed token window over every doc
+    * (width 32, stride 16), score each CHUNK against the query with a
+    * quantized idf (w_t = N·1000 div (df_t+1), doc-granularity df — pure
+    * integers, so the whole chain is oracle-exact), keep each doc's best
+    * chunk (highest score, earliest start on ties), and return the top 10
+    * docs with their best chunk's offset.
+    *
+    * Scale shape: the chunk explode is width/stride ≈ 2× amplification of
+    * the corpus (never quadratic); scoring is a per-row codegen kernel
+    * ([[graft.functions.HashKernels]] count_in_set) over a broadcast
+    * 1-row weight table; best-chunk-per-doc is a WindowGroupLimit-prunable
+    * rank over doc_id (high-cardinality partition key, no skew); the final
+    * top-10 is a TakeOrderedAndProject. No full sort, one explode, one
+    * narrow shuffle on doc_id. */
+  val ragChunks = QueryDef(
+    "q_rag_chunk_retrieval",
+    (spark, dir) => {
+      val width = 32
+      val stride = 16
+      val qterms = Seq("spark", "join", "hash")
+      val docs = Tables(spark, dir, "documents")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val stats = toks.agg(count(lit(1)).as("n"))
+      val dfExprs = qterms.map(t =>
+        sum(array_contains(col("t"), t).cast("long")).as(s"df_$t"))
+      val dfs = toks.agg(dfExprs.head, dfExprs.tail: _*)
+      val weights = broadcast(stats.crossJoin(dfs))
+        .select(qterms.map(t =>
+          expr(s"(n * 1000) div (df_$t + 1)").as(s"w_$t")): _*)
+      val chunks = toks
+        .withColumn("start", explode(sequence(lit(0),
+          greatest(size(col("t")) - 1, lit(0)), lit(stride))))
+        .select(col("doc_id"), col("start"),
+          slice(col("t"), col("start") + 1, lit(width)).as("chunk"))
+      val scored = chunks.crossJoin(broadcast(weights))
+        .select(col("doc_id"), col("start"),
+          qterms.map(t =>
+            expr(s"count_in_set(chunk, '$t') * w_$t"): Column)
+            .reduce(_ + _).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("start"))
+      scored.filter(col("score") > 0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("start").as("best_start"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      stats AS (SELECT count(*) AS n FROM toks),
+      dfs AS (SELECT
+        CAST(sum(CASE WHEN list_contains(t,'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+        CAST(sum(CASE WHEN list_contains(t,'join') THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+        CAST(sum(CASE WHEN list_contains(t,'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df_hash
+        FROM toks),
+      wts AS (SELECT (n * 1000) // (df_spark + 1) AS w_spark,
+                     (n * 1000) // (df_join + 1) AS w_join,
+                     (n * 1000) // (df_hash + 1) AS w_hash
+              FROM stats, dfs),
+      chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0, greatest(len(t) - 1, 0), 16)) AS start,
+               t
+        FROM toks),
+      scored AS (
+        SELECT doc_id, start,
+               CAST(len(list_filter(list_slice(t, start + 1, start + 32),
+                                    x -> x = 'spark')) * w_spark +
+                    len(list_filter(list_slice(t, start + 1, start + 32),
+                                    x -> x = 'join')) * w_join +
+                    len(list_filter(list_slice(t, start + 1, start + 32),
+                                    x -> x = 'hash')) * w_hash AS BIGINT) AS score
+        FROM chunks, wts),
+      best AS (
+        SELECT doc_id, start AS best_start, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, start) AS rn
+        FROM scored WHERE score > 0)
+      SELECT doc_id, best_start, score
+      FROM best WHERE rn = 1
+      ORDER BY score DESC, doc_id LIMIT 10"""))
+
+  val all: Seq[QueryDef] = Seq(invertedIndex, tfidf, bm25, ragChunks)
 }

@@ -211,6 +211,154 @@ object Sampling {
          OR (source = 'src4' AND p < '2000')
       GROUP BY source"""))
 
+  /** Library API: exact per-group quota selection WITHOUT a per-group global
+    * sort — the 100 TB-safe form of "keep the `budget(g)` rows smallest by
+    * (md5(content), tiebreak) in each group" when group cardinality is low
+    * (languages, domains) and a `PARTITION BY group` window would funnel
+    * half the corpus through one task:
+    *
+    *   1. census: count rows per (group, first hash byte) — one partial-agg
+    *      shuffle of a ≤ |G|·256-row matrix, never the corpus;
+    *   2. running total over each group's 256 buckets (window over the tiny
+    *      census) locates the boundary bucket where the quota lands;
+    *   3. buckets strictly below the boundary pass whole (broadcast
+    *      semi-join, no ranking); ONLY the boundary bucket — ~1/256 of each
+    *      group — is ranked, partitioned by (group, bucket) so even that
+    *      residual ranking spreads across tasks.
+    *
+    * Because the bucket key is a prefix of the ordering key, full-buckets +
+    * ranked-boundary is exactly the budget smallest rows by (hash, tiebreak)
+    * — SamplingSpec pins equivalence with the window formulation. */
+  def quotaSelect(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String, contentCol: String, tiebreakCol: String,
+      budgets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withH = df
+      .withColumn("qs_h", md5(col(contentCol).cast("binary")))
+      .withColumn("qs_b", substring(col("qs_h"), 1, 2))
+    val census = withH.groupBy(col(groupCol), col("qs_b"))
+      .agg(count(lit(1)).as("qs_n"))
+    val wcum = Window.partitionBy(col(groupCol)).orderBy(col("qs_b"))
+    val info = census
+      .withColumn("qs_cum", sum(col("qs_n")).over(wcum))
+      .join(budgets, groupCol)
+      .withColumn("qs_prev", col("qs_cum") - col("qs_n"))
+      .filter(col("qs_prev") < col("budget")) // buckets past the quota vanish
+      .withColumn("qs_rem", // null = bucket passes whole, else rank limit
+        when(col("qs_cum") <= col("budget"), lit(null).cast("long"))
+          .otherwise(col("budget") - col("qs_prev")))
+      .select(col(groupCol), col("qs_b"), col("qs_rem"))
+    val joined = withH.join(broadcast(info), Seq(groupCol, "qs_b"))
+    val wb = Window.partitionBy(col(groupCol), col("qs_b"))
+      .orderBy(col("qs_h"), col(tiebreakCol))
+    val partial = joined.filter(col("qs_rem").isNotNull)
+      .withColumn("qs_rn", row_number().over(wb))
+      .filter(col("qs_rn") <= col("qs_rem"))
+      .drop("qs_rn")
+    joined.filter(col("qs_rem").isNull).unionByName(partial)
+      .drop("qs_h", "qs_b", "qs_rem")
+  }
+
+  /** UniMax-style temperature rebalancing (public recipe: budget each
+    * language by n^alpha rather than n, so head languages stop drowning the
+    * tail; alpha = 0.5 here). All-integer budget arithmetic keeps it
+    * oracle-exact: s_l = floor(sqrt(n_l)) (IEEE sqrt is correctly rounded,
+    * so the floor is engine-identical), T = 60% of the corpus, and
+    * b_l = min(n_l, T·s_l div Σs). Selection is [[quotaSelect]] — exact
+    * quotas with no per-language sort. Output: per-language audit row. */
+  val unimax = QueryDef(
+    "q_sample_unimax",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_orig"))
+        .withColumn("qs_s", floor(sqrt(col("n_orig"))).cast("long"))
+      val tot = counts.agg(sum(col("qs_s")).as("qs_ss"),
+        sum(col("n_orig")).as("qs_tot"))
+      val budgets = counts.crossJoin(broadcast(tot))
+        .withColumn("budget",
+          least(col("n_orig"), expr("((qs_tot * 6) div 10) * qs_s div qs_ss")))
+        .select(col("lang"), col("n_orig"), col("budget"))
+      quotaSelect(docs, "lang", "text", "doc_id",
+        budgets.select(col("lang"), col("budget")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " "))).cast("long").as("toks_kept"))
+        .join(budgets, "lang")
+        .select(col("lang"), col("n_orig"), col("budget"),
+          col("n_kept"), col("toks_kept"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, count(*) AS n_orig,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS s
+        FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(sum(s) AS BIGINT) AS ss,
+                     CAST(sum(n_orig) AS BIGINT) AS tot FROM counts),
+      budgets AS (
+        SELECT lang, n_orig,
+               least(n_orig, ((tot * 6) // 10) * s // ss) AS budget
+        FROM counts, tot),
+      ranked AS (
+        SELECT lang, text,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents)
+      SELECT b.lang, b.n_orig, b.budget,
+             count(*) AS n_kept,
+             CAST(sum(len(str_split(r.text, ' '))) AS BIGINT) AS toks_kept
+      FROM ranked r JOIN budgets b ON r.lang = b.lang AND r.rn <= b.budget
+      GROUP BY b.lang, b.n_orig, b.budget"""))
+
+  /** Deterministic epoch shuffle — the "randomize training order,
+    * reproducibly" op every run of every epoch needs: an epoch-salted
+    * content hash gives each doc a position key; the first two hex nibbles
+    * route it to a shard (pure map, ONE hash-partition shuffle, no global
+    * sort); within a shard docs are sequenced by the full hash. Shard
+    * count is a parameter — 8 here for the fixture; at 100 TB you set it
+    * to corpus/shard-file-size so the within-shard sorts stay bounded and
+    * parallel. The order-pin column (Σ position·doc_id per shard) makes
+    * the within-shard SEQUENCE part of the oracle contract, not just
+    * membership. */
+  val epochShards = QueryDef(
+    "q_sample_epoch_shards",
+    (spark, dir) => {
+      val nShards = 8
+      val hx = "0123456789abcdef"
+      val docs = Tables(spark, dir, "documents")
+      val withH = docs.select(col("doc_id"), col("text"),
+        md5(concat(lit("epoch1:"), col("text")).cast("binary")).as("h"))
+        .withColumn("shard",
+          expr(s"((instr('$hx', substring(h, 1, 1)) - 1) * 16 + " +
+            s"(instr('$hx', substring(h, 2, 1)) - 1)) % $nShards"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      withH.withColumn("pos", row_number().over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("toks"),
+          sum(col("pos") * col("doc_id")).as("order_pin"),
+          min(col("h")).as("h_first"), max(col("h")).as("h_last"))
+    },
+    Some("""
+      WITH withh AS (
+        SELECT doc_id, text, md5('epoch1:' || text) AS h FROM documents),
+      sharded AS (
+        SELECT doc_id, text, h,
+               ((strpos('0123456789abcdef', h[1:1]) - 1) * 16 +
+                (strpos('0123456789abcdef', h[2:2]) - 1)) % 8 AS shard
+        FROM withh),
+      pos AS (
+        SELECT shard, doc_id, text, h,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY h, doc_id) AS pos
+        FROM sharded)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS toks,
+             CAST(sum(pos * doc_id) AS BIGINT) AS order_pin,
+             min(h) AS h_first, max(h) AS h_last
+      FROM pos GROUP BY shard"""))
+
   val all: Seq[QueryDef] =
-    Seq(hashSplit, stratified, scrub, packSequences, mixWeights)
+    Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
+      unimax, epochShards)
 }

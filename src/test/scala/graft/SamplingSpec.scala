@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Invariants for the sampling/ordering operators (operators/Sampling.scala)
+  * that the DuckDB gate can't express directly: quotaSelect's bucketed
+  * selection must equal the window formulation row-for-row, and the epoch
+  * shuffle must be a partition (every doc in exactly one shard). */
+class SamplingSpec extends GraftSpecBase {
+  private val sp = TestSpark.spark
+  import sp.implicits._
+
+  private def docs = Tables(spark, sfDir, "documents")
+
+  test("quotaSelect equals the window formulation for mixed budgets") {
+    // budgets deliberately hit all regimes: 0 (drop group), tiny (boundary
+    // bucket is the FIRST bucket), mid, and > group size (keep everything)
+    val counts = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = counts.keys.toSeq.sorted
+    val budgetOf = langs.zipWithIndex.map { case (l, i) =>
+      l -> (i match {
+        case 0 => 0L
+        case 1 => 1L
+        case 2 => 7L
+        case 3 => counts(l) / 2
+        case _ => counts(l) + 100
+      })
+    }.toMap
+    val budgets = budgetOf.toSeq.toDF("lang", "budget")
+    val got = operators.Sampling.quotaSelect(docs, "lang", "text", "doc_id", budgets)
+      .select($"lang", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"text".cast("binary")), $"doc_id")
+    val want = docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(budgets), "lang")
+      .filter($"rn" <= $"budget")
+      .select($"lang", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    // exact quota: each group yields min(budget, group size) rows
+    val perLang = got.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for (l <- langs) {
+      val expect = math.min(budgetOf(l), counts(l))
+      assert(perLang.getOrElse(l, 0L) == expect,
+        s"lang $l: got ${perLang.getOrElse(l, 0L)}, want $expect")
+    }
+  }
+
+  test("epoch shards partition the corpus and sequence within shards") {
+    val out = SparkEntry.queries("q_sample_epoch_shards")(sp, sfDir).collect()
+    val total = docs.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total,
+      "every doc must land in exactly one shard")
+    assert(out.length == 8 && out.map(_.getAs[Int]("shard")).toSet.size == 8)
+    // deterministic: a second run reproduces order_pin (the sequence hash)
+    val again = SparkEntry.queries("q_sample_epoch_shards")(sp, sfDir)
+      .collect().map(r => r.getAs[Int]("shard") -> r.getAs[Long]("order_pin"))
+      .toMap
+    out.foreach(r =>
+      assert(again(r.getAs[Int]("shard")) == r.getAs[Long]("order_pin")))
+  }
+
+  test("rag chunk retrieval: one best chunk per doc, aligned to stride") {
+    val rows = SparkEntry.queries("q_rag_chunk_retrieval")(sp, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "one row per doc")
+    assert(rows.forall(_.getAs[Long]("score") > 0))
+    assert(rows.forall(_.getAs[Int]("best_start") % 16 == 0))
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.sameElements(scores.sortBy(-_: Long)), "sorted by score desc")
+  }
+}

@@ -65,6 +65,13 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_sim_topk_plan", "q_sim_quantized_topk",
 
       "q_text_tfidf", "q_text_bm25",                // 1-row corpus-stats
+      "q_rag_chunk_retrieval",                      //   frames (N, df_t, w_t)
+                                                    //   cross-joined onto the
+                                                    //   chunk stream
+      "q_sample_unimax",                            // 1-row (Σs, Σn) totals
+                                                    //   frame cross-joined
+                                                    //   onto the 5-row per-
+                                                    //   lang budget table
       "q_ds_weekday_pivot_ratio",                   //   frames cross-joined
       "q_golden_nth_value",                         //   4-row VALUES constant
       "q_ds_interval_range_window",                 // global RANGE window
