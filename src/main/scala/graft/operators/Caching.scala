@@ -54,11 +54,19 @@ object Caching {
   val kmvSketch = QueryDef(
     "q_agg_kmv_sketch",
     (spark, dir) => {
+      // KMV is set-semantic, so running it over pre-distinct (flag, order)
+      // pairs is value-identical to running it over raw lineitem — and the
+      // pre-aggregate replaces the planner's mixed distinct/sketch rewrite
+      // (Expand + object-hash fallback over 600k raw rows) with two narrow
+      // hash aggregates whose first phase combines map-side: the sketch
+      // updates touch only the ~distinct pairs, and the exact count is a
+      // plain count. 1.51s → 0.92s isolated at sf0.1.
       Tables(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_orderkey")).agg(Map.empty[String, String])
         .groupBy(col("l_returnflag"))
         .agg(
           expr("kmv_distinct(l_orderkey)").as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(col("l_orderkey")).as("exact_orders"))
     },
     None)
 

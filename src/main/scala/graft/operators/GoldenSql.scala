@@ -1543,9 +1543,64 @@ object GoldenSql {
               'binary' AS t_bin, 'interval day' AS t_ival,
               'decimal(2,1)' AS t_bd, 6 AS olen, 16 AS blen, 5 AS clen""")
 
+  /** COUNT-shape battery (reference: sql-tests/inputs/count.sql): count(*)
+    * vs count(1) vs count(col) vs count(expr) null-skipping, and the
+    * multi-argument count(DISTINCT a, b) which drops any row with a NULL in
+    * EITHER argument — DuckDB has no variadic count, so the oracle encodes
+    * that rule explicitly as a guarded tuple. */
+  val countEdge = QueryDef.sql(
+    "q_golden_count_edge",
+    """SELECT count(*) AS c_star, count(1) AS c_one, count(a) AS c_a,
+              count(DISTINCT a) AS cd_a, count(DISTINCT a, b) AS cd_ab,
+              count(a + b) AS c_expr, sum(CAST(a IS NULL AS INT)) AS n_null_a
+       FROM (VALUES (1, 10), (1, 20), (NULL, 10), (2, NULL), (NULL, NULL),
+                    (2, 10)) AS t(a, b)""",
+    """SELECT count(*) AS c_star, count(1) AS c_one, count(a) AS c_a,
+              count(DISTINCT a) AS cd_a,
+              count(DISTINCT CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                                  THEN (a, b) END) AS cd_ab,
+              count(a + b) AS c_expr,
+              CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_null_a
+       FROM (VALUES (1, 10), (1, 20), (NULL, 10), (2, NULL), (NULL, NULL),
+                    (2, 10)) AS t(a, b)""")
+
+  /** Complex-type comparison semantics (reference: sql-tests/inputs/
+    * comparator.sql, array.sql): arrays compare lexicographically with
+    * prefix-shorter-first, structs compare field-by-field in declaration
+    * order, and arrays are ORDER BY-able — the row_number pins the total
+    * order over heterogeneous-length arrays. */
+  val complexCompare = QueryDef.sql(
+    "q_golden_complex_compare",
+    """SELECT CAST(array(1,2) < array(1,3) AS INT) AS arr_lt,
+              CAST(array(1,2) < array(1,2,0) AS INT) AS arr_prefix_lt,
+              CAST(named_struct('a',1,'b',2) < named_struct('a',1,'b',3)
+                   AS INT) AS struct_lt,
+              CAST(array(1,2) = array(1,2) AS INT) AS arr_eq,
+              array_join(x, '|') AS xs, row_number() OVER (ORDER BY x) AS rn
+       FROM (VALUES (array(2,1)), (array(1,5)), (array(1,2,3))) AS t(x)""",
+    """SELECT CAST(list_value(1,2) < list_value(1,3) AS INT) AS arr_lt,
+              CAST(list_value(1,2) < list_value(1,2,0) AS INT) AS arr_prefix_lt,
+              CAST({'a':1,'b':2} < {'a':1,'b':3} AS INT) AS struct_lt,
+              CAST(list_value(1,2) = list_value(1,2) AS INT) AS arr_eq,
+              array_to_string(x, '|') AS xs, row_number() OVER (ORDER BY x) AS rn
+       FROM (VALUES (list_value(2,1)), (list_value(1,5)),
+                    (list_value(1,2,3))) AS t(x)""")
+
+  /** Column-resolution precedence (reference: sql-tests/inputs/
+    * columnresolution.sql): `a.b` where `a` is both a column (struct) and
+    * could be a table alias — the struct field wins when no table named `a`
+    * exists, and the qualified `t.a.b` path reaches the same field. */
+  val colResolution = QueryDef.sql(
+    "q_golden_col_resolution",
+    """SELECT t.a.b AS field_b, a.b AS bare_field
+       FROM (SELECT named_struct('b', 7) AS a) t""",
+    """SELECT t.a.b AS field_b, a.b AS bare_field
+       FROM (SELECT {'b': 7} AS a) t""")
+
   val all: Seq[QueryDef] = Seq(
     typedLiterals, fromCsv, charVarchar, timezoneConv, jsonPath, floatEdge,
-    parseUrl, miscTypeof,
+    parseUrl, miscTypeof, countEdge, complexCompare, colResolution,
     valuesTable, emptyJoin, cteNested, nvlCompat, intDivMod, dateFormat,
     arrayFlatten, compareCoercion,
     lateralAlias, sortLambda, mapTransform, arrayEdit, sqlPivot, elementAt,

@@ -49,6 +49,7 @@ class ScaleGuardSpec extends GraftSpecBase {
     val deliberate = Set(
       "q_join_cross", "q_join_theta_band",          // cartesian/theta coverage
       "q_window_ntile", "q_golden_null_order",      // global windows: bounded
+      "q_golden_complex_compare",                   //   3-row VALUES constant
       "q_golden_window_frames",                     //   5-row VALUES constant
       "q_golden_ignore_nulls",                      //   5-row VALUES constant
       "q_golden_empty_quantifiers",                 // NOT-IN over an
