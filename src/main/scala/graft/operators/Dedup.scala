@@ -111,9 +111,9 @@ object Dedup {
                      $duckShingles AS grams FROM documents) b
           ON a.blk = b.blk AND a.doc_id < b.doc_id)"""))
 
-  private val numHashes = 32
-  private val numBands = 8
-  private val rowsPerBand = numHashes / numBands
+  private[graft] val numHashes = 32
+  private[graft] val numBands = 8
+  private[graft] val rowsPerBand = numHashes / numBands
 
   /** doc_id + 32-long minhash signature per document. Persisted: the LSH
     * band self-join consumes it from both sides, and signature hashing is
@@ -171,8 +171,8 @@ object Dedup {
     * but with FIXED constants so an external engine can replay them).
     * Base hash = first 7 hex chars of md5 (28 bits), so a_i·x < 2^59
     * stays inside signed-64 arithmetic in every engine. */
-  private[operators] val arithP = 2147483647L
-  private[operators] val arithCoeffs: Seq[(Long, Long)] =
+  private[graft] val arithP = 2147483647L
+  private[graft] val arithCoeffs: Seq[(Long, Long)] =
     (0 until numHashes).map { i =>
       val a0 = (2654435761L * (2 * i + 1)) % arithP
       val a = if (a0 == 0L) 1L else a0
@@ -188,9 +188,13 @@ object Dedup {
     * signatures bit-for-bit and the whole near-dup output is
     * oracle-checkable. The xxhash kernel path above stays the single-pass
     * hot path; this is the auditable twin. */
-  def minHashNearDupArith(
-      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.25): org.apache.spark.sql.DataFrame = {
+  /** (doc_id, 32-long arithmetic minhash signature) per document — the
+    * shared signature stage of [[minHashNearDupArith]], also replayed
+    * row-at-a-time by the streaming ingest path
+    * (graft.streaming.DocIngest.signature; parity pinned in DocIngestSpec). */
+  private[graft] def minhashArithSigs(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc_id"),
         explode(shingles(toks(col(textCol)))).as("g"))
@@ -198,11 +202,16 @@ object Dedup {
         expr("cast(conv(substr(md5(g), 1, 7), 16, 10) as bigint)").as("h"))
     val minCols = arithCoeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % lit(arithP)).as(s"m$i") }
-    val sigs = grams.groupBy(col("doc_id"))
+    grams.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-      .persist()
+  }
+
+  def minHashNearDupArith(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.25): org.apache.spark.sql.DataFrame = {
+    val sigs = minhashArithSigs(docs, idCol, textCol).persist()
     val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until numBands).map(bnd => struct(
         (0 until rowsPerBand).map(j =>
