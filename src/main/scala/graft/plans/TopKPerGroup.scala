@@ -83,6 +83,23 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupAttrs) :: Nil
 
+  /** Operator-level SQLMetrics, same discipline as every built-in exec (and
+    * the reference's columnar operators, which all publish numOutputRows +
+    * processing times): visible in the SQL UI / explain("extended") and
+    * asserted in TopKPerGroupSpec. "evicted rows" counts heap displacements
+    * — input rows that entered a full heap and pushed the worst out — the
+    * direct measure of how much the bounded heap saved vs a full sort. */
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"),
+    "numGroups" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "group heaps"),
+    "numEvicted" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "evicted rows"))
+
   private val heapOrder: Seq[SortOrder] = Seq(
     SortOrder(valueAttr, Descending), SortOrder(tieAttr, Ascending))
 
@@ -91,6 +108,9 @@ case class TopKPerGroupExec(
     val groupExprs = groupAttrs
     val order = heapOrder
     val kk = k
+    val mOut = longMetric("numOutputRows")
+    val mGroups = longMetric("numGroups")
+    val mEvicted = longMetric("numEvicted")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       // generated ordering: negative compare(a, b) = a ranks BETTER
@@ -115,14 +135,17 @@ case class TopKPerGroupExec(
               "use the window row_number() formulation, which spills")
           pq = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
           heaps.put(key.copy(), pq)
+          mGroups += 1
         }
         if (pq.size() < kk) pq.add(row.copy())
         else if (better.compare(row, pq.peek()) < 0) {
           pq.poll(); pq.add(row.copy())
+          mEvicted += 1
         }
       }
       import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        .map { r => mOut += 1; r }
     }
   }
 

@@ -97,6 +97,36 @@ class TopKPerGroupSpec extends GraftSpecBase {
     } finally spark.conf.unset(key)
   }
 
+  test("publishes operator SQLMetrics: output rows, heaps, evictions") {
+    val k = 3
+    val df = ops.topKPerGroup(
+      orders, Seq("o_orderpriority"), "o_totalprice", "o_orderkey", k)
+    // collect() (not count()) so the metrics land on THIS queryExecution —
+    // count() builds its own plan instance around the frame
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // descend through AQE's QueryStageExec wrappers (Spark 4 puts the final
+    // stage in a ResultQueryStageExec whose plan SparkPlan.collect skips)
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.TopKPerGroupExec] = p match {
+      case t: graft.plans.TopKPerGroupExec => Seq(t)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(s.plan)
+      case other => other.children.flatMap(find)
+    }
+    val exec = find(plan).head
+    assert(exec.metrics("numOutputRows").value == n)
+    // 5 priorities; heaps may exceed 5 only if a group spans... it can't —
+    // the declared distribution co-locates each group, so one heap per group
+    assert(exec.metrics("numGroups").value == 5)
+    // 75k orders into 5 heaps of 3: the bounded heap must have displaced
+    // rows (this is the measure of work a full sort would have done)
+    assert(exec.metrics("numEvicted").value > 0)
+  }
+
   test("ambiguous duplicate column name is rejected, not silently bound") {
     val a = orders.select(col("o_orderkey"), col("o_totalprice"))
     val b = orders.select(col("o_orderkey").as("k2"),
