@@ -248,6 +248,11 @@ object Sampling {
         when(col("qs_cum") <= col("budget"), lit(null).cast("long"))
           .otherwise(col("budget") - col("qs_prev")))
       .select(col(groupCol), col("qs_b"), col("qs_rem"))
+      // ≤ |G|·256 rows, consumed by BOTH union branches below — without
+      // this the whole-corpus census aggregate re-runs per branch (plan-
+      // signature showed the census subtree twice). Released by the
+      // runner's per-query clearCache, like every persisted intermediate.
+      .persist()
     val joined = withH.join(broadcast(info), Seq(groupCol, "qs_b"))
     val wb = Window.partitionBy(col(groupCol), col("qs_b"))
       .orderBy(col("qs_h"), col(tiebreakCol))
@@ -279,6 +284,9 @@ object Sampling {
         .withColumn("budget",
           least(col("n_orig"), expr("((qs_tot * 6) div 10) * qs_s div qs_ss")))
         .select(col("lang"), col("n_orig"), col("budget"))
+        // |langs| rows, read by quotaSelect AND the final audit join —
+        // persisting saves a per-consumer corpus count aggregate
+        .persist()
       quotaSelect(docs, "lang", "text", "doc_id",
         budgets.select(col("lang"), col("budget")))
         .groupBy(col("lang"))

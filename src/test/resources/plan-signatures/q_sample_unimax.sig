@@ -1,0 +1,31 @@
+Project
+  BroadcastHashJoin [broadcast,plain]
+    Filter
+      InMemoryTableScan
+    HashAggregate
+      Exchange
+        HashAggregate
+          Union
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                Project
+                  Filter
+                    InMemoryTableScan
+            Project
+              Filter
+                Window
+                  Sort
+                    Exchange
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            InMemoryTableScan
+                          Project
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
