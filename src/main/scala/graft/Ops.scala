@@ -96,6 +96,24 @@ object ops {
   def scrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.operators.Sampling.scrubbed(text)
 
+  /** Exact per-group quota selection without per-group sorts (bucket census
+    * + boundary-bucket ranking) — see
+    * [[graft.operators.Sampling.quotaSelect]]. `budgets` carries
+    * (groupCol, budget). */
+  def quotaSelect(
+      df: DataFrame, groupCol: String, contentCol: String,
+      tiebreakCol: String, budgets: DataFrame): DataFrame =
+    graft.operators.Sampling.quotaSelect(
+      df, groupCol, contentCol, tiebreakCol, budgets)
+
+  /** Streaming near-dup flagging at ingest (LSH band buckets as keyed
+    * state) — see [[graft.streaming.DocIngest.nearDupMatches]]. */
+  def streamingNearDup(
+      docs: org.apache.spark.sql.Dataset[graft.streaming.DocIngest.DocIn],
+      threshold: Double = 0.25)
+      : org.apache.spark.sql.Dataset[graft.streaming.DocIngest.DupMatch] =
+    graft.streaming.DocIngest.nearDupMatches(docs, threshold)
+
   /** End-to-end document curation (gate → exact dedup → near-dup cluster
     * representatives) — see [[graft.operators.DocPipeline.curatedDocs]]. */
   def curatedDocs(

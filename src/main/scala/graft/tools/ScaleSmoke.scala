@@ -54,7 +54,13 @@ object ScaleSmoke {
     // makes nearly every span "repeated") and bloom-routed admission (the
     // bloom build is one pass, the residual anti-join is bounded by the
     // duplicate volume)
-    "q_dedup_repeated_spans", "q_dedup_admit_bloom")
+    "q_dedup_repeated_spans", "q_dedup_admit_bloom",
+    // round 6: quota selection must stay census+boundary-bounded (never a
+    // whole-group sort), epoch sharding is map + per-shard sort (linear),
+    // RAG chunking is a fixed ~2x explode + broadcast-scored scan, and the
+    // reformulated KMV sketch is two narrow partial aggregates
+    "q_sample_unimax", "q_sample_epoch_shards", "q_rag_chunk_retrieval",
+    "q_agg_kmv_sketch")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
