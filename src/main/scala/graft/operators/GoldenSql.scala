@@ -1598,9 +1598,55 @@ object GoldenSql {
     """SELECT t.a.b AS field_b, a.b AS bare_field
        FROM (SELECT {'b': 7} AS a) t""")
 
+  /** HAVING without GROUP BY (reference: sql-tests/inputs/postgreSQL/
+    * select_having.sql): the global aggregate still filters — one branch
+    * passes its predicate and emits the single row, the other eliminates
+    * it entirely. */
+  val havingNoGroupBy = QueryDef.sqlSame(
+    "q_golden_having_no_groupby",
+    """SELECT tag, CAST(s AS BIGINT) AS s FROM (
+         SELECT 'gt2' AS tag, sum(a) AS s FROM (VALUES (1),(2)) t(a)
+         HAVING sum(a) > 2
+         UNION ALL
+         SELECT 'gt10' AS tag, sum(a) AS s FROM (VALUES (1),(2)) t(a)
+         HAVING sum(a) > 10)""")
+
+  /** String→boolean cast token set + three-valued logic (reference:
+    * sql-tests/inputs/postgreSQL/boolean.sql): Spark accepts t/f, y/n,
+    * yes/no, 1/0, case-insensitively and TRIMMED — wider than DuckDB's
+    * set (which rejects yes/no/y and untrimmed input), so the oracle
+    * hardcodes Spark's documented acceptances; 'on'/'2' are null under
+    * try_cast in both. Numeric→boolean is nonzero-true. AND/OR null
+    * propagation (false AND null = false, true OR null = true) rides
+    * along portably. */
+  val boolCast = QueryDef.sql(
+    "q_golden_bool_cast",
+    """SELECT CAST(try_cast('t' AS BOOLEAN) AS INT) AS c_t,
+              CAST(try_cast('f' AS BOOLEAN) AS INT) AS c_f,
+              CAST(try_cast('yes' AS BOOLEAN) AS INT) AS c_yes,
+              CAST(try_cast('no' AS BOOLEAN) AS INT) AS c_no,
+              CAST(try_cast('y' AS BOOLEAN) AS INT) AS c_y,
+              CAST(try_cast('1' AS BOOLEAN) AS INT) AS c_1,
+              CAST(try_cast('0' AS BOOLEAN) AS INT) AS c_0,
+              CAST(try_cast('TRUE' AS BOOLEAN) AS INT) AS c_true_uc,
+              CAST(try_cast(' true ' AS BOOLEAN) AS INT) AS c_true_ws,
+              CAST(try_cast('2' AS BOOLEAN) AS INT) AS c_2,
+              CAST(try_cast('on' AS BOOLEAN) AS INT) AS c_on,
+              CAST(CAST(1 AS BOOLEAN) AS INT) AS c_int1,
+              CAST(CAST(-7 AS BOOLEAN) AS INT) AS c_intneg,
+              CAST(true AND NULL AS INT) AS and_null,
+              CAST(false AND NULL AS INT) AS false_and_null,
+              CAST(true OR NULL AS INT) AS true_or_null""",
+    """SELECT 1 AS c_t, 0 AS c_f, 1 AS c_yes, 0 AS c_no, 1 AS c_y,
+              1 AS c_1, 0 AS c_0, 1 AS c_true_uc, 1 AS c_true_ws,
+              CAST(NULL AS INT) AS c_2, CAST(NULL AS INT) AS c_on,
+              1 AS c_int1, 1 AS c_intneg, CAST(NULL AS INT) AS and_null,
+              0 AS false_and_null, 1 AS true_or_null""")
+
   val all: Seq[QueryDef] = Seq(
     typedLiterals, fromCsv, charVarchar, timezoneConv, jsonPath, floatEdge,
     parseUrl, miscTypeof, countEdge, complexCompare, colResolution,
+    havingNoGroupBy, boolCast,
     valuesTable, emptyJoin, cteNested, nvlCompat, intDivMod, dateFormat,
     arrayFlatten, compareCoercion,
     lateralAlias, sortLambda, mapTransform, arrayEdit, sqlPivot, elementAt,
