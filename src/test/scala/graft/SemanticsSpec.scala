@@ -75,4 +75,39 @@ class SemanticsSpec extends GraftSpecBase {
       .collect().map(r => (r.getStruct(0).getInt(0), r.getDouble(1))).toSeq
     assert(s == Seq((1, 5.0), (2, 4.0)))
   }
+
+  // ANSI error surface: the reference's golden files pin error OUTPUTS as
+  // well as results (sql-tests/results/ansi/*.sql.out). Registry queries
+  // must succeed, so the error-class contract is pinned here instead:
+  // each canonical misuse raises the documented condition, not a wrong
+  // answer and not some other error.
+  private def errorClassOf(sql: String): String = {
+    val e = intercept[Exception](spark.sql(sql).collect())
+    def cond(t: Throwable): Option[String] = t match {
+      case st: org.apache.spark.SparkThrowable
+          if st.getCondition != null => Some(st.getCondition)
+      case _ if t.getCause != null && (t.getCause ne t) => cond(t.getCause)
+      case _ => None
+    }
+    cond(e).getOrElse(fail(s"no error condition on ${e.getClass}: ${e.getMessage}"))
+  }
+
+  test("ANSI error classes: the canonical misuses raise their documented conditions") {
+    assert(errorClassOf("SELECT 1/0") == "DIVIDE_BY_ZERO")
+    assert(errorClassOf("SELECT CAST('x' AS INT)") == "CAST_INVALID_INPUT")
+    assert(errorClassOf("SELECT 2147483647 + 1") == "ARITHMETIC_OVERFLOW")
+    assert(errorClassOf("SELECT array(1,2)[5]") == "INVALID_ARRAY_INDEX")
+    assert(errorClassOf("SELECT element_at(array(1,2), 5)")
+      == "INVALID_ARRAY_INDEX_IN_ELEMENT_AT")
+    assert(errorClassOf("SELECT CAST(1e10 AS DECIMAL(5,2))")
+      .startsWith("NUMERIC_VALUE_OUT_OF_RANGE"))
+    assert(errorClassOf("SELECT to_timestamp('31/99/2015', 'dd/MM/yyyy')")
+      .startsWith("CANNOT_PARSE_TIMESTAMP"))
+    // and the try_-family siblings swallow exactly these into NULL
+    val r = spark.sql(
+      """SELECT try_divide(1, 0) a, try_cast('x' AS INT) b,
+                try_add(2147483647, 1) c,
+                try_element_at(array(1,2), 5) d""").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
 }
