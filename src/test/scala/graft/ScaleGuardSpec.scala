@@ -69,10 +69,9 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_rag_chunk_retrieval",                      //   frames (N, df_t, w_t)
                                                     //   cross-joined onto the
                                                     //   chunk stream
-      "q_sample_unimax",                            // 1-row (Σs, Σn) totals
-                                                    //   frame cross-joined
-                                                    //   onto the 5-row per-
-                                                    //   lang budget table
+      // (q_sample_unimax left this list when its census/budget frames were
+      // persisted — the planner now feeds both branches from the cached
+      // census instead of a 1-row stats cross-join)
       "q_ds_weekday_pivot_ratio",                   //   frames cross-joined
       "q_golden_nth_value",                         //   4-row VALUES constant
       "q_ds_interval_range_window",                 // global RANGE window
