@@ -250,6 +250,16 @@ object ops {
       idCol: String = "doc_id"): DataFrame =
     operators.TextAnalysis.gopherFlags(docs, textCol, idCol)
 
+  /** CCNet-style perplexity filter: per-document fluency scores under a
+    * per-language bigram LM (integer-bits surprise — deterministic across
+    * engines). Train on `modelDocs` (a curated reference corpus) or, by
+    * default, the scored corpus itself. */
+  def fluencyScores(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", idCol: String = "doc_id",
+      gateBits: Double = 6.0, modelDocs: DataFrame = null): DataFrame =
+    operators.LmScore.fluencyScores(docs, textCol, langCol, idCol,
+      gateBits, modelDocs)
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

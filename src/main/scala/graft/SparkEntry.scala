@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.Clustering.all ++
       operators.TextAnalysis.all ++
+      operators.LmScore.all ++
       operators.Retrieval.all ++
       operators.Mutations.all ++
       operators.DocPipeline.all ++

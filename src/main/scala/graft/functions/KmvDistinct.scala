@@ -87,20 +87,33 @@ final class KmvBuffer(val k: Int) {
 case class KmvDistinct(
     child: Expression,
     k: Int = 512,
+    det: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] {
 
-  override def prettyName: String = "kmv_distinct"
+  override def prettyName: String =
+    if (det) "kmv_distinct_det" else "kmv_distinct"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (det && child.dataType != org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName hashes the exact string bytes (oracle-replayable); " +
+          s"cast the column to string, got ${child.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(XxHash64Function.hash(v, child.dataType, 42L))
+    if (v != null) buf.add(
+      if (det) KmvCodec.md5Hash48(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      else XxHash64Function.hash(v, child.dataType, 42L))
     buf
   }
 
@@ -110,13 +123,16 @@ case class KmvDistinct(
   }
 
   override def eval(buf: KmvBuffer): Any = {
-    val (size, kth) = buf.sizeAndKth
-    if (size < k) size.toLong
+    if (det) KmvCodec.estimateDet(buf, k)
     else {
-      // unsigned position of the k-th minimum in [0, 2^64)
-      val u = if (kth >= 0) kth.toDouble
-              else kth.toDouble + 1.8446744073709552e19
-      math.round((k - 1).toDouble * 1.8446744073709552e19 / u)
+      val (size, kth) = buf.sizeAndKth
+      if (size < k) size.toLong
+      else {
+        // unsigned position of the k-th minimum in [0, 2^64)
+        val u = if (kth >= 0) kth.toDouble
+                else kth.toDouble + 1.8446744073709552e19
+        math.round((k - 1).toDouble * 1.8446744073709552e19 / u)
+      }
     }
   }
 
@@ -146,6 +162,35 @@ case class KmvDistinct(
 
 /** Shared KMV wire format + estimator (used by the three aggregate forms). */
 object KmvCodec {
+  /** DETERMINISTIC 48-bit hash: the integer value of the first 12 hex chars
+    * of md5 over the UTF-8 bytes — i.e. `conv(substr(md5(x),1,12),16,10)`,
+    * the same replayable construction as the md5-arithmetic MinHash/SimHash
+    * twins (operators/Dedup.scala), so ANY ANSI engine reproduces the sketch
+    * and its estimate bit-for-bit. 48 bits keeps `(k-1)·2^48` inside signed
+    * int64 for the integer-division estimator below (no floating point in
+    * the estimate path at all); hash collisions at 48 bits (~n²/2^49) are
+    * ~4 expected at 1.5M distinct and replay identically in the oracle. */
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Hash48(bytes: Array[Byte]): Long = {
+    val dig = md.get()
+    dig.reset()
+    val d = dig.digest(bytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** Estimate for the deterministic 48-bit hash domain: pure int64
+    * arithmetic, `(k-1)·2^48 div kth` (floor division, positives only) —
+    * replayed verbatim in DuckDB as `(k-1)*281474976710656 // kth`. */
+  def estimateDet(buf: KmvBuffer, k: Int): Long = {
+    val (size, kth) = buf.sizeAndKth
+    if (size < k) size.toLong
+    else ((k - 1).toLong << 48) / kth
+  }
   def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.keptCount)
     bb.putInt(buf.keptCount)
@@ -193,8 +238,11 @@ object KmvSetOps {
     java.lang.Long.compareUnsigned(a, b) < 0
 
   /** (jaccard, unionEstimate) from two serialized states (ascending
-    * unsigned hash arrays) under sketch size k. Both-empty → (0.0, 0). */
-  def mergeStats(l: Array[Byte], r: Array[Byte], k: Int): (Double, Long) = {
+    * unsigned hash arrays) under sketch size k. Both-empty → (0.0, 0).
+    * `det = true` switches the union estimator to the deterministic 48-bit
+    * integer-division form (states built by `kmv_state_det`). */
+  def mergeStats(l: Array[Byte], r: Array[Byte], k: Int,
+      det: Boolean = false): (Double, Long) = {
     val la = parse(l)
     val lb = parse(r)
     var i = 0; var j = 0; var taken = 0; var both = 0; var last = 0L
@@ -212,6 +260,7 @@ object KmvSetOps {
     val jac = both.toDouble / taken.toDouble
     val unionEst =
       if (taken < k) taken.toLong // both sketches exhausted: exact hash count
+      else if (det) ((k - 1).toLong << 48) / last
       else {
         val u = if (last >= 0) last.toDouble
                 else last.toDouble + 1.8446744073709552e19
@@ -255,13 +304,15 @@ case class KmvJaccard(left: Expression, right: Expression, k: Int = 512)
 
 /** kmv_intersect(stateA, stateB[, k]) — intersection-cardinality estimate
   * (jaccard x union estimate, rounded). */
-case class KmvIntersect(left: Expression, right: Expression, k: Int = 512)
+case class KmvIntersect(left: Expression, right: Expression, k: Int = 512,
+    det: Boolean = false)
   extends KmvBinarySetOp {
-  override def prettyName: String = "kmv_intersect"
+  override def prettyName: String =
+    if (det) "kmv_intersect_det" else "kmv_intersect"
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (jac, union) = KmvSetOps.mergeStats(l.asInstanceOf[Array[Byte]],
-      r.asInstanceOf[Array[Byte]], k)
+      r.asInstanceOf[Array[Byte]], k, det)
     math.round(jac * union.toDouble)
   }
   override protected def withNewChildrenInternal(
@@ -279,20 +330,32 @@ case class KmvIntersect(left: Expression, right: Expression, k: Int = 512)
 case class KmvState(
     child: Expression,
     k: Int = 512,
+    det: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] {
 
-  override def prettyName: String = "kmv_state"
+  override def prettyName: String = if (det) "kmv_state_det" else "kmv_state"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (det && child.dataType != org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName hashes the exact string bytes (oracle-replayable); " +
+          s"cast the column to string, got ${child.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(XxHash64Function.hash(v, child.dataType, 42L))
+    if (v != null) buf.add(
+      if (det) KmvCodec.md5Hash48(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      else XxHash64Function.hash(v, child.dataType, 42L))
     buf
   }
 
@@ -325,11 +388,13 @@ case class KmvMerge(
     child: Expression,
     k: Int = 512,
     asState: Boolean = false,
+    det: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] {
 
-  override def prettyName: String = if (asState) "kmv_merge_state" else "kmv_merge"
+  override def prettyName: String =
+    if (asState) "kmv_merge_state" else if (det) "kmv_merge_det" else "kmv_merge"
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType =
@@ -360,7 +425,9 @@ case class KmvMerge(
   }
 
   override def eval(buf: KmvBuffer): Any =
-    if (asState) KmvCodec.serialize(buf) else KmvCodec.estimate(buf, k)
+    if (asState) KmvCodec.serialize(buf)
+    else if (det) KmvCodec.estimateDet(buf, k)
+    else KmvCodec.estimate(buf, k)
 
   override def serialize(buf: KmvBuffer): Array[Byte] = KmvCodec.serialize(buf)
   override def deserialize(bytes: Array[Byte]): KmvBuffer =

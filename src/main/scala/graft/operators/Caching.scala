@@ -49,8 +49,11 @@ object Caching {
       FROM lineitem WHERE l_returnflag = 'R'
       GROUP BY l_linestatus"""))
 
-  /** KMV sketch vs exact distinct (approximate → rows-only for the driver;
-    * ±10% bound asserted in KmvSpec). */
+  /** KMV sketch vs exact distinct — DETERMINISTIC md5-derived 48-bit hash
+    * (`kmv_distinct_det`), so the sketch AND its integer-division estimate
+    * replay bit-for-bit in the DuckDB oracle (k smallest distinct hashes →
+    * `(k-1)·2^48 // kth`); the xxhash64 `kmv_distinct` kernel stays the
+    * library hot path (KmvSpec pins its ±10% bound + det/xx agreement). */
   val kmvSketch = QueryDef(
     "q_agg_kmv_sketch",
     (spark, dir) => {
@@ -65,10 +68,33 @@ object Caching {
         .groupBy(col("l_returnflag"), col("l_orderkey")).agg(Map.empty[String, String])
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("kmv_distinct(l_orderkey)").as("approx_orders"),
+          expr("kmv_distinct_det(cast(l_orderkey as string))")
+            .as("approx_orders"),
           count(col("l_orderkey")).as("exact_orders"))
     },
-    None)
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM lineitem),
+      r AS (
+        SELECT flag, h,
+               row_number() OVER (PARTITION BY flag ORDER BY h) AS rk,
+               count(*) OVER (PARTITION BY flag) AS nh
+        FROM h),
+      est AS (
+        SELECT flag,
+               CASE WHEN max(nh) < 512 THEN max(nh)
+                    ELSE (511 * 281474976710656) //
+                         max(CASE WHEN rk = 512 THEN h END)
+               END AS approx_orders
+        FROM r GROUP BY flag),
+      ex AS (
+        SELECT l_returnflag AS flag,
+               count(DISTINCT l_orderkey) AS exact_orders
+        FROM lineitem GROUP BY 1)
+      SELECT ex.flag AS l_returnflag, est.approx_orders, ex.exact_orders
+      FROM est JOIN ex USING (flag)"""))
 
   /** Built-in HLL++ sketch (approx_count_distinct) beside the exact count —
     * approximate → rows-only driver check; the ±5% bound and determinism are

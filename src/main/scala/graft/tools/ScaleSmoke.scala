@@ -60,7 +60,12 @@ object ScaleSmoke {
     // RAG chunking is a fixed ~2x explode + broadcast-scored scan, and the
     // reformulated KMV sketch is two narrow partial aggregates
     "q_sample_unimax", "q_sample_epoch_shards", "q_rag_chunk_retrieval",
-    "q_agg_kmv_sketch")
+    "q_agg_kmv_sketch",
+    // round 6b: bigram-LM fluency scoring — model aggregate is
+    // vocab-bounded and the scoring join is keyed on (lang, w1, w2), so
+    // wall time must track the corpus linearly even at 100x duplication
+    // (duplicated docs only deepen counts, never widen the model)
+    "q_text_lm_fluency")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -23,6 +23,47 @@ class KmvSpec extends GraftSpecBase {
     assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
   }
 
+  test("kmv_distinct_det: exact below k, within 10% above, agrees with xx") {
+    // below k the det sketch IS the distinct hash set → exact
+    val s = Tables(spark, sfDir, "supplier")
+      .agg(expr("kmv_distinct_det(cast(s_suppkey as string))").as("a"),
+        countDistinct(col("s_suppkey")).as("e")).head
+    assert(s.getLong(0) == s.getLong(1), "below k the det sketch is exact")
+    // above k: ±10% of exact, and within 10% of the xxhash sketch (both
+    // estimate the same cardinality from independent hash families)
+    val r = Tables(spark, sfDir, "lineitem")
+      .agg(expr("kmv_distinct_det(cast(l_orderkey as string))").as("d"),
+        expr("kmv_distinct(l_orderkey)").as("x"),
+        countDistinct(col("l_orderkey")).as("e")).head
+    val (d, x, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble,
+      r.getLong(2).toDouble)
+    assert(e > 512, "fixture must exceed k for this test to bite")
+    assert(math.abs(d - e) / e < 0.10, s"det $d vs exact $e")
+    assert(math.abs(d - x) / e < 0.10, s"det $d vs xx $x")
+  }
+
+  test("kmv_distinct_det rejects a non-string child at analysis") {
+    val ex = intercept[Exception] {
+      Tables(spark, sfDir, "supplier")
+        .agg(expr("kmv_distinct_det(s_suppkey)")).head
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"), ex.getMessage)
+  }
+
+  test("det materialized states merge losslessly (two-level == direct)") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(expr("kmv_distinct_det(cast(l_partkey as string))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = li
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")))
+      .agg(expr("kmv_state_det(cast(l_partkey as string))").as("st"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("kmv_merge_det(st)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == rolled, s"direct $direct vs rolled $rolled")
+  }
+
   test("approx_count_distinct (HLL++) within 5% and deterministic") {
     val run = () => SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -46,24 +46,20 @@ class RegistrySpec extends GraftSpecBase {
 
   test("oracle coverage: every SQL-expressible query carries an oracle") {
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    // only hash-based (engine-specific xxhash64) sketches are exempt, each
-    // with an oracle-checked exact twin or a bound/recall spec:
-    // q_profile_lineitem -> q_profile_lineitem_exact,
-    // q_text_freq_tokens -> q_text_freq_tokens_exact (round 5),
-    // the cardinality/quantile sketches -> KmvSpec/KllSpec
-    // (q_docs_pipeline and q_agg_approx_percentile gained oracles in r5;
-    // minhash/simhash switched to deterministic md5-arithmetic signatures
-    // in r6 and are now DuckDB-oracle-checked end to end)
+    // only inherently randomized / engine-internal sketches are exempt, each
+    // with an oracle-checked exact twin or a bound spec:
+    // q_agg_approx_distinct  — Spark's built-in HLL++ (engine-internal
+    //                          binary registers; ±5% + determinism in KmvSpec)
+    // q_agg_kll_quantile     — KLL compaction state (rank-error bound KllSpec)
+    // q_text_freq_tokens     — Space-Saving counters; exact twin
+    //                          q_text_freq_tokens_exact is oracle-checked
+    // (the KMV family — q_agg_kmv_sketch, q_profile_lineitem,
+    // q_profile_sketch_rollup, q_text_kmv_overlap — switched to the
+    // deterministic md5-derived 48-bit hash in r6 and is now
+    // DuckDB-oracle-checked end to end, estimates included)
     assert(noOracle.toSet ==
-      Set("q_agg_kmv_sketch",
-        "q_agg_approx_distinct", "q_agg_kll_quantile",
-        "q_profile_lineitem", "q_text_freq_tokens",
-        // r5: materialized sketch-state rollup — lossless two-level merge
-        // pinned in KmvSpec against the direct estimate
-        "q_profile_sketch_rollup",
-        // r5b: pairwise KMV set algebra — exact twin
-        // q_text_kmv_overlap_exact is oracle-checked, bounds in KmvSetSpec
-        "q_text_kmv_overlap"),
+      Set("q_agg_approx_distinct", "q_agg_kll_quantile",
+        "q_text_freq_tokens"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
