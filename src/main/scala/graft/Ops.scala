@@ -260,6 +260,12 @@ object ops {
     operators.LmScore.fluencyScores(docs, textCol, langCol, idCol,
       gateBits, modelDocs)
 
+  /** Multinomial Naive Bayes classifier with integer-bits log-probs
+    * (deterministic; classifier-based quality/language filtering). */
+  def nbClassify(docs: DataFrame, textCol: String = "text",
+      labelCol: String = "lang", idCol: String = "doc_id"): DataFrame =
+    operators.LmScore.nbClassify(docs, textCol, labelCol, idCol)
+
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,

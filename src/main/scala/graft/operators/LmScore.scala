@@ -164,5 +164,94 @@ object LmScore {
                AS corpus_avg_bits
       FROM g GROUP BY lang, fluent"""))
 
-  val all: Seq[QueryDef] = Seq(lmFluency, lmFluencyBuckets)
+  /** Library API: multinomial Naive Bayes text classifier with integer-bits
+    * log-probabilities — the "learned-filter inference" stage (GPT-3 /
+    * LLaMA-style classifier-based quality filtering runs exactly this shape:
+    * a linear model over token counts, applied corpus-wide). Trains on
+    * `labelCol` of the corpus itself and returns per-document predictions.
+    *
+    * Quantization: score(doc, c) = [bitlen(N) − bitlen(N_c)] + Σ_tokens
+    * [bitlen(n_c) − bitlen(max(n_cw, 1))] — integer ⌊log2⌋ arithmetic on
+    * exact counts (unseen tokens count as 1), so predictions are
+    * deterministic and replayable in any engine; argmin breaks ties on the
+    * class name. Scale shape: one (class, token) count aggregate
+    * (vocab-bounded), scoring joins the exploded tokens × |classes| against
+    * it on the same key (a constant |classes| fan-out — the cost any NB
+    * scorer pays), and the argmin is a 1-row-per-(doc, class) min-struct
+    * aggregate, never a corpus sort. */
+  def nbClassify(docs: DataFrame, textCol: String = "text",
+      labelCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), col(labelCol).as("label"),
+      explode(split(col(textCol), " ")).as("w"))
+    val counts = toks.groupBy(col("label").as("c"), col("w"))
+      .agg(count(lit(1)).as("n_cw"))
+    val totals = counts.groupBy(col("c")).agg(sum(col("n_cw")).as("n_c"))
+    val priors = docs.groupBy(col(labelCol).as("c"))
+      .agg(count(lit(1)).as("n_docs_c"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs_all"))
+    val classes = totals.join(priors, "c").crossJoin(broadcast(nDocs))
+      .select(col("c"), col("n_c"), (length(bin(col("n_docs_all"))) -
+        length(bin(col("n_docs_c")))).cast("long").as("prior_bits"))
+    toks.crossJoin(broadcast(classes))
+      .join(counts, Seq("c", "w"), "left")
+      .withColumn("bits", (length(bin(col("n_c"))) -
+        length(bin(coalesce(col("n_cw"), lit(1L))))).cast("long"))
+      .groupBy(col(idCol), col("label"), col("c"), col("prior_bits"))
+      .agg(sum(col("bits")).as("tok_bits"))
+      .select(col(idCol), col("label"),
+        struct((col("prior_bits") + col("tok_bits")).as("score"),
+          col("c")).as("sc"))
+      .groupBy(col(idCol), col("label"))
+      .agg(min(col("sc")).as("best"))
+      .select(col(idCol), col("label"), col("best.c").as("pred"),
+        col("best.score").as("score"))
+  }
+
+  /** NB language identification over the documents fixture, reduced to the
+    * confusion matrix + per-cell doc counts (the report a router/filter
+    * publishes). The stored `lang` is the weak label AND the truth here;
+    * tokens separate the languages, so the matrix is near-diagonal —
+    * pinned exactly by the oracle, which replays the integer-bits NB end
+    * to end. */
+  val nbLangConfusion = QueryDef(
+    "q_text_nb_lang",
+    (spark, dir) => {
+      nbClassify(Tables(spark, dir, "documents"))
+        .groupBy(col("label").as("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang AS label, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      counts AS (
+        SELECT label AS c, w, count(*) AS n_cw FROM toks GROUP BY 1, 2),
+      totals AS (
+        SELECT c, CAST(sum(n_cw) AS BIGINT) AS n_c FROM counts GROUP BY 1),
+      priors AS (
+        SELECT lang AS c, count(*) AS n_docs_c FROM documents GROUP BY 1),
+      classes AS (
+        SELECT t.c, t.n_c,
+               CAST(length(bin((SELECT count(*) FROM documents))) -
+                    length(bin(p.n_docs_c)) AS BIGINT) AS prior_bits
+        FROM totals t JOIN priors p ON t.c = p.c),
+      scored AS (
+        SELECT tk.doc_id, tk.label, cl.c, cl.prior_bits,
+               CAST(sum(length(bin(cl.n_c)) -
+                        length(bin(coalesce(cn.n_cw, 1)))) AS BIGINT)
+                 AS tok_bits
+        FROM toks tk
+        CROSS JOIN classes cl
+        LEFT JOIN counts cn ON cn.c = cl.c AND cn.w = tk.w
+        GROUP BY tk.doc_id, tk.label, cl.c, cl.prior_bits),
+      best AS (
+        SELECT doc_id, label, c AS pred,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY prior_bits + tok_bits, c) AS rk
+        FROM scored)
+      SELECT label AS lang, pred, count(*) AS n_docs
+      FROM best WHERE rk = 1
+      GROUP BY 1, 2"""))
+
+  val all: Seq[QueryDef] = Seq(lmFluency, lmFluencyBuckets, nbLangConfusion)
 }

@@ -69,6 +69,13 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_rag_chunk_retrieval",                      //   frames (N, df_t, w_t)
                                                     //   cross-joined onto the
                                                     //   chunk stream
+      "q_text_nb_lang",                             // broadcast |classes|-row
+                                                    //   model table (5 langs)
+                                                    //   fanned onto the token
+                                                    //   stream — the constant
+                                                    //   factor every NB
+                                                    //   scorer pays, plus a
+                                                    //   1-row N_docs frame
       // (q_sample_unimax left this list when its census/budget frames were
       // persisted — the planner now feeds both branches from the cached
       // census instead of a 1-row stats cross-join)
