@@ -1643,7 +1643,104 @@ object GoldenSql {
               1 AS c_int1, 1 AS c_intneg, CAST(NULL AS INT) AS and_null,
               0 AS false_and_null, 1 AS true_or_null""")
 
+  /** Named WINDOW clause (reference: sql-tests/inputs/window.sql +
+    * postgreSQL/window_part1.sql): one ordered window shared by an
+    * aggregate and a rank function, plus an unordered whole-partition
+    * window — the planner must fold both references of `w` into ONE
+    * window operator (two would double the sort). */
+  val namedWindow = QueryDef.sqlSame(
+    "q_golden_named_window",
+    """SELECT g, x,
+              CAST(sum(x) OVER w AS BIGINT) AS running,
+              CAST(rank() OVER w AS BIGINT) AS rk,
+              CAST(count(*) OVER w2 AS BIGINT) AS n_part
+       FROM (VALUES ('a', 1), ('a', 2), ('a', 3), ('b', 10), ('b', 20))
+            t(g, x)
+       WINDOW w AS (PARTITION BY g ORDER BY x),
+              w2 AS (PARTITION BY g)""")
+
+  /** OUTER generators (reference: sql-tests/inputs/table-valued-functions
+    * .sql LATERAL VIEW OUTER): explode_outer/posexplode_outer must PRESERVE
+    * the parent row with NULL output for empty and NULL arrays — the
+    * "don't drop documents with no extracted spans" semantics. DuckDB has
+    * no outer unnest, so the oracle substitutes a [NULL] sentinel list. */
+  val outerGenerators = QueryDef.sql(
+    "q_golden_outer_generators",
+    """SELECT id, w, p, pw FROM (
+         SELECT id, explode_outer(l) AS w, NULL AS p, NULL AS pw
+         FROM (VALUES (1, array('a','b')),
+                      (2, CAST(array() AS ARRAY<STRING>)),
+                      (3, CAST(NULL AS ARRAY<STRING>))) t(id, l)
+         UNION ALL
+         SELECT id, NULL AS w, CAST(pe.p AS BIGINT) AS p, pe.pw
+         FROM (VALUES (1, array('a','b')),
+                      (2, CAST(array() AS ARRAY<STRING>)),
+                      (3, CAST(NULL AS ARRAY<STRING>))) t(id, l)
+         LATERAL VIEW OUTER posexplode(l) pe AS p, pw)""",
+    """SELECT id, w, p, pw FROM (
+         SELECT id, u.w AS w, NULL AS p, NULL AS pw
+         FROM (VALUES (1, ['a','b']), (2, []), (3, NULL)) t(id, l),
+              unnest(CASE WHEN l IS NULL OR len(l) = 0 THEN [NULL]
+                          ELSE l END) AS u(w)
+         UNION ALL
+         SELECT id, NULL AS w, s.e['p'] AS p, s.e['pw'] AS pw
+         FROM (VALUES (1, ['a','b']), (2, []), (3, NULL)) t(id, l),
+              unnest(CASE WHEN l IS NULL OR len(l) = 0
+                          THEN [{'p': CAST(NULL AS BIGINT),
+                                 'pw': CAST(NULL AS VARCHAR)}]
+                          ELSE list_transform(range(1, len(l) + 1),
+                                 i -> {'p': CAST(i - 1 AS BIGINT),
+                                       'pw': l[i]}) END) AS s(e))""")
+
+  /** Operator precedence battery (reference: sql-tests/inputs/operators
+    * .sql): * / % over + -, unary minus binding tighter than %, left
+    * associativity of -, NOT over AND over OR, and || chaining. All
+    * integer results cast to BIGINT so both engines agree on width. */
+  val opPrecedence = QueryDef.sqlSame(
+    "q_golden_op_precedence",
+    """SELECT CAST(2 + 3 * 4 AS BIGINT)   AS mul_first,
+              CAST((2 + 3) * 4 AS BIGINT) AS paren_first,
+              CAST(10 - 4 - 3 AS BIGINT)  AS left_assoc,
+              CAST(2 * 7 % 4 AS BIGINT)   AS mulmod_ltr,
+              CAST(-2 % 3 AS BIGINT)      AS unary_mod,
+              CAST(-2 * 3 AS BIGINT)      AS unary_mul,
+              (NOT TRUE) AND FALSE        AS not_and,
+              NOT (TRUE AND FALSE)        AS not_paren,
+              TRUE OR FALSE AND FALSE     AS and_first,
+              (TRUE OR FALSE) AND FALSE   AS or_paren,
+              'a' || 'b' || 'c'           AS concat_chain""")
+
+  /** grouping_id under CUBE with a HAVING gate on it (reference:
+    * sql-tests/inputs/group-analytics.sql + grouping_set.sql): keep only
+    * the base cells (gid 0) and the grand total (gid 3) — the "detail +
+    * total, no marginals" report. Spark spells it grouping_id(a, b);
+    * DuckDB GROUPING(a, b); the bit numbering (first arg = MSB) must
+    * agree. */
+  val groupingIdFilter = QueryDef.sql(
+    "q_golden_grouping_id",
+    """SELECT a, b, CAST(grouping_id(a, b) AS BIGINT) AS gid,
+              CAST(sum(x) AS BIGINT) AS s
+       FROM (VALUES ('p','q',1), ('p','r',2), ('z','q',4)) t(a, b, x)
+       GROUP BY CUBE(a, b)
+       HAVING grouping_id(a, b) IN (0, 3)""",
+    """SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS gid,
+              CAST(sum(x) AS BIGINT) AS s
+       FROM (VALUES ('p','q',1), ('p','r',2), ('z','q',4)) t(a, b, x)
+       GROUP BY CUBE(a, b)
+       HAVING GROUPING(a, b) IN (0, 3)""")
+
+  /** Nested bracketed comments (reference: sql-tests/inputs/comments.sql):
+    * SQL-2016 bracketed comments NEST — the lexer must track depth, not
+    * stop at the first `*``/`. Rides with a line comment to pin both
+    * styles in one statement. */
+  val nestedComments = QueryDef.sqlSame(
+    "q_golden_nested_comments",
+    """SELECT /* outer /* nested */ still outer */ 1 AS a, -- line tail
+              2 AS b""")
+
   val all: Seq[QueryDef] = Seq(
+    namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
+    nestedComments,
     typedLiterals, fromCsv, charVarchar, timezoneConv, jsonPath, floatEdge,
     parseUrl, miscTypeof, countEdge, complexCompare, colResolution,
     havingNoGroupBy, boolCast,
