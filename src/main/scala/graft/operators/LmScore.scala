@@ -58,8 +58,14 @@ object LmScore {
     val p = pairs(docs, textCol, langCol, idCol)
     val mp = if (modelDocs == null) p
              else pairs(modelDocs, textCol, langCol, idCol)
+    // vocab-bounded (never corpus-sized), consumed twice — once as the
+    // bigram table, once reduced to left-context totals. persist() so the
+    // corpus explode+count runs ONCE; the corpus-sized pair stream itself
+    // is deliberately re-derived, not cached (at 100 TB re-exploding is
+    // cheaper than materializing tokens² of intermediate)
     val big = mp.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
+      .persist()
     val uni = big.groupBy(col("lang"), col("w1"))
       .agg(sum(col("n12")).as("n1"))
     val model = big.join(uni, Seq("lang", "w1"))
@@ -183,8 +189,11 @@ object LmScore {
       labelCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol), col(labelCol).as("label"),
       explode(split(col(textCol), " ")).as("w"))
+    // vocab-bounded model table, consumed twice (class totals + the
+    // scoring join) — persist so the corpus explode+count runs once
     val counts = toks.groupBy(col("label").as("c"), col("w"))
       .agg(count(lit(1)).as("n_cw"))
+      .persist()
     val totals = counts.groupBy(col("c")).agg(sum(col("n_cw")).as("n_c"))
     val priors = docs.groupBy(col(labelCol).as("c"))
       .agg(count(lit(1)).as("n_docs_c"))
