@@ -1738,9 +1738,120 @@ object GoldenSql {
     """SELECT /* outer /* nested */ still outer */ 1 AS a, -- line tail
               2 AS b""")
 
+  /** Date/timestamp series generation (reference: sql-tests/inputs/
+    * datetime.sql sequence rows): inclusive endpoints in BOTH engines
+    * (Spark `sequence`, DuckDB `generate_series` — DuckDB `range` is
+    * end-EXCLUSIVE, a real porting trap), ascending day/week steps,
+    * descending with a negative step, and a month step anchored mid-month.
+    * Month steps from day 29–31 are deliberately absent: Spark computes
+    * start + i·interval (no clamp propagation) while DuckDB adds to the
+    * previous element (clamp propagates), so engines legitimately diverge
+    * there — the portable subset is pinned, the trap documented. */
+  val dateSequence = QueryDef.sql(
+    "q_golden_date_sequence",
+    """SELECT CAST(d3 AS STRING) AS d3, CAST(wk AS STRING) AS wk,
+              CAST(dn AS STRING) AS dn, CAST(mo AS STRING) AS mo FROM (
+         SELECT explode(sequence(DATE'2024-02-26', DATE'2024-03-04',
+                                 INTERVAL '3' DAY)) AS d3,
+                NULL AS wk, NULL AS dn, NULL AS mo
+         UNION ALL
+         SELECT NULL, explode(sequence(DATE'2024-01-01', DATE'2024-01-22',
+                                       INTERVAL '7' DAY)), NULL, NULL
+         UNION ALL
+         SELECT NULL, NULL,
+                explode(sequence(DATE'2024-01-10', DATE'2024-01-04',
+                                 INTERVAL '-2' DAY)), NULL
+         UNION ALL
+         SELECT NULL, NULL, NULL,
+                explode(sequence(DATE'2023-11-15', DATE'2024-02-15',
+                                 INTERVAL '1' MONTH)))""",
+    """SELECT d3, wk, dn, mo FROM (
+         SELECT CAST(CAST(unnest(generate_series(DATE '2024-02-26',
+                  DATE '2024-03-04', INTERVAL '3' DAY)) AS DATE)
+                  AS VARCHAR) AS d3,
+                CAST(NULL AS VARCHAR) AS wk, CAST(NULL AS VARCHAR) AS dn,
+                CAST(NULL AS VARCHAR) AS mo
+         UNION ALL
+         SELECT NULL, CAST(CAST(unnest(generate_series(DATE '2024-01-01',
+                  DATE '2024-01-22', INTERVAL '7' DAY)) AS DATE)
+                  AS VARCHAR), NULL, NULL
+         UNION ALL
+         SELECT NULL, NULL,
+                CAST(CAST(unnest(generate_series(DATE '2024-01-10',
+                  DATE '2024-01-04', INTERVAL '-2' DAY)) AS DATE)
+                  AS VARCHAR), NULL
+         UNION ALL
+         SELECT NULL, NULL, NULL,
+                CAST(CAST(unnest(generate_series(DATE '2023-11-15',
+                  DATE '2024-02-15', INTERVAL '1' MONTH)) AS DATE)
+                  AS VARCHAR))""")
+
+  /** IS [NOT] DISTINCT FROM — the SQL-standard spelling of null-safe
+    * comparison (reference: sql-tests/inputs/predicate-functions.sql;
+    * Spark also spells it `<=>`, pinned in q_expr_nullsafe): NULL vs NULL
+    * is NOT DISTINCT, NULL vs value IS DISTINCT, and the predicate never
+    * returns NULL — usable in WHERE without tri-state surprises. */
+  val distinctFrom = QueryDef.sqlSame(
+    "q_golden_distinct_from",
+    """SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+              a IS DISTINCT FROM b     AS dist,
+              a IS NOT DISTINCT FROM b AS same,
+              (a IS DISTINCT FROM b) IS NULL AS never_null
+       FROM (VALUES (1, 1), (1, 2), (1, NULL), (NULL, 1), (NULL, NULL))
+            t(a, b)""")
+
+  /** Aggregates over EMPTY input (reference: sql-tests/inputs/group-by.sql
+    * empty-table rows): a GLOBAL aggregate over zero rows returns ONE row
+    * (count 0, sum/min/avg/bool_and NULL); the same aggregate WITH a group
+    * key returns ZERO rows. Both directions pinned in one result. */
+  val aggEmptyInput = QueryDef.sqlSame(
+    "q_golden_agg_empty_input",
+    """SELECT shape, n, s, mn, av, ba FROM (
+         SELECT 'global' AS shape, count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS s, CAST(min(x) AS BIGINT) AS mn,
+                avg(x) AS av, CAST(bool_and(x > 0) AS INT) AS ba
+         FROM (SELECT 1 AS x WHERE 1 = 0)
+         UNION ALL
+         SELECT 'grouped', count(*), CAST(sum(x) AS BIGINT),
+                CAST(min(x) AS BIGINT), avg(x), CAST(bool_and(x > 0) AS INT)
+         FROM (SELECT 1 AS g, 1 AS x WHERE 1 = 0)
+         GROUP BY g)""")
+
+  /** String battery 2 (reference: sql-tests/inputs/string-functions.sql):
+    * repeat (0 and negative counts → empty), reverse, left/right with
+    * overshoot and negative counts, position (Spark instr / DuckDB
+    * strpos, 1-based, 0 when absent), startswith/endswith/contains
+    * (different spellings), and substring with negative length. */
+  val stringFns2 = QueryDef.sql(
+    "q_golden_string_fns2",
+    """SELECT repeat('ab', 3)        AS rep3,
+              repeat('ab', 0)        AS rep0,
+              reverse('graft')       AS rev,
+              left('spark', 3)       AS l3,
+              left('spark', 9)       AS l_over,
+              right('spark', 2)      AS r2,
+              CAST(instr('banana', 'na') AS BIGINT)  AS pos_hit,
+              CAST(instr('banana', 'xy') AS BIGINT)  AS pos_miss,
+              startswith('graft', 'gr') AS sw,
+              endswith('graft', 'ft')   AS ew,
+              contains('graft', 'raf')  AS ct,
+              substring('abcdef', 3)    AS sub_tail""",
+    """SELECT repeat('ab', 3)        AS rep3,
+              repeat('ab', 0)        AS rep0,
+              reverse('graft')       AS rev,
+              left('spark', 3)       AS l3,
+              left('spark', 9)       AS l_over,
+              right('spark', 2)      AS r2,
+              CAST(strpos('banana', 'na') AS BIGINT) AS pos_hit,
+              CAST(strpos('banana', 'xy') AS BIGINT) AS pos_miss,
+              starts_with('graft', 'gr') AS sw,
+              ends_with('graft', 'ft')   AS ew,
+              contains('graft', 'raf')   AS ct,
+              substring('abcdef', 3)     AS sub_tail""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
-    nestedComments,
+    nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
     typedLiterals, fromCsv, charVarchar, timezoneConv, jsonPath, floatEdge,
     parseUrl, miscTypeof, countEdge, complexCompare, colResolution,
     havingNoGroupBy, boolCast,
