@@ -260,6 +260,14 @@ object ops {
     operators.LmScore.fluencyScores(docs, textCol, langCol, idCol,
       gateBits, modelDocs)
 
+  /** Semantic decontamination: flag eval items whose embedding near-dups a
+    * training item (two-table sign-proj LSH, asymmetric probe fan-out —
+    * eval side 44 probes, train side 2 home buckets). */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      tau: Double = 0.4): DataFrame =
+    operators.Dedup.semanticDecontaminate(train, eval, idCol, embCol, tau)
+
   /** Multinomial Naive Bayes classifier with integer-bits log-probs
     * (deterministic; classifier-based quality/language filtering). */
   def nbClassify(docs: DataFrame, textCol: String = "text",

@@ -954,8 +954,94 @@ object Dedup {
             FROM p GROUP BY test_id) sd USING (test_id)"""
     })
 
+  /** Library API: SEMANTIC decontamination — flag eval/benchmark items
+    * whose EMBEDDING is near-duplicate to some training item (the
+    * contamination n-gram overlap misses: paraphrases, translations,
+    * formatting changes). Same two-table 6-bit sign-projection LSH as
+    * [[embeddingNearDupLsh]], asymmetric: the (small) eval side fans out to
+    * all 2×22 hamming≤2 probe buckets, the (huge) train side lands in just
+    * its 2 home buckets — so the corpus-sized explode is 2×, not 44×, and
+    * candidates form only inside probed buckets (one shuffle on the bucket
+    * key, never eval×train). Returns each contaminated eval item's BEST
+    * training match (max cosine, smallest train id on ties). */
+  def semanticDecontaminate(
+      train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      tau: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def withSig(df: org.apache.spark.sql.DataFrame, a: String, e: String) =
+      df.select(col(idCol).as(a), col(embCol).as(e),
+        expr(s"sign_proj($embCol, 12)").as("sig"))
+    def bucket(t: Int, mask: Long) = {
+      val slice = if (t == 0) expr("sig % 64") else expr("sig div 64")
+      (lit(t * 64L) + slice.cast("long").bitwiseXOR(lit(mask))).cast("long")
+    }
+    val probeKeys = for { t <- 0 to 1; m <- probeMasks } yield bucket(t, m)
+    val probes = withSig(eval, "eval_id", "ea")
+      .select(col("eval_id"), col("ea"),
+        explode(array(probeKeys: _*)).as("bucket"))
+    val cands = withSig(train, "train_id", "eb")
+      .select(col("train_id"), col("eb"),
+        explode(array(bucket(0, 0L), bucket(1, 0L))).as("bucket"))
+    probes.join(cands, "bucket")
+      .withColumn("cos", expr("cosine_sim(ea, eb)"))
+      .filter(col("cos") >= tau)
+      .select(col("eval_id"), col("train_id"), col("cos"))
+      .dropDuplicates("eval_id", "train_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("eval_id"))
+          .orderBy(col("cos").desc, col("train_id"))))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id"), col("cos"))
+  }
+
+  /** Semantic decontamination over the embeddings fixture (label 0 plays
+    * the held-out benchmark, labels 1–9 the training corpus) — the
+    * integer-hyperplane projection makes every bucket, probe, cosine and
+    * the best-match argmax DuckDB-replayable. */
+  val decontaminateSemantic = QueryDef(
+    "q_decontaminate_semantic",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "embeddings")
+      semanticDecontaminate(
+        train = e.filter(col("label") =!= 0),
+        eval = e.filter(col("label") === 0))
+    },
+    Some {
+      val duckProbeKeys = (for { t <- 0 to 1; m <- probeMasks } yield {
+        val slice = if (t == 0) "sig % 64" else "sig // 64"
+        s"${t * 64} + xor($slice, $m)"
+      }).mkString(", ")
+      s"""
+      WITH ev AS (
+        SELECT vec_id, embedding, ${Similarity.duckSig("embedding", 12)} AS sig
+        FROM embeddings WHERE label = 0),
+      tr AS (
+        SELECT vec_id, embedding, ${Similarity.duckSig("embedding", 12)} AS sig
+        FROM embeddings WHERE label <> 0),
+      probes AS (
+        SELECT vec_id AS eval_id, embedding AS ea,
+               unnest([$duckProbeKeys]) AS bucket
+        FROM ev),
+      cands AS (
+        SELECT vec_id AS train_id, embedding AS eb,
+               unnest([0 + sig % 64, 64 + sig // 64]) AS bucket
+        FROM tr),
+      hits AS (
+        SELECT DISTINCT p.eval_id, c.train_id,
+               ${duckCosine("p.ea", "c.eb")} AS cos
+        FROM probes p JOIN cands c ON p.bucket = c.bucket),
+      ranked AS (
+        SELECT eval_id, train_id, cos,
+               row_number() OVER (PARTITION BY eval_id
+                                  ORDER BY cos DESC, train_id) AS rk
+        FROM hits WHERE cos >= 0.4)
+      SELECT eval_id, train_id, cos FROM ranked WHERE rk = 1"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     exact, ngramJaccard, minhashLsh, simhash, embeddingNearDupLsh,
     embeddingNearDup, connectedComponents, incremental, admitBloom,
-    repeatedSpansQuery, decontaminate)
+    repeatedSpansQuery, decontaminate, decontaminateSemantic)
 }
