@@ -1849,9 +1849,90 @@ object GoldenSql {
               contains('graft', 'raf')   AS ct,
               substring('abcdef', 3)     AS sub_tail""")
 
+  /** Array search semantics (reference: sql-tests/inputs/array.sql):
+    * array_position is 1-based and returns 0 (not NULL) on a miss —
+    * matching DuckDB's list_position — while array_contains and
+    * arrays_overlap are THREE-VALUED: a miss over an array that contains
+    * NULL is NULL ("can't rule it out"), a hit is true even beside NULLs,
+    * a miss with no NULLs is false. DuckDB's list_contains/list_has_any
+    * are two-valued (the miss-with-NULL rows return false there), so the
+    * oracle pins Spark's ANSI answer as literals on exactly those rows
+    * and computes the rest. */
+  val arraySearch = QueryDef.sql(
+    "q_golden_array_search",
+    """SELECT CAST(array_position(array('a','b','c'), 'b') AS BIGINT)
+                AS pos_hit,
+              CAST(array_position(array('a','b','c'), 'z') AS BIGINT)
+                AS pos_miss,
+              CAST(array_contains(array('a', NULL), 'a') AS INT)
+                AS ct_hit_null,
+              CAST(array_contains(array('a', NULL), 'z') AS INT)
+                AS ct_miss_null,
+              CAST(array_contains(array('a', 'b'), 'z') AS INT) AS ct_miss,
+              CAST(arrays_overlap(array('a'), array('a', NULL)) AS INT)
+                AS ov_hit,
+              CAST(arrays_overlap(array('a', NULL), array('z')) AS INT)
+                AS ov_miss_null,
+              CAST(arrays_overlap(array('a'), array('z')) AS INT)
+                AS ov_miss""",
+    """SELECT CAST(list_position(['a','b','c'], 'b') AS BIGINT) AS pos_hit,
+              CAST(list_position(['a','b','c'], 'z') AS BIGINT) AS pos_miss,
+              CAST(list_contains(['a', NULL], 'a') AS INT) AS ct_hit_null,
+              CAST(NULL AS INT)                            AS ct_miss_null,
+              CAST(list_contains(['a','b'], 'z') AS INT)   AS ct_miss,
+              CAST(list_has_any(['a'], ['a', NULL]) AS INT) AS ov_hit,
+              CAST(NULL AS INT)                             AS ov_miss_null,
+              CAST(list_has_any(['a'], ['z']) AS INT)       AS ov_miss""")
+
+  /** NULL placement in array sorts (reference: sql-tests/inputs/array.sql
+    * sort rows): sort_array ascending treats NULL as SMALLEST (first);
+    * descending therefore puts it last; array_sort (the comparator form's
+    * default) puts NULLs LAST even ascending. DuckDB spells the placement
+    * explicitly in list_sort — the oracle states each one. */
+  val arraySortNulls = QueryDef.sql(
+    "q_golden_array_sort_nulls",
+    """SELECT sort_array(array('b', NULL, 'a'))        AS asc_nulls_first,
+              sort_array(array('b', NULL, 'a'), false) AS desc_nulls_last,
+              array_sort(array('b', NULL, 'a'))        AS sort_nulls_last""",
+    """SELECT list_sort(['b', NULL, 'a'], 'ASC',  'NULLS FIRST')
+                AS asc_nulls_first,
+              list_sort(['b', NULL, 'a'], 'DESC', 'NULLS LAST')
+                AS desc_nulls_last,
+              list_sort(['b', NULL, 'a'], 'ASC',  'NULLS LAST')
+                AS sort_nulls_last""")
+
+  /** C-style formatting (reference: sql-tests/inputs/string-functions.sql
+    * format_string rows): zero-padded ints, strings, lowercase hex,
+    * negatives, percent-literal escape. Spark spells it format_string,
+    * DuckDB printf — both are C printf dialects. */
+  val printfFormat = QueryDef.sql(
+    "q_golden_printf",
+    """SELECT format_string('%05d|%s|%x|%d|%d%%', 42, 'ab', 255, -7, 9)
+                AS formatted,
+              format_string('[%3d][%-3d]', 5, 5) AS padded""",
+    """SELECT printf('%05d|%s|%x|%d|%d%%', 42, 'ab', 255, -7, 9)
+                AS formatted,
+              printf('[%3d][%-3d]', 5, 5) AS padded""")
+
+  /** Binary codecs (reference: sql-tests/inputs/string-functions.sql
+    * base64/hex rows): base64 and hex round-trips through BINARY and back
+    * to the original string; hex digits are UPPERCASE in both engines
+    * (letters z{ → 7A7B exercises the a–f range). */
+  val binaryCodec = QueryDef.sql(
+    "q_golden_binary_codec",
+    """SELECT base64('ab')                          AS b64,
+              CAST(unbase64('YWI=') AS STRING)      AS b64_rt,
+              hex('z{')                             AS hx,
+              CAST(unhex('7A7B') AS STRING)         AS hx_rt""",
+    """SELECT to_base64('ab'::BLOB)                 AS b64,
+              CAST(from_base64('YWI=') AS VARCHAR)  AS b64_rt,
+              hex('z{')                             AS hx,
+              CAST(unhex('7A7B') AS VARCHAR)        AS hx_rt""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
+    arraySearch, arraySortNulls, printfFormat, binaryCodec,
     typedLiterals, fromCsv, charVarchar, timezoneConv, jsonPath, floatEdge,
     parseUrl, miscTypeof, countEdge, complexCompare, colResolution,
     havingNoGroupBy, boolCast,
