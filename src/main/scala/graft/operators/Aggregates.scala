@@ -389,8 +389,64 @@ object Aggregates {
              count(*) AS n
       FROM orders GROUP BY o_orderstatus"""))
 
+  /** EXACT distinct counting via mergeable roaring-style bitmaps (Spark
+    * 3.5+ bitmap family) — the scale path for COUNT(DISTINCT key) over a
+    * huge integer domain: keys hash-route to 32k-bit buckets, each bucket
+    * aggregates to one fixed-size bitmap (`bitmap_construct_agg` of
+    * `bitmap_bit_position`), and the final count is a popcount sum. Unlike
+    * the planner's distinct Expand rewrite this never carries raw keys past
+    * the first shuffle — per (group, bucket) the shuffled payload is a
+    * constant ≤4 KB bitmap regardless of row count, and bitmaps OR-merge
+    * associatively, so the same plan serves incremental/rollup re-merge
+    * (the `bitmap_or_agg` path the spec pins). The oracle is plain
+    * count(DISTINCT): the bitmap path must be bit-exact, not approximate. */
+  val aggBitmapDistinct = QueryDef(
+    "q_agg_bitmap_distinct",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .createOrReplaceTempView("lineitem")
+      spark.sql("""
+        SELECT l_returnflag,
+               CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_orders
+        FROM (SELECT l_returnflag,
+                     bitmap_bucket_number(l_orderkey) AS bkt,
+                     bitmap_construct_agg(bitmap_bit_position(l_orderkey))
+                       AS bm
+              FROM lineitem
+              GROUP BY 1, 2)
+        GROUP BY l_returnflag""")
+    },
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY 1"""))
+
+  /** Approximate distinct via Apache-DataSketches-compatible HLL (Spark
+    * 3.5+ `hll_sketch_agg`) — the OTHER mergeable-sketch distinct path:
+    * where the bitmap family is exact but domain-bounded (int keys), HLL is
+    * fixed 2^lgK bytes for ANY key type and cardinality. Engine-specific
+    * binary → rows-only at the driver gate; HllSpec pins the ±5% accuracy
+    * envelope and union-agg mergeability (per-shard sketches roll up
+    * without touching raw data). Caveat pinned there too: DataSketches'
+    * HIP estimator is insertion-order dependent, so estimates are NOT
+    * bit-stable across partitionings — when the pipeline needs a
+    * deterministic, cross-engine-replayable sketch, that is what
+    * `kmv_distinct_det` (q_agg_kmv_sketch) is for. */
+  val aggHllDistinct = QueryDef(
+    "q_agg_hll_distinct",
+    (spark, dir) => {
+      Tables(spark, dir, "lineitem")
+        .createOrReplaceTempView("lineitem")
+      spark.sql("""
+        SELECT l_returnflag,
+               CAST(hll_sketch_estimate(hll_sketch_agg(l_orderkey))
+                    AS BIGINT) AS est_orders
+        FROM lineitem GROUP BY l_returnflag""")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
     aggGlobal, having, pivot, percentile, aggApproxPercentile,
-    aggKllQuantile, aggNulls, aggTyped, aggDecimalSum, aggCollect)
+    aggKllQuantile, aggNulls, aggTyped, aggDecimalSum, aggCollect,
+    aggBitmapDistinct, aggHllDistinct)
 }

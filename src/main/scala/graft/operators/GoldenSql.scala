@@ -1929,6 +1929,73 @@ object GoldenSql {
               hex('z{')                             AS hx,
               CAST(unhex('7A7B') AS VARCHAR)        AS hx_rt""")
 
+  /** Data-masking function battery (Spark 3.4+ `mask`): the built-in PII
+    * redaction primitive a curation pipeline reaches for before the regex
+    * scrubber — default X/x/n replacement classes, per-class overrides,
+    * and NULL-means-keep per class. DuckDB has no `mask`, so the oracle
+    * pins the exact outputs as literals (the same literal-pin pattern as
+    * the array-search and bool-cast batteries). */
+  val maskBattery = QueryDef.sql(
+    "q_golden_mask",
+    """SELECT mask('AbCD123-@$#') AS m_default,
+              mask('abcd-EFGH-8765-4321', 'Q', 'q', 'd', 'o') AS m_custom,
+              mask('Secret123', 'X', 'x', NULL) AS m_keep_digits,
+              mask(CAST(NULL AS STRING)) AS m_null,
+              mask('') AS m_empty""",
+    """SELECT 'XxXXnnn-@$#' AS m_default,
+              'qqqqoQQQQoddddodddd' AS m_custom,
+              'Xxxxxx123' AS m_keep_digits,
+              CAST(NULL AS VARCHAR) AS m_null,
+              '' AS m_empty""")
+
+  /** Radix conversion + checksum validation: `conv` across bases 2/10/16/36
+    * with negative-radix signing, and `luhn_check` on valid/invalid payment
+    * numbers — the record-validation corner of ingest QC. Literal-pinned
+    * oracle (DuckDB's to_base has no from-radix sibling). */
+  val convLuhn = QueryDef.sql(
+    "q_golden_conv_luhn",
+    """SELECT conv('100', 2, 10) AS c_bin_dec,
+              conv('-10', 16, -10) AS c_signed,
+              conv('ff', 16, 2) AS c_hex_bin,
+              conv('zz', 36, 10) AS c_base36,
+              luhn_check('8112189876') AS l_valid,
+              luhn_check('79927398713') AS l_valid2,
+              luhn_check('123') AS l_invalid""",
+    """SELECT '4' AS c_bin_dec,
+              '-16' AS c_signed,
+              '11111111' AS c_hex_bin,
+              '1295' AS c_base36,
+              true AS l_valid,
+              true AS l_valid2,
+              false AS l_invalid""")
+
+  /** URL form-encoding round-trip (`url_encode` spells space as '+', the
+    * application/x-www-form-urlencoded convention, reserved chars as %XX),
+    * phonetic soundex codes, initcap word casing, sentence tokenization
+    * (via to_json — nested array<array<string>>), and the to_char /
+    * to_number format-directed conversions incl. the '###' overflow fill
+    * when the value has more decimal digits than the format. */
+  val urlPhoneticFmt = QueryDef.sql(
+    "q_golden_url_phonetic",
+    """SELECT url_encode('a b&c=d/e?f') AS u_enc,
+              url_decode('a+b%26c%3Dd') AS u_dec,
+              soundex('Robert') AS sx1,
+              soundex('Tymczak') AS sx2,
+              initcap('spARK sql ENGINE') AS ic,
+              to_json(sentences('Hi there! Good morning.')) AS sent,
+              to_char(454.89, '999.9') AS tc_overflow,
+              to_char(12454, '99,999') AS tc_grouped,
+              CAST(to_number('$1,234.56', '$9,999.99') AS STRING) AS tn""",
+    """SELECT 'a+b%26c%3Dd%2Fe%3Ff' AS u_enc,
+              'a b&c=d' AS u_dec,
+              'R163' AS sx1,
+              'T522' AS sx2,
+              'Spark Sql Engine' AS ic,
+              '[["Hi","there"],["Good","morning"]]' AS sent,
+              '###.#' AS tc_overflow,
+              '12,454' AS tc_grouped,
+              '1234.56' AS tn""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -1956,5 +2023,6 @@ object GoldenSql {
     regrClosedForm, bitAggOps, strToMap, stackInline, tryArith,
     arraySetOps,
     percentileWithin, cryptoHash, overlayInsert, mapConstruct,
-    splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup)
+    splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
+    maskBattery, convLuhn, urlPhoneticFmt)
 }

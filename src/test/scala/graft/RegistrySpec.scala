@@ -53,13 +53,19 @@ class RegistrySpec extends GraftSpecBase {
     // q_agg_kll_quantile     — KLL compaction state (rank-error bound KllSpec)
     // q_text_freq_tokens     — Space-Saving counters; exact twin
     //                          q_text_freq_tokens_exact is oracle-checked
+    // q_agg_hll_distinct     — Apache DataSketches HLL (engine-specific
+    //                          binary, HIP order-dependence; ±5% envelope +
+    //                          union mergeability in HllSpec; the exact
+    //                          bitmap twin q_agg_bitmap_distinct and the
+    //                          deterministic q_agg_kmv_sketch are both
+    //                          oracle-checked)
     // (the KMV family — q_agg_kmv_sketch, q_profile_lineitem,
     // q_profile_sketch_rollup, q_text_kmv_overlap — switched to the
     // deterministic md5-derived 48-bit hash in r6 and is now
     // DuckDB-oracle-checked end to end, estimates included)
     assert(noOracle.toSet ==
       Set("q_agg_approx_distinct", "q_agg_kll_quantile",
-        "q_text_freq_tokens"),
+        "q_text_freq_tokens", "q_agg_hll_distinct"),
       s"unexpected oracle-less queries: $noOracle")
   }
 }
