@@ -56,6 +56,16 @@ object ops {
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.operators.Dedup.ngramJaccardPairs(docs, idCol, textCol)
 
+  /** Canonical-copy selection: dedup keeping the BEST copy per duplicate
+    * group — copies rank by `priority` (lower wins; e.g. curated source
+    * over web crawl), ties by id. One min-struct hash aggregate, no window
+    * sort — see [[graft.operators.Dedup.keepBest]]. Returns
+    * `(grp, keeper, keeper_prio, n_copies)`. */
+  def dedupKeepBest(docs: DataFrame, groupKey: org.apache.spark.sql.Column,
+      priority: org.apache.spark.sql.Column,
+      idCol: String = "doc_id"): DataFrame =
+    graft.operators.Dedup.keepBest(docs, groupKey, priority, idCol)
+
   /** SimHash near-dup candidate pairs over any document frame — see
     * [[graft.operators.Dedup.simHashNearDup]]: 64-bit majority fingerprint,
     * 4×16-bit pigeonhole chunk buckets, exact hamming verification.

@@ -1996,6 +1996,64 @@ object GoldenSql {
               '12,454' AS tc_grouped,
               '1234.56' AS tn""")
 
+  /** Spark 4 VARIANT semi-structured type: parse_json → typed path
+    * extraction (variant_get with $.field / nested / array-index paths),
+    * missing-path null, try_parse_json swallowing malformed input, to_json
+    * canonicalization (Spark SORTS object keys — '{"z":1,"a":…}' comes back
+    * a-first; DuckDB's json round-trip preserves input order, so that cell
+    * is literal-pinned), and schema_of_variant's type inference (decimal
+    * for 1.5, not double). Outputs are all cast to basic types — a VARIANT
+    * column itself is not parquet-portable to the compare harness. */
+  val variantType = QueryDef.sql(
+    "q_golden_variant",
+    """SELECT CAST(variant_get(parse_json('{"a": 1, "b": {"c": "x"}}'),
+                               '$.a', 'int') AS INT) AS v_int,
+              variant_get(parse_json('{"a": 1, "b": {"c": "x"}}'),
+                          '$.b.c', 'string') AS v_nested,
+              CAST(variant_get(parse_json('{"d": [1,2,3]}'),
+                               '$.d[1]', 'long') AS BIGINT) AS v_arr_idx,
+              variant_get(parse_json('{"a": 1}'),
+                          '$.missing', 'string') AS v_missing,
+              to_json(parse_json('{"z": 1, "a": [true, null]}'))
+                AS v_canonical,
+              to_json(try_parse_json('not json')) AS v_bad,
+              schema_of_variant(parse_json('{"a": 1.5, "b": "x"}'))
+                AS v_schema""",
+    """SELECT CAST(json_extract('{"a": 1, "b": {"c": "x"}}', '$.a')
+                   AS INT) AS v_int,
+              json_extract_string('{"a": 1, "b": {"c": "x"}}', '$.b.c')
+                AS v_nested,
+              CAST(json_extract('{"d": [1,2,3]}', '$.d[1]') AS BIGINT)
+                AS v_arr_idx,
+              json_extract_string('{"a": 1}', '$.missing') AS v_missing,
+              '{"a":[true,null],"z":1}' AS v_canonical,
+              CAST(NULL AS VARCHAR) AS v_bad,
+              'OBJECT<a: DECIMAL(2,1), b: STRING>' AS v_schema""")
+
+  /** Spark 4 string collations: UTF8_LCASE comparison, ordering, and
+    * DISTINCT folding. DuckDB emulates with lower() — except min-under-
+    * collation, which must return an ORIGINAL string chosen by
+    * case-insensitive order (arg_min on the folded key; the fixture values
+    * fold uniquely so there is no tie to break). */
+  val collationLcase = QueryDef.sql(
+    "q_golden_collation",
+    """SELECT 'Hello' COLLATE UTF8_LCASE = 'hello' AS eq_lcase,
+              'a' COLLATE UTF8_LCASE < 'B' AS lt_lcase,
+              'Hello' = 'hello' AS eq_binary,
+              count(DISTINCT c COLLATE UTF8_LCASE) AS nd_lcase,
+              count(DISTINCT c) AS nd_binary,
+              min(c COLLATE UTF8_LCASE) AS min_lcase
+       FROM (VALUES ('banana'), ('Apple'), ('BANANA'), ('cherry'))
+            AS t(c)""",
+    """SELECT true AS eq_lcase,
+              true AS lt_lcase,
+              false AS eq_binary,
+              count(DISTINCT lower(c)) AS nd_lcase,
+              count(DISTINCT c) AS nd_binary,
+              arg_min(c, lower(c)) AS min_lcase
+       FROM (VALUES ('banana'), ('Apple'), ('BANANA'), ('cherry'))
+            AS t(c)""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2024,5 +2082,5 @@ object GoldenSql {
     arraySetOps,
     percentileWithin, cryptoHash, overlayInsert, mapConstruct,
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
-    maskBattery, convLuhn, urlPhoneticFmt)
+    maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase)
 }

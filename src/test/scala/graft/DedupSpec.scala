@@ -184,4 +184,26 @@ class DedupSpec extends GraftSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(101L), s"got $got")
   }
+
+  test("keepBest: highest-priority tier wins, id breaks ties, one keeper " +
+      "per group") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // group "g1": web copy has the LOWEST id but curated must win
+      (10L, "g1", "web"), (11L, "g1", "curated"), (12L, "g1", "curated"),
+      // group "g2": web-only → lowest id wins within the tier
+      (20L, "g2", "web"), (21L, "g2", "web"),
+      // group "g3": singleton
+      (30L, "g3", "curated")
+    ).toDF("doc_id", "blk", "src")
+    val out = ops.dedupKeepBest(docs, col("blk"),
+        when(col("src") === "curated", 0L).otherwise(1L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("g1") == ((11L, 0L, 3L)),
+      "curated beats web despite higher id; min id within curated")
+    assert(out("g2") == ((20L, 1L, 2L)), "tier tie → lowest id")
+    assert(out("g3") == ((30L, 0L, 1L)))
+    assert(out.size == 3, "exactly one keeper row per group")
+  }
 }
