@@ -116,6 +116,15 @@ object ops {
     graft.operators.Sampling.quotaSelect(
       df, groupCol, contentCol, tiebreakCol, budgets)
 
+  /** DSIR-style importance resampling weights: per-pool-doc
+    * log p_target − log p_raw under two unigram models in integer bits —
+    * see [[graft.operators.Sampling.dsirWeights]]. Returns
+    * `(idCol, weight_bits, n_tokens)`; rank by weight DESC for the most
+    * target-like documents. */
+  def dsirWeights(pool: DataFrame, target: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.operators.Sampling.dsirWeights(pool, target, textCol, idCol)
+
   /** Streaming near-dup flagging at ingest (LSH band buckets as keyed
     * state) — see [[graft.streaming.DocIngest.nearDupMatches]]. */
   def streamingNearDup(

@@ -366,7 +366,101 @@ object Sampling {
              min(h) AS h_first, max(h) AS h_last
       FROM pos GROUP BY shard"""))
 
+  /** Library API: DSIR-style importance resampling (Data Selection via
+    * Importance Resampling, Xie et al. 2023 — the public recipe for "pick
+    * web documents that look like the curated target corpus"): every pool
+    * document scores log p_target(doc) − log p_raw(doc) under two unigram
+    * models, and selection takes the most target-like. In the repo's
+    * integer-bits quantization (same ⌊log2⌋-on-exact-counts arithmetic as
+    * [[LmScore]]): weight(doc) = Σ_tokens [bits_raw(w) − bits_tgt(w)],
+    * bits_m(w) = bitlen(N_m) − bitlen(max(n_m(w), 1)) with unseen-as-1
+    * smoothing — deterministic, engine-replayable, no libm.
+    *
+    * Scale shape (100 TB): pool tokens explode ONCE; both models are
+    * vocab-bounded (never corpus-sized) token-count aggregates; scoring is
+    * two hash joins on the token key against those tables and one per-doc
+    * sum. No all-pairs, no window over the corpus; compose with
+    * [[quotaSelect]] for per-language exact quotas instead of the global
+    * top-k when budgets are per-group. */
+  def dsirWeights(pool: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    def model(df: org.apache.spark.sql.DataFrame, n: String) =
+      toks(df).groupBy(col("w")).agg(count(lit(1)).as(n))
+    val raw = model(pool, "n_raw")
+    val tgt = model(target, "n_tgt")
+    // 1-row totals fan onto the vocab-bounded model join (the same
+    // broadcast-stats pattern as nbClassify's class table)
+    val totals = raw.agg(sum(col("n_raw")).as("nn_raw"))
+      .crossJoin(tgt.agg(sum(col("n_tgt")).as("nn_tgt")))
+    val scoredToks = toks(pool)
+      .join(raw, Seq("w"), "left")
+      .join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        ((length(bin(col("nn_raw"))) -
+          length(bin(coalesce(col("n_raw"), lit(1L))))) -
+         (length(bin(col("nn_tgt"))) -
+          length(bin(coalesce(col("n_tgt"), lit(1L))))))
+          .cast("long").as("tok_bits"))
+    scoredToks.groupBy(col(idCol))
+      .agg(sum(col("tok_bits")).as("weight_bits"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** DSIR selection over the fixture: target = the "curated" source tier
+    * (src0–src9, the 4-char names), pool = the web tier; the 50 most
+    * target-like pool docs by (weight DESC, doc_id) — a global top-k
+    * (TakeOrderedAndProject), never a full sort. The DuckDB oracle replays
+    * models, smoothing, weights, and the tie-broken top-k end to end. */
+  val dsir = QueryDef(
+    "q_sample_dsir",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val pool = docs.filter(length(col("source")) =!= 4)
+      val target = docs.filter(length(col("source")) === 4)
+      dsirWeights(pool, target)
+        .orderBy(col("weight_bits").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some("""
+      WITH pool AS (
+        SELECT * FROM documents WHERE length(source) <> 4),
+      tgt AS (
+        SELECT * FROM documents WHERE length(source) = 4),
+      ptoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM pool),
+      raw_m AS (
+        SELECT w, count(*) AS n_raw FROM ptoks GROUP BY 1),
+      tgt_m AS (
+        SELECT w, count(*) AS n_tgt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tgt)
+        GROUP BY 1),
+      tot AS (
+        SELECT (SELECT CAST(sum(n_raw) AS BIGINT) FROM raw_m) AS nn_raw,
+               (SELECT CAST(sum(n_tgt) AS BIGINT) FROM tgt_m) AS nn_tgt),
+      scored AS (
+        SELECT p.doc_id,
+               CAST(sum((length(bin(t.nn_raw))
+                         - length(bin(coalesce(r.n_raw, 1))))
+                      - (length(bin(t.nn_tgt))
+                         - length(bin(coalesce(g.n_tgt, 1)))))
+                    AS BIGINT) AS weight_bits,
+               count(*) AS n_tokens
+        FROM ptoks p
+        LEFT JOIN raw_m r ON p.w = r.w
+        LEFT JOIN tgt_m g ON p.w = g.w
+        CROSS JOIN tot t
+        GROUP BY p.doc_id)
+      SELECT doc_id, weight_bits, n_tokens
+      FROM scored
+      ORDER BY weight_bits DESC, doc_id
+      LIMIT 50"""))
+
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
-      unimax, epochShards)
+      unimax, epochShards, dsir)
 }

@@ -73,4 +73,27 @@ class SamplingSpec extends GraftSpecBase {
     val scores = rows.map(_.getAs[Long]("score"))
     assert(scores.sameElements(scores.sortBy(-_: Long)), "sorted by score desc")
   }
+
+  test("dsirWeights ranks target-vocab docs above off-vocab docs") {
+    import sp.implicits._
+    // target speaks {law, court, judge…}; the pool mixes docs written in
+    // that vocabulary with docs written in a disjoint one — DSIR's whole
+    // job is to pull the former ahead of the latter.
+    val target = (0 until 30).map { i =>
+      (1000L + i, s"law court judge ruling appeal verdict statute case " +
+        s"law court judge ruling t$i")
+    }.toDF("doc_id", "text")
+    val pool = ((0 until 10).map { i =>
+      (i.toLong, s"court ruling appeal statute judge law verdict p$i")
+    } ++ (10 until 20).map { i =>
+      (i.toLong, s"recipe flour oven butter sugar bake whisk dough p$i")
+    }).toDF("doc_id", "text")
+    val w = ops.dsirWeights(pool, target).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 20, "every pool doc scored")
+    val lawMin = (0 until 10).map(i => w(i.toLong)).min
+    val offMax = (10 until 20).map(i => w(i.toLong)).max
+    assert(lawMin > offMax,
+      s"target-like docs ($lawMin) must outrank off-vocab docs ($offMax)")
+  }
 }

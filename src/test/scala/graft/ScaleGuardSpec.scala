@@ -79,6 +79,12 @@ class ScaleGuardSpec extends GraftSpecBase {
       // (q_sample_unimax left this list when its census/budget frames were
       // persisted — the planner now feeds both branches from the cached
       // census instead of a 1-row stats cross-join)
+      "q_sample_dsir",                              // 1-row model-totals
+                                                    //   frame (N_raw, N_tgt)
+                                                    //   broadcast onto the
+                                                    //   token stream — same
+                                                    //   stats pattern as
+                                                    //   tfidf/nb
       "q_ds_weekday_pivot_ratio",                   //   frames cross-joined
       "q_golden_nth_value",                         //   4-row VALUES constant
       "q_ds_interval_range_window",                 // global RANGE window
