@@ -2054,6 +2054,71 @@ object GoldenSql {
        FROM (VALUES ('banana'), ('Apple'), ('BANANA'), ('cherry'))
             AS t(c)""")
 
+  /** months_between fractional semantics (whole when both ends are
+    * month-last-days, else a 31-day-denominator fraction rounded to 8
+    * digits, sign from operand order — DuckDB has no months_between, so
+    * these are literal-pinned), width_bucket's histogram bucketing incl.
+    * the underflow-0 / overflow-n+1 rails, bround's HALF_EVEN vs round's
+    * HALF_UP on the .5 boundary (DuckDB spells the former round_even), and
+    * factorial's exact int64 value at the 20! ceiling (computed on BOTH
+    * engines — DuckDB has factorial). */
+  val monthsWidthBucket = QueryDef.sql(
+    "q_golden_months_width",
+    """SELECT CAST(months_between(DATE '2022-03-31', DATE '2022-02-28')
+                   AS STRING) AS mb_lastday,
+              CAST(months_between(DATE '2022-03-15', DATE '2022-02-28')
+                   AS STRING) AS mb_frac,
+              CAST(months_between(DATE '2021-01-31', DATE '2021-02-01')
+                   AS STRING) AS mb_neg,
+              CAST(bround(2.5, 0) AS STRING) AS br_even_down,
+              CAST(bround(3.5, 0) AS STRING) AS br_even_up,
+              CAST(bround(-2.5, 0) AS STRING) AS br_even_neg,
+              CAST(round(2.5, 0) AS STRING) AS r_half_up,
+              factorial(20) AS f20,
+              width_bucket(5.3, 0.2, 10.6, 5) AS wb_mid,
+              width_bucket(-1.0, 0.2, 10.6, 5) AS wb_below,
+              width_bucket(11.0, 0.2, 10.6, 5) AS wb_above""",
+    """SELECT '1.0' AS mb_lastday,
+              '0.58064516' AS mb_frac,
+              '-0.03225806' AS mb_neg,
+              '2' AS br_even_down,
+              '4' AS br_even_up,
+              '-2' AS br_even_neg,
+              '3' AS r_half_up,
+              CAST(factorial(20) AS BIGINT) AS f20,
+              CAST(3 AS BIGINT) AS wb_mid,
+              CAST(0 AS BIGINT) AS wb_below,
+              CAST(6 AS BIGINT) AS wb_above""")
+
+  /** SQL-standard timestamp constructors and unit arithmetic:
+    * make_timestamp with fractional seconds (compared as epoch millis —
+    * both engines construct it, but print it differently), timestampdiff
+    * counting FULL elapsed units (Jan 31 → Feb 1 is 0 months; DuckDB's
+    * date_diff counts boundary CROSSINGS and says 1 — the divergence is
+    * the point, so the Spark convention is literal-pinned), timestampadd's
+    * month-end clamp, elt positional pick, and format_number grouping. */
+  val tsUnitArith = QueryDef.sql(
+    "q_golden_ts_units",
+    """SELECT unix_millis(make_timestamp(2021, 7, 11, 6, 30, 45.678))
+                AS mts_ms,
+              CAST(timestampdiff(MONTH, TIMESTAMP '2021-01-31 00:00:00',
+                                 TIMESTAMP '2021-02-01 00:00:00')
+                   AS BIGINT) AS td_cross_not_full,
+              CAST(timestampdiff(MONTH, TIMESTAMP '2021-01-15 00:00:00',
+                                 TIMESTAMP '2021-03-14 23:59:59')
+                   AS BIGINT) AS td_almost_two,
+              CAST(timestampadd(MONTH, 1, TIMESTAMP '2021-01-31 10:00:00')
+                   AS STRING) AS ta_clamp,
+              elt(2, 'a', 'b', 'c') AS elt_pick,
+              format_number(1234567.891, 2) AS fmt_grouped""",
+    """SELECT epoch_ms(make_timestamp(2021, 7, 11, 6, 30, 45.678))
+                AS mts_ms,
+              CAST(0 AS BIGINT) AS td_cross_not_full,
+              CAST(1 AS BIGINT) AS td_almost_two,
+              '2021-02-28 10:00:00' AS ta_clamp,
+              'b' AS elt_pick,
+              '1,234,567.89' AS fmt_grouped""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2082,5 +2147,6 @@ object GoldenSql {
     arraySetOps,
     percentileWithin, cryptoHash, overlayInsert, mapConstruct,
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
-    maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase)
+    maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
+    monthsWidthBucket, tsUnitArith)
 }

@@ -452,7 +452,92 @@ object TextAnalysis {
        JOIN cnt ca ON ca.source = src_a
        JOIN cnt cb ON cb.source = src_b""")
 
+  /** Corpus diversity report — the numbers a corpus card publishes per
+    * language slice (and the signals mode-collapse / template-spam checks
+    * gate on): type-token ratio, distinct-trigram ratio, and unigram
+    * Shannon entropy. All-integer arithmetic keeps it oracle-exact:
+    * entropy is the repo's ⌊log2⌋ quantization — Σ_w n_w·(bitlen(N) −
+    * bitlen(n_w)) — emitted in integer MILLIBITS per token
+    * (·1000 div N), and the two ratios are per-million integers. One
+    * token explode + one 3-gram explode, everything else is narrow
+    * per-language aggregates; nothing corpus-sized shuffles twice. */
+  val diversity = QueryDef(
+    "q_text_diversity",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val tokens = docs.select(col("lang"),
+        explode(toks(col("text"))).as("w"))
+      // vocab-bounded per-language unigram table, consumed twice (totals +
+      // the entropy sum) — narrow, no persist needed: the corpus explode
+      // feeds ONE aggregation, everything after is vocab-sized
+      val uni = tokens.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("n_w"))
+      val totals = uni.groupBy(col("lang"))
+        .agg(sum(col("n_w")).as("n_tok"), count(lit(1)).as("n_types"))
+      val ent = uni.join(totals.select(col("lang"), col("n_tok")), "lang")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_w") *
+          (length(bin(col("n_tok"))) - length(bin(col("n_w")))).cast("long"))
+          .as("ent_sum"))
+      val tris = docs
+        .select(col("lang"), toks(col("text")).as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("lang"),
+          explode(sequence(lit(3), size(col("l")))).as("i"), col("l"))
+        .select(col("lang"), concat_ws(" ",
+          element_at(col("l"), col("i") - 2),
+          element_at(col("l"), col("i") - 1),
+          element_at(col("l"), col("i"))).as("g"))
+        .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n_g"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_g")).as("n_tri"), count(lit(1)).as("n_tri_types"))
+      totals.join(ent, "lang").join(tris, "lang")
+        .select(col("lang"), col("n_tok"), col("n_types"),
+          expr("n_types * 1000000L DIV n_tok").as("ttr_ppm"),
+          col("n_tri"), col("n_tri_types"),
+          expr("n_tri_types * 1000000L DIV n_tri").as("tri_ppm"),
+          expr("ent_sum * 1000L DIV n_tok").as("entropy_millibits"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, string_split(text, ' ') AS l FROM documents),
+      toks AS (
+        SELECT lang, unnest(l) AS w FROM t),
+      uni AS (
+        SELECT lang, w, count(*) AS n_w FROM toks GROUP BY 1, 2),
+      totals AS (
+        SELECT lang, CAST(sum(n_w) AS BIGINT) AS n_tok,
+               count(*) AS n_types
+        FROM uni GROUP BY 1),
+      ent AS (
+        SELECT u.lang,
+               CAST(sum(u.n_w * (length(bin(tt.n_tok))
+                                 - length(bin(u.n_w)))) AS BIGINT)
+                 AS ent_sum
+        FROM uni u JOIN totals tt ON u.lang = tt.lang
+        GROUP BY 1),
+      tri_raw AS (
+        SELECT lang, l[i-2] || ' ' || l[i-1] || ' ' || l[i] AS g
+        FROM t, unnest(range(3, len(l)+1)) AS u(i)
+        WHERE len(l) >= 3),
+      tri_counts AS (
+        SELECT lang, g, count(*) AS n_g FROM tri_raw GROUP BY 1, 2),
+      tris AS (
+        SELECT lang, CAST(sum(n_g) AS BIGINT) AS n_tri,
+               count(*) AS n_tri_types
+        FROM tri_counts GROUP BY 1)
+      SELECT t.lang, t.n_tok, t.n_types,
+             CAST(t.n_types * 1000000 // t.n_tok AS BIGINT) AS ttr_ppm,
+             r.n_tri, r.n_tri_types,
+             CAST(r.n_tri_types * 1000000 // r.n_tri AS BIGINT) AS tri_ppm,
+             CAST(e.ent_sum * 1000 // t.n_tok AS BIGINT)
+               AS entropy_millibits
+      FROM totals t
+      JOIN ent e ON t.lang = e.lang
+      JOIN tris r ON t.lang = r.lang"""))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
-      freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact)
+      freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
+      diversity)
 }
