@@ -405,6 +405,11 @@ object Aggregates {
     (spark, dir) => {
       Tables(spark, dir, "lineitem")
         .createOrReplaceTempView("lineitem")
+      // pre-reduce to DISTINCT (flag, key) pairs first: bitmaps are
+      // set-semantic so the result is identical, but bitmap_construct_agg
+      // plans as a SortAggregate (object buffer) — feeding it the narrow
+      // distinct-pair hash aggregate instead of raw lineitem keeps the
+      // sort off the corpus (same rewrite as q_agg_kmv_sketch)
       spark.sql("""
         SELECT l_returnflag,
                CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_orders
@@ -412,7 +417,7 @@ object Aggregates {
                      bitmap_bucket_number(l_orderkey) AS bkt,
                      bitmap_construct_agg(bitmap_bit_position(l_orderkey))
                        AS bm
-              FROM lineitem
+              FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
               GROUP BY 1, 2)
         GROUP BY l_returnflag""")
     },

@@ -390,8 +390,12 @@ object Sampling {
       df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
     def model(df: org.apache.spark.sql.DataFrame, n: String) =
       toks(df).groupBy(col("w")).agg(count(lit(1)).as(n))
-    val raw = model(pool, "n_raw")
-    val tgt = model(target, "n_tgt")
+    // vocab-bounded model tables, each consumed twice (its total + the
+    // scoring join) — persist() so each corpus explode+count runs ONCE
+    // (without it the plan re-explodes the corpus per consumer; same
+    // lesson as LmScore's bigram table)
+    val raw = model(pool, "n_raw").persist()
+    val tgt = model(target, "n_tgt").persist()
     // 1-row totals fan onto the vocab-bounded model join (the same
     // broadcast-stats pattern as nbClassify's class table)
     val totals = raw.agg(sum(col("n_raw")).as("nn_raw"))

@@ -65,7 +65,15 @@ object ScaleSmoke {
     // vocab-bounded and the scoring join is keyed on (lang, w1, w2), so
     // wall time must track the corpus linearly even at 100x duplication
     // (duplicated docs only deepen counts, never widen the model)
-    "q_text_lm_fluency")
+    "q_text_lm_fluency",
+    // round 6c: bitmap COUNT DISTINCT ships constant <=4KB bitmaps per
+    // (group, bucket) however many rows feed them; DSIR's two unigram
+    // models are vocab-bounded and scoring is two keyed joins over one
+    // token explode; priority dedup is one min-struct aggregate (the
+    // exact-dedup shuffle with a wider payload); the diversity report is
+    // two explodes + vocab-bounded aggregates
+    "q_agg_bitmap_distinct", "q_sample_dsir", "q_dedup_priority",
+    "q_text_diversity")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
