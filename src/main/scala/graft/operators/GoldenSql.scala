@@ -2119,6 +2119,55 @@ object GoldenSql {
               'b' AS elt_pick,
               '1,234,567.89' AS fmt_grouped""")
 
+  /** XML ingestion (Spark 4 ships from_xml natively — the fourth
+    * semi-structured format after JSON/CSV/VARIANT): schema-directed
+    * parsing with repeated-element arrays, the xpath extraction family
+    * (string / typed int / boolean predicate / node-list), and
+    * schema_of_xml inference. DuckDB has no XML support at all, so every
+    * cell is literal-pinned; the from_xml result goes through to_json to
+    * stay parquet-portable. */
+  val xmlFns = QueryDef.sql(
+    "q_golden_xml",
+    """SELECT to_json(from_xml('<r><a>1</a><b>x</b><b>y</b></r>',
+                               'a INT, b ARRAY<STRING>')) AS fx,
+              xpath_string('<r><a>hello</a></r>', '/r/a') AS xs,
+              xpath('<r><b>1</b><b>2</b></r>', '/r/b/text()') AS xlist,
+              CAST(xpath_int('<r><n>42</n></r>', '/r/n') AS INT) AS xi,
+              xpath_boolean('<r><a>1</a></r>', '/r/a = 1') AS xb,
+              schema_of_xml('<r><a>1</a><b>2.5</b></r>') AS sx""",
+    """SELECT '{"a":1,"b":["x","y"]}' AS fx,
+              'hello' AS xs,
+              ['1', '2'] AS xlist,
+              CAST(42 AS INT) AS xi,
+              true AS xb,
+              'STRUCT<a: BIGINT, b: DOUBLE>' AS sx""")
+
+  /** The SQL:2008 regexp report family (Spark 3.4+): regexp_count /
+    * regexp_instr / regexp_substr / regexp_like, with the DuckDB oracle
+    * COMPUTING the portable ones through its own regexp primitives
+    * (len(regexp_extract_all), regexp_extract, regexp_matches) — only the
+    * 1-based instr position is literal-pinned (DuckDB has no positional
+    * regexp search). */
+  val regexpReport = QueryDef.sql(
+    "q_golden_regexp_report",
+    """SELECT regexp_count('a1b22c333', '[0-9]+') AS rc,
+              regexp_count('aaa', 'z') AS rc_zero,
+              regexp_instr('hello world', 'o.l') AS ri,
+              regexp_substr('price: 42 usd', '[0-9]+') AS rs,
+              regexp_substr('no digits', '[0-9]+') AS rs_miss,
+              regexp_like('abc123', '^[a-z]+[0-9]+$') AS rl,
+              regexp_like('abc', '^[0-9]+$') AS rl_no""",
+    """SELECT CAST(len(regexp_extract_all('a1b22c333', '[0-9]+')) AS INT)
+                AS rc,
+              CAST(len(regexp_extract_all('aaa', 'z')) AS INT) AS rc_zero,
+              CAST(8 AS INT) AS ri,
+              regexp_extract('price: 42 usd', '[0-9]+') AS rs,
+              CASE WHEN regexp_matches('no digits', '[0-9]+')
+                   THEN regexp_extract('no digits', '[0-9]+')
+                   ELSE NULL END AS rs_miss,
+              regexp_matches('abc123', '^[a-z]+[0-9]+$') AS rl,
+              regexp_matches('abc', '^[0-9]+$') AS rl_no""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2148,5 +2197,5 @@ object GoldenSql {
     percentileWithin, cryptoHash, overlayInsert, mapConstruct,
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
-    monthsWidthBucket, tsUnitArith)
+    monthsWidthBucket, tsUnitArith, xmlFns, regexpReport)
 }
