@@ -116,6 +116,15 @@ object ops {
     graft.operators.Sampling.quotaSelect(
       df, groupCol, contentCol, tiebreakCol, budgets)
 
+  /** Exact-budget mixture construction with oversampling (multi-epoch
+    * tiers repeat, web tiers subsample; output hits each group's budget
+    * EXACTLY) — see [[graft.operators.Sampling.oversampleMix]]. `budgets`
+    * carries (groupCol, budget); returns input columns + `copy_n`. */
+  def oversampleMix(df: DataFrame, groupCol: String, contentCol: String,
+      tiebreakCol: String, budgets: DataFrame): DataFrame =
+    graft.operators.Sampling.oversampleMix(
+      df, groupCol, contentCol, tiebreakCol, budgets)
+
   /** DSIR-style importance resampling weights: per-pool-doc
     * log p_target − log p_raw under two unigram models in integer bits —
     * see [[graft.operators.Sampling.dsirWeights]]. Returns

@@ -464,7 +464,99 @@ object Sampling {
       ORDER BY weight_bits DESC, doc_id
       LIMIT 50"""))
 
+  /** Library API: exact-budget mixture construction with OVERSAMPLING —
+    * the GPT-3-style epoch mix, where high-quality tiers repeat (Wikipedia
+    * ×3.4 epochs in the published mixture) while web tiers subsample. For
+    * each group with n docs and budget b: every doc gets ⌊b/n⌋ base
+    * copies, and exactly b mod n docs — chosen deterministically in
+    * content-hash order via [[quotaSelect]], never a whole-group sort —
+    * get one extra, so the output hits b EXACTLY per group. b < n
+    * degenerates to exact subsampling (base 0, remainder b), b = n to
+    * identity, so this one primitive subsumes keep-rate mixing with exact
+    * instead of expected counts. Returns the input columns plus `copy_n`
+    * (1-based copy index).
+    *
+    * Scale shape: one tiny census aggregate, quotaSelect's bucketed
+    * remainder selection, one id-keyed membership join, then the
+    * output-sized explode — nothing shuffles more than once and no group
+    * ever funnels through a single task. */
+  def oversampleMix(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, contentCol: String, tiebreakCol: String,
+      budgets: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("os_n"))
+    val factors = budgets.join(counts, groupCol)
+      .select(col(groupCol), col("budget"),
+        expr("budget DIV os_n").as("os_base"),
+        (col("budget") % col("os_n")).as("os_rem"))
+    val extras = quotaSelect(df, groupCol, contentCol, tiebreakCol,
+        factors.select(col(groupCol), col("os_rem").as("budget")))
+      .select(col(tiebreakCol)).withColumn("os_extra", lit(1L))
+    df.join(broadcast(factors.drop("budget")), groupCol)
+      .join(extras, Seq(tiebreakCol), "left")
+      .withColumn("os_copies",
+        col("os_base") + coalesce(col("os_extra"), lit(0L)))
+      .filter(col("os_copies") > 0)
+      .withColumn("copy_n",
+        explode(sequence(lit(1L), col("os_copies"))))
+      .drop("os_base", "os_rem", "os_extra", "os_copies")
+  }
+
+  /** Oversampling mix over the fixture: per-language budgets spanning
+    * every regime — en subsamples to n/2, zh oversamples to 3n+7 (base 3
+    * copies, 7 extras), de keeps exactly n, es drops to 0, fr doubles.
+    * Reduced to the per-language census with an id·copy weighted checksum
+    * that pins the full output multiset (which docs, how many copies
+    * each); the DuckDB oracle replays the census, the hash-order remainder
+    * ranking, and the replication end to end. */
+  val oversample = QueryDef(
+    "q_sample_oversample",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val budgets = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .select(col("lang"),
+          when(col("lang") === "en", expr("n DIV 2"))
+            .when(col("lang") === "zh", col("n") * 3 + 7)
+            .when(col("lang") === "de", col("n"))
+            .when(col("lang") === "es", lit(0L))
+            .otherwise(col("n") * 2).as("budget"))
+      oversampleMix(docs, "lang", "text", "doc_id", budgets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_out"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id") * col("copy_n")).as("id_copy_sum"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      b AS (
+        SELECT lang, n,
+               CASE lang WHEN 'en' THEN n // 2
+                         WHEN 'zh' THEN n * 3 + 7
+                         WHEN 'de' THEN n
+                         WHEN 'es' THEN 0
+                         ELSE n * 2 END AS budget
+        FROM c),
+      r AS (
+        SELECT d.lang, d.doc_id,
+               b.budget // b.n AS base, b.budget % b.n AS rem,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY md5(d.text), d.doc_id) AS rk
+        FROM documents d JOIN b USING (lang)),
+      copies AS (
+        SELECT lang, doc_id,
+               base + (CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS n_copies
+        FROM r),
+      out AS (
+        SELECT lang, doc_id, u.i AS copy_n
+        FROM copies, unnest(range(1, n_copies + 1)) AS u(i)
+        WHERE n_copies > 0)
+      SELECT lang, count(*) AS n_out,
+             count(DISTINCT doc_id) AS n_docs,
+             CAST(sum(doc_id * copy_n) AS BIGINT) AS id_copy_sum
+      FROM out GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
-      unimax, epochShards, dsir)
+      unimax, epochShards, dsir, oversample)
 }

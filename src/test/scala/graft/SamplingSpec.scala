@@ -74,6 +74,32 @@ class SamplingSpec extends GraftSpecBase {
     assert(scores.sameElements(scores.sortBy(-_: Long)), "sorted by score desc")
   }
 
+  test("oversampleMix hits every budget exactly across all regimes") {
+    import sp.implicits._
+    // budgets derived from the ACTUAL per-lang counts so every regime is
+    // exercised regardless of the fixture SF: en subsamples to n/2, zh
+    // oversamples to 3n+7, de keeps n, es drops to 0, fr doubles
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("en" -> (n("en") / 2), "zh" -> (n("zh") * 3 + 7),
+      "de" -> n("de"), "es" -> 0L, "fr" -> (n("fr") * 2))
+    val budgets = want.toSeq.toDF("lang", "budget")
+    val out = ops.oversampleMix(docs, "lang", "text", "doc_id", budgets)
+    val census = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == want.filter(_._2 > 0), s"got $census want $want")
+    // copy indices are dense 1..k per doc, and exactly rem docs get base+1
+    val copies = out.filter(col("lang") === "zh")
+      .groupBy("doc_id").agg(count(lit(1)).as("k"),
+        sum(col("copy_n")).as("s")).collect()
+    copies.foreach { r =>
+      val (k, s) = (r.getLong(1), r.getLong(2))
+      assert(s == k * (k + 1) / 2, "copy_n is 1..k")
+      assert(k == 3L || k == 4L, "zh docs get base 3 or 3+1 copies")
+    }
+    assert(copies.count(_.getLong(1) == 4L) == 7, "exactly rem=7 extras")
+  }
+
   test("dsirWeights ranks target-vocab docs above off-vocab docs") {
     import sp.implicits._
     // target speaks {law, court, judge…}; the pool mixes docs written in
