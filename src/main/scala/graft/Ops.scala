@@ -116,6 +116,16 @@ object ops {
     graft.operators.Sampling.quotaSelect(
       df, groupCol, contentCol, tiebreakCol, budgets)
 
+  /** Near-dup-leakage-safe train/val/test split: every near-duplicate
+    * cluster splits as a unit (members key off the representative's
+    * content), so no near-dup pair can straddle train/test — see
+    * [[graft.operators.Sampling.leakageSafeSplit]]. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.5,
+      splitCol: String = "split"): DataFrame =
+    graft.operators.Sampling.leakageSafeSplit(
+      docs, idCol, textCol, threshold, splitCol)
+
   /** Exact-budget mixture construction with oversampling (multi-epoch
     * tiers repeat, web tiers subsample; output hits each group's budget
     * EXACTLY) — see [[graft.operators.Sampling.oversampleMix]]. `budgets`

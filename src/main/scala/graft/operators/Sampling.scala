@@ -556,7 +556,97 @@ object Sampling {
              CAST(sum(doc_id * copy_n) AS BIGINT) AS id_copy_sum
       FROM out GROUP BY 1"""))
 
+  /** Library API: near-dup-LEAKAGE-SAFE train/val/test split. The naive
+    * content-hash split ([[withHashSplit]]) puts two near-duplicate
+    * documents in different splits ~37% of the time (independent hashes) —
+    * test-set leakage, the exact failure benchmark decontamination exists
+    * to catch. Here every near-dup CLUSTER splits as a unit: deterministic
+    * n-gram Jaccard pairs ([[Dedup.ngramJaccardPairs]], ≥ `threshold`) →
+    * connected components ([[Dedup.componentLabels]]) → every member keys
+    * its split off the cluster REPRESENTATIVE's content (min-id member),
+    * singletons off their own. Same 12/2/2 nibble rule as the naive split,
+    * so ratios are preserved; co-assignment becomes structural.
+    *
+    * Scale shape: the pair/CC stages are the curation pipeline's (blocked
+    * candidates, pointer-jumping CC — run AFTER exact dedup); the rep-text
+    * lookup is one id-keyed join; the split itself stays a map. */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5, splitCol: String = "split")
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = Dedup.componentLabels(pairs)
+    val withRep = docs.join(labels, docs(idCol) === labels("doc"), "left")
+      .withColumn("rep_id", coalesce(col("label"), col(idCol)))
+      .drop("doc", "label")
+    val repText = docs.select(col(idCol).as("rep_id"),
+      col(textCol).as("ls_rep_text"))
+    withHashSplit(withRep.join(repText, "rep_id"), "ls_rep_text", splitCol)
+      .drop("ls_rep_text")
+  }
+
+  /** Leakage-safe split over the fixture, reduced to the per-split census
+    * (docs, clusters, id checksum). The DuckDB oracle replays candidate
+    * pairs, the transitive closure (recursive CTE), representative
+    * selection, and the nibble rule end to end — and the spec asserts the
+    * invariant the operator exists for: ZERO near-dup pairs straddle a
+    * split boundary. */
+  val leakageSplit = QueryDef(
+    "q_sample_leakage_split",
+    (spark, dir) => {
+      leakageSafeSplit(Tables(spark, dir, "documents"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep_id")).as("n_clusters"),
+          sum(col("doc_id")).as("id_sum"))
+    },
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, substring(text, 1, 40) AS blk,
+                     """ + Dedup.duckShingles + """ AS grams
+              FROM documents) a
+        JOIN (SELECT doc_id, substring(text, 1, 40) AS blk,
+                     """ + Dedup.duckShingles + """ AS grams
+              FROM documents) b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS doc FROM edges),
+      reach(doc, r) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT reach.doc, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src),
+      lbl AS (
+        SELECT doc, min(r) AS label FROM reach GROUP BY doc),
+      rep AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(l.label, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc),
+      keyed AS (
+        SELECT rep.doc_id, rep.rep_id, rt.text AS rep_text
+        FROM rep JOIN documents rt ON rep.rep_id = rt.doc_id),
+      assigned AS (
+        SELECT doc_id, rep_id, CASE
+          WHEN substring(md5(rep_text), 1, 1) IN
+            ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+          WHEN substring(md5(rep_text), 1, 1) IN ('c', 'd') THEN 'val'
+          ELSE 'test' END AS split
+        FROM keyed)
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT rep_id) AS n_clusters,
+             CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM assigned GROUP BY 1"""))
+
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
-      unimax, epochShards, dsir, oversample)
+      unimax, epochShards, dsir, oversample, leakageSplit)
 }

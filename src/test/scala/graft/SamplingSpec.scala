@@ -100,6 +100,27 @@ class SamplingSpec extends GraftSpecBase {
     assert(copies.count(_.getLong(1) == 4L) == 7, "exactly rem=7 extras")
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles a split boundary") {
+    val assigned = ops.leakageSafeSplit(docs)
+      .select(col("doc_id"), col("split"), col("rep_id"))
+    val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    val n_pairs = pairs.count()
+    assert(n_pairs > 0, "fixture must contain near-dup pairs")
+    val straddling = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling of $n_pairs pairs leak")
+    // all three splits populated and every doc assigned exactly once
+    val census = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census.keySet == Set("train", "val", "test"), s"got $census")
+    assert(census.values.sum == docs.count())
+  }
+
   test("dsirWeights ranks target-vocab docs above off-vocab docs") {
     import sp.implicits._
     // target speaks {law, court, judge…}; the pool mixes docs written in
