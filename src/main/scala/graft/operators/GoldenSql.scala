@@ -2168,6 +2168,25 @@ object GoldenSql {
               regexp_matches('abc123', '^[a-z]+[0-9]+$') AS rl,
               regexp_matches('abc', '^[0-9]+$') AS rl_no""")
 
+  /** ORDER BY ALL (the DuckDB-origin shorthand Spark 4 adopted: sort by
+    * every SELECT column left-to-right) — the sort-normalizing hash
+    * compare can't see ordering, so the pin is LIMIT 1 over rows where
+    * only the second column breaks the tie; plus derived-table COLUMN-LIST
+    * aliasing `AS v(big, small)` with the sort keyed off an aliased column
+    * the SELECT list drops (hidden-column ordering, materialized via
+    * row_number). */
+  val orderByAll = QueryDef.sqlSame(
+    "q_golden_order_all",
+    """SELECT * FROM (
+         SELECT x, y FROM (VALUES (2, 'b'), (1, 'c'), (2, 'a')) AS t(x, y)
+         ORDER BY ALL LIMIT 1) first_of_all
+       CROSS JOIN (
+         SELECT big, CAST(row_number() OVER (ORDER BY small) AS INT)
+                  AS rn_hidden
+         FROM (SELECT x * 10 AS big, y AS small
+               FROM (VALUES (3, 'c'), (1, 'a'), (2, 'b')) AS raw(x, y))
+              AS v(big, small)) hidden_order""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2197,5 +2216,5 @@ object GoldenSql {
     percentileWithin, cryptoHash, overlayInsert, mapConstruct,
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
-    monthsWidthBucket, tsUnitArith, xmlFns, regexpReport)
+    monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll)
 }

@@ -73,7 +73,12 @@ object ScaleSmoke {
     // exact-dedup shuffle with a wider payload); the diversity report is
     // two explodes + vocab-bounded aggregates
     "q_agg_bitmap_distinct", "q_sample_dsir", "q_dedup_priority",
-    "q_text_diversity")
+    "q_text_diversity",
+    // round 6d: oversampling explodes to the OUTPUT size (bounded by the
+    // budgets, not the corpus); the leakage split rides the same pair/CC
+    // machinery as the curation pipeline (run AFTER exact dedup at scale)
+    // plus one id-keyed rep lookup
+    "q_sample_oversample", "q_sample_leakage_split")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
