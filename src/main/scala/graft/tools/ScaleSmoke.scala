@@ -76,9 +76,11 @@ object ScaleSmoke {
     "q_text_diversity",
     // round 6d: oversampling explodes to the OUTPUT size (bounded by the
     // budgets, not the corpus); the leakage split rides the same pair/CC
-    // machinery as the curation pipeline (run AFTER exact dedup at scale)
-    // plus one id-keyed rep lookup
-    "q_sample_oversample", "q_sample_leakage_split")
+    // machinery as the curation pipeline — on a replicated corpus its raw
+    // form shares the minhash quadratic-in-duplication hazard (replica
+    // cliques), so the gate measures the composition the operator's
+    // scaladoc prescribes: exact dedup FIRST, then the split
+    "q_sample_oversample", "op_leakage_split_deduped")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
@@ -91,6 +93,21 @@ object ScaleSmoke {
         val rep = spark.read.parquet(s"$dir/embeddings_rep.parquet")
           .select(col("vec_id"), expr("quantize_i8(embedding)").as("v"))
         graft.ops.kmeansI8(rep, "vec_id", "v", k = 8, iters = 2)
+      },
+      // leakage-safe split as the pipeline runs it at scale: exact dedup
+      // collapses the replicated corpus FIRST (one md5 shuffle), so the
+      // pair/CC stages see the deduped 15k docs however many replicas the
+      // scratch dir carries — the same stage-order lever as q_docs_pipeline
+      "op_leakage_split_deduped" -> { (spark, dir) =>
+        graft.plans.GraftFunctions.ensureRegistered(spark)
+        val docs = Tables(spark, dir, "documents")
+        val deduped = docs
+          .groupBy(md5(col("text").cast("binary")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .join(docs, col("keep_id") === col("doc_id"))
+          .select(docs.columns.map(col): _*)
+        graft.ops.leakageSafeSplit(deduped)
+          .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
       })
 
   private def runner(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
@@ -171,6 +188,14 @@ object ScaleSmoke {
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, n)
       }
+      // same discipline as Verify/Bench: a query's persisted intermediates
+      // must not survive into the next measurement (a lingering
+      // 30x-replicated shingle cache OOM'd the x100 phase before this).
+      // getPersistentRDDs also reaps localCheckpoint blocks (connected
+      // components) that catalog.clearCache can't see
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val (dt, n) = (times.map(_._1).min, times.head._2)
       println(f"[scale-smoke x$factor] $name%-24s rows=$n%-9d ${dt}%.2fs")
       name -> dt
