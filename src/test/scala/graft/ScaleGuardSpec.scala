@@ -87,6 +87,9 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   tfidf/nb
       "q_ds_weekday_pivot_ratio",                   //   frames cross-joined
       "q_golden_nth_value",                         //   4-row VALUES constant
+      "q_golden_order_all",                         //   1-row LIMIT x 3-row
+                                                    //   VALUES cross join
+                                                    //   (bounded constants)
       "q_ds_interval_range_window",                 // global RANGE window
                                                     //   over the post-agg
                                                     //   day-grain series
