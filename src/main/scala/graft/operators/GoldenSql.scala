@@ -2187,6 +2187,42 @@ object GoldenSql {
                FROM (VALUES (3, 'c'), (1, 'a'), (2, 'b')) AS raw(x, y))
               AS v(big, small)) hidden_order""")
 
+  /** Unicode semantics: what IS portable (codepoint-counted length —
+    * emoji 1, a 5-codepoint ZWJ family sequence 5, multibyte-aware
+    * substring, codepoint-order reverse, ascii/chr at 233, octet vs bit vs
+    * char length of a 2-byte char) and what is NOT — Java/ICU FULL case
+    * mapping expands 'ß'→'SS' and the 'ﬁ' ligature→'FI' and lowercases
+    * dotted-İ to i+combining-dot (2 codepoints), where DuckDB maps
+    * 1:1 ('ẞ', 'ﬁ' unchanged, bare 'i'). The divergent cells pin Spark's
+    * documented behavior as literals on the DuckDB side; the engine
+    * promise is the JVM mapping. */
+  val unicodeSemantics = QueryDef.sql(
+    "q_golden_unicode",
+    """SELECT length('straße') AS len_sz,
+              length('👍') AS len_emoji,
+              length('👨‍👩‍👧') AS len_zwj,
+              substring('héllo', 2, 3) AS sub_acc,
+              reverse('abc👍') AS rev,
+              ascii('é') AS asc_e,
+              chr(233) AS chr_e,
+              octet_length('é') AS oct_e,
+              bit_length('é') AS bit_e,
+              upper('straße') AS up_full,
+              upper('ﬁx') AS up_lig,
+              lower('İ') = 'i' AS low_dotted_is_bare_i""",
+    """SELECT CAST(length('straße') AS INT) AS len_sz,
+              CAST(length('👍') AS INT) AS len_emoji,
+              CAST(length('👨‍👩‍👧') AS INT) AS len_zwj,
+              substring('héllo', 2, 3) AS sub_acc,
+              reverse('abc👍') AS rev,
+              CAST(ascii('é') AS INT) AS asc_e,
+              chr(233) AS chr_e,
+              CAST(octet_length(encode('é')) AS INT) AS oct_e,
+              CAST(bit_length('é') AS INT) AS bit_e,
+              'STRASSE' AS up_full,
+              'FIX' AS up_lig,
+              false AS low_dotted_is_bare_i""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2216,5 +2252,6 @@ object GoldenSql {
     percentileWithin, cryptoHash, overlayInsert, mapConstruct,
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
-    monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll)
+    monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll,
+    unicodeSemantics)
 }

@@ -158,4 +158,40 @@ class PropertySpec extends AnyFunSuite {
       operators.Bpe.encodeWord(w, merges).mkString("") == w + "</w>"
     })
   }
+
+  test("oversampleMix: exact budgets, dense copy indices, determinism " +
+      "for arbitrary group sizes and budget regimes") {
+    val caseGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 12),     // group size
+      Gen.chooseNum(0L, 40L))   // budget (sub-, exact-, over-sampling)
+    ).map(_.take(4))
+    check("oversample", Prop.forAll(caseGen) { cases =>
+      val rows = cases.zipWithIndex.flatMap { case ((n, _), g) =>
+        (0 until n).map(i =>
+          Row(s"g$g", (g * 1000 + i).toLong, s"text $g $i payload"))
+      }
+      val schema = StructType(Seq(
+        StructField("grp", StringType),
+        StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      val budgets = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cases.zipWithIndex.map { case ((_, b), g) => Row(s"g$g", b) }),
+        StructType(Seq(StructField("grp", StringType),
+          StructField("budget", LongType))))
+      val out = operators.Sampling
+        .oversampleMix(df, "grp", "text", "doc_id", budgets)
+        .select("grp", "doc_id", "copy_n").collect()
+      val byGroup = out.groupBy(_.getString(0))
+      cases.zipWithIndex.forall { case ((_, b), g) =>
+        byGroup.getOrElse(s"g$g", Array.empty).length.toLong == b
+      } && byGroup.values.flatten.groupBy(r => (r.getString(0), r.getLong(1)))
+        .forall { case (_, copies) =>
+          // per doc: copy_n is exactly 1..k
+          copies.map(_.getLong(2)).toSet == (1L to copies.size).toSet
+        }
+    })
+  }
 }
