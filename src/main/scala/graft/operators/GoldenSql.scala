@@ -2223,6 +2223,55 @@ object GoldenSql {
               'FIX' AS up_lig,
               false AS low_dotted_is_bare_i""")
 
+  /** Spark 4 SQL scripting surface: session variables (DECLARE OR REPLACE
+    * / SET VAR, referenced from query text), EXECUTE IMMEDIATE with a
+    * named USING parameter, and the IDENTIFIER() clause resolving a table
+    * name from that parameter — the parameterized-SQL toolkit. DuckDB has
+    * none of the three; the oracle computes the same result directly. */
+  val sqlScripting = QueryDef(
+    "q_golden_sql_scripting",
+    (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql("DECLARE OR REPLACE VARIABLE graft_region INT DEFAULT 0")
+      spark.sql("SET VAR graft_region = 1")
+      spark.sql("""EXECUTE IMMEDIATE
+        'SELECT graft_region AS region_var, graft_region * 2 AS region_x2,
+                count(*) AS n_nations
+         FROM IDENTIFIER(:tbl) WHERE n_regionkey = graft_region'
+        USING 'nation' AS tbl""")
+    },
+    Some("""
+      SELECT CAST(1 AS INT) AS region_var, CAST(2 AS INT) AS region_x2,
+             count(*) AS n_nations
+      FROM nation WHERE n_regionkey = 1"""))
+
+  /** arrays_zip null-padding (shorter arrays pad the struct slot with
+    * null — the third element keeps only field "0" in json), distinct-key
+    * map_concat and map_from_entries construction (the duplicate-key
+    * EXCEPTION policy is pinned in SemanticsSpec's error battery), and the
+    * try_ siblings that close out the family: try_url_decode on a
+    * malformed %-escape, try_to_timestamp both ways, try_mod by zero. All
+    * literal-pinned (DuckDB's list_zip shapes json differently and has no
+    * try_ family). */
+  val arraysZipTry = QueryDef.sql(
+    "q_golden_arrays_zip_try",
+    """SELECT to_json(arrays_zip(array(1,2,3), array('a','b'))) AS az,
+              to_json(map_concat(map('a',1,'b',2), map('c',3))) AS mc,
+              to_json(map_from_entries(array(struct(1,'x'), struct(2,'y'))))
+                AS mfe,
+              try_url_decode('%zz') AS tud,
+              CAST(try_to_timestamp('not a ts') AS STRING) AS tts_bad,
+              CAST(try_to_timestamp('2021-07-11 06:30:45') AS STRING)
+                AS tts_ok,
+              try_mod(7, 0) AS tmod""",
+    """SELECT '[{"0":1,"1":"a"},{"0":2,"1":"b"},{"0":3}]' AS az,
+              '{"a":1,"b":2,"c":3}' AS mc,
+              '{"1":"x","2":"y"}' AS mfe,
+              CAST(NULL AS VARCHAR) AS tud,
+              CAST(NULL AS VARCHAR) AS tts_bad,
+              '2021-07-11 06:30:45' AS tts_ok,
+              CAST(NULL AS INT) AS tmod""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2253,5 +2302,5 @@ object GoldenSql {
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
     monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll,
-    unicodeSemantics)
+    unicodeSemantics, sqlScripting, arraysZipTry)
 }

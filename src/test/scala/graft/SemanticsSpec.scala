@@ -103,6 +103,8 @@ class SemanticsSpec extends GraftSpecBase {
       .startsWith("NUMERIC_VALUE_OUT_OF_RANGE"))
     assert(errorClassOf("SELECT to_timestamp('31/99/2015', 'dd/MM/yyyy')")
       .startsWith("CANNOT_PARSE_TIMESTAMP"))
+    assert(errorClassOf("SELECT map_concat(map('a',1), map('a',9))")
+      == "DUPLICATED_MAP_KEY")
     // and the try_-family siblings swallow exactly these into NULL
     val r = spark.sql(
       """SELECT try_divide(1, 0) a, try_cast('x' AS INT) b,
