@@ -2272,6 +2272,36 @@ object GoldenSql {
               '2021-07-11 06:30:45' AS tts_ok,
               CAST(NULL AS INT) AS tmod""")
 
+  /** ANSI interval-type breadth beyond the timestamp-shift basics: the TWO
+    * Spark interval families (year-month vs day-time, each with its
+    * multi-field literal form and canonical string rendering), interval
+    * division and scalar multiplication staying inside the family,
+    * EXTRACT from an interval, cross-unit comparison (1 day > 23 hours),
+    * and date subtraction producing a DAY interval. DuckDB has one
+    * unified interval type with different rendering, so every cell is
+    * literal-pinned to Spark's documented output. */
+  val intervalBreadth = QueryDef.sql(
+    "q_golden_interval_types",
+    """SELECT CAST(INTERVAL '1-2' YEAR TO MONTH AS STRING) AS ym_lit,
+              CAST(INTERVAL '3 04:05:06' DAY TO SECOND AS STRING) AS dt_lit,
+              CAST(INTERVAL '10' HOUR / 4 AS STRING) AS dt_div,
+              CAST(INTERVAL 2 MONTH * 3 AS STRING) AS ym_mul,
+              CAST(extract(HOUR FROM INTERVAL '3 04:05:06' DAY TO SECOND)
+                   AS INT) AS ext_hour,
+              INTERVAL 1 DAY > INTERVAL 23 HOUR AS day_gt_23h,
+              CAST(DATE '2021-03-01' - DATE '2021-02-27' AS STRING)
+                AS date_diff_iv,
+              CAST(INTERVAL '1' MONTH + INTERVAL '1' MONTH AS STRING)
+                AS ym_add""",
+    """SELECT 'INTERVAL ''1-2'' YEAR TO MONTH' AS ym_lit,
+              'INTERVAL ''3 04:05:06'' DAY TO SECOND' AS dt_lit,
+              'INTERVAL ''0 02:30:00'' DAY TO SECOND' AS dt_div,
+              'INTERVAL ''0-6'' YEAR TO MONTH' AS ym_mul,
+              CAST(4 AS INT) AS ext_hour,
+              true AS day_gt_23h,
+              'INTERVAL ''2'' DAY' AS date_diff_iv,
+              'INTERVAL ''2'' MONTH' AS ym_add""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2302,5 +2332,5 @@ object GoldenSql {
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
     monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll,
-    unicodeSemantics, sqlScripting, arraysZipTry)
+    unicodeSemantics, sqlScripting, arraysZipTry, intervalBreadth)
 }
