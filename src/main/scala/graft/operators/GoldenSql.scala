@@ -2302,6 +2302,39 @@ object GoldenSql {
               'INTERVAL ''2'' DAY' AS date_diff_iv,
               'INTERVAL ''2'' MONTH' AS ym_add""")
 
+  /** Lambda scoping in higher-order functions — inner variables SHADOW
+    * outer ones of the same name, and non-shadowed outer variables are
+    * captured as closures — computed on both engines (Spark transform vs
+    * DuckDB list_transform: same scoping rules, pinned equal); the
+    * (element, index) lambda arity with its 0-based index (DuckDB has no
+    * index form — literal); and the regex-ENGINE boundary: Java regex
+    * supports lookahead/lookbehind, DuckDB's RE2 matches nothing for the
+    * same pattern — the Spark behavior is the engine promise, pinned as
+    * literals. */
+  val lambdaScopeRegex = QueryDef.sql(
+    "q_golden_lambda_scope",
+    """SELECT to_json(transform(array(1,2),
+                x -> transform(array(10,20), x -> x + 1))) AS shadow,
+              to_json(transform(array(1,2),
+                x -> transform(array(10,20), y -> x * 100 + y)))
+                AS capture,
+              to_json(transform(array(1,2,3), (x, i) -> x * 10 + i))
+                AS with_idx,
+              to_json(filter(array(1,2,3,4), (x, i) -> i % 2 = 0))
+                AS filter_idx,
+              regexp_extract('foobar', 'foo(?=bar)', 0) AS lookahead,
+              regexp_extract('price 42 and 7', '(?<!4)\\d', 0)
+                AS lookbehind""",
+    """SELECT to_json(list_transform([1,2],
+                x -> list_transform([10,20], x -> x + 1))) AS shadow,
+              to_json(list_transform([1,2],
+                x -> list_transform([10,20], y -> x * 100 + y)))
+                AS capture,
+              '[10,21,32]' AS with_idx,
+              '[1,3]' AS filter_idx,
+              'foo' AS lookahead,
+              '4' AS lookbehind""")
+
   val all: Seq[QueryDef] = Seq(
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
@@ -2332,5 +2365,6 @@ object GoldenSql {
     splitEdge, charFns, nullifFamily, arrayAggOrder, groupingSetsDup,
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
     monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll,
-    unicodeSemantics, sqlScripting, arraysZipTry, intervalBreadth)
+    unicodeSemantics, sqlScripting, arraysZipTry, intervalBreadth,
+    lambdaScopeRegex)
 }
