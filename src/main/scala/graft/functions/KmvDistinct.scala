@@ -189,7 +189,10 @@ object KmvCodec {
   def estimateDet(buf: KmvBuffer, k: Int): Long = {
     val (size, kth) = buf.sizeAndKth
     if (size < k) size.toLong
-    else ((k - 1).toLong << 48) / kth
+    // kth == 0 (a value whose md5 prefix is all-zero is the k-th minimum,
+    // ~2^-48 per distinct) would divide by zero: treat the hash floor as 1
+    // — a bounded estimator error instead of a crash.
+    else ((k - 1).toLong << 48) / math.max(kth, 1L)
   }
   def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buf.keptCount)
@@ -260,7 +263,7 @@ object KmvSetOps {
     val jac = both.toDouble / taken.toDouble
     val unionEst =
       if (taken < k) taken.toLong // both sketches exhausted: exact hash count
-      else if (det) ((k - 1).toLong << 48) / last
+      else if (det) ((k - 1).toLong << 48) / math.max(last, 1L)
       else {
         val u = if (last >= 0) last.toDouble
                 else last.toDouble + 1.8446744073709552e19

@@ -1891,15 +1891,24 @@ object GoldenSql {
     * explicitly in list_sort — the oracle states each one. */
   val arraySortNulls = QueryDef.sql(
     "q_golden_array_sort_nulls",
-    """SELECT sort_array(array('b', NULL, 'a'))        AS asc_nulls_first,
-              sort_array(array('b', NULL, 'a'), false) AS desc_nulls_last,
-              array_sort(array('b', NULL, 'a'))        AS sort_nulls_last""",
-    """SELECT list_sort(['b', NULL, 'a'], 'ASC',  'NULLS FIRST')
+    // array_join(…, ',', '∅') flattens the list cells to STRING so the
+    // driver's pandas comparator can sort them (list cells break its
+    // sort_values); the '∅' null-replacement keeps the NULL slot visible.
+    """SELECT array_join(sort_array(array('b', NULL, 'a')), ',', '∅')
                 AS asc_nulls_first,
-              list_sort(['b', NULL, 'a'], 'DESC', 'NULLS LAST')
+              array_join(sort_array(array('b', NULL, 'a'), false), ',', '∅')
                 AS desc_nulls_last,
-              list_sort(['b', NULL, 'a'], 'ASC',  'NULLS LAST')
-                AS sort_nulls_last""")
+              array_join(array_sort(array('b', NULL, 'a')), ',', '∅')
+                AS sort_nulls_last""",
+    """SELECT array_to_string(list_transform(
+                list_sort(['b', NULL, 'a'], 'ASC',  'NULLS FIRST'),
+                x -> coalesce(x, '∅')), ',') AS asc_nulls_first,
+              array_to_string(list_transform(
+                list_sort(['b', NULL, 'a'], 'DESC', 'NULLS LAST'),
+                x -> coalesce(x, '∅')), ',') AS desc_nulls_last,
+              array_to_string(list_transform(
+                list_sort(['b', NULL, 'a'], 'ASC',  'NULLS LAST'),
+                x -> coalesce(x, '∅')), ',') AS sort_nulls_last""")
 
   /** C-style formatting (reference: sql-tests/inputs/string-functions.sql
     * format_string rows): zero-padded ints, strings, lowercase hex,
@@ -2131,13 +2140,14 @@ object GoldenSql {
     """SELECT to_json(from_xml('<r><a>1</a><b>x</b><b>y</b></r>',
                                'a INT, b ARRAY<STRING>')) AS fx,
               xpath_string('<r><a>hello</a></r>', '/r/a') AS xs,
-              xpath('<r><b>1</b><b>2</b></r>', '/r/b/text()') AS xlist,
+              array_join(xpath('<r><b>1</b><b>2</b></r>', '/r/b/text()'),
+                         ',') AS xlist,
               CAST(xpath_int('<r><n>42</n></r>', '/r/n') AS INT) AS xi,
               xpath_boolean('<r><a>1</a></r>', '/r/a = 1') AS xb,
               schema_of_xml('<r><a>1</a><b>2.5</b></r>') AS sx""",
     """SELECT '{"a":1,"b":["x","y"]}' AS fx,
               'hello' AS xs,
-              ['1', '2'] AS xlist,
+              '1,2' AS xlist,
               CAST(42 AS INT) AS xi,
               true AS xb,
               'STRUCT<a: BIGINT, b: DOUBLE>' AS sx""")

@@ -489,11 +489,14 @@ object Sampling {
       .select(col(groupCol), col("budget"),
         expr("budget DIV os_n").as("os_base"),
         (col("budget") % col("os_n")).as("os_rem"))
+    // Extras membership is keyed on (group, tiebreak), not tiebreak alone:
+    // a tiebreak value repeated in another group must not inherit (or fan
+    // out) this group's remainder slot.
     val extras = quotaSelect(df, groupCol, contentCol, tiebreakCol,
         factors.select(col(groupCol), col("os_rem").as("budget")))
-      .select(col(tiebreakCol)).withColumn("os_extra", lit(1L))
+      .select(col(groupCol), col(tiebreakCol)).withColumn("os_extra", lit(1L))
     df.join(broadcast(factors.drop("budget")), groupCol)
-      .join(extras, Seq(tiebreakCol), "left")
+      .join(extras, Seq(groupCol, tiebreakCol), "left")
       .withColumn("os_copies",
         col("os_base") + coalesce(col("os_extra"), lit(0L)))
       .filter(col("os_copies") > 0)
