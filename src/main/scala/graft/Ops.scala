@@ -139,7 +139,13 @@ object ops {
     * log p_target − log p_raw under two unigram models in integer bits —
     * see [[graft.operators.Sampling.dsirWeights]]. Returns
     * `(idCol, weight_bits, n_tokens)`; rank by weight DESC for the most
-    * target-like documents. */
+    * target-like documents.
+    *
+    * Caching contract: the two vocab-bounded unigram model tables backing
+    * the returned frame are persist()ed (so each corpus explode+count runs
+    * once). After the consuming action, release them with
+    * `spark.catalog.clearCache()` (or unpersist the specific tables) —
+    * repeated calls otherwise accumulate cached model tables. */
   def dsirWeights(pool: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     graft.operators.Sampling.dsirWeights(pool, target, textCol, idCol)
@@ -291,7 +297,12 @@ object ops {
   /** CCNet-style perplexity filter: per-document fluency scores under a
     * per-language bigram LM (integer-bits surprise — deterministic across
     * engines). Train on `modelDocs` (a curated reference corpus) or, by
-    * default, the scored corpus itself. */
+    * default, the scored corpus itself.
+    *
+    * Caching contract: the vocab-bounded bigram model table backing the
+    * returned frame is persist()ed; release it after the consuming action
+    * with `spark.catalog.clearCache()` — repeated calls otherwise
+    * accumulate cached model tables. */
   def fluencyScores(docs: DataFrame, textCol: String = "text",
       langCol: String = "lang", idCol: String = "doc_id",
       gateBits: Double = 6.0, modelDocs: DataFrame = null): DataFrame =
@@ -307,10 +318,51 @@ object ops {
     operators.Dedup.semanticDecontaminate(train, eval, idCol, embCol, tau)
 
   /** Multinomial Naive Bayes classifier with integer-bits log-probs
-    * (deterministic; classifier-based quality/language filtering). */
+    * (deterministic; classifier-based quality/language filtering).
+    *
+    * Caching contract: the vocab-bounded class-count model table backing
+    * the returned frame is persist()ed; release it after the consuming
+    * action with `spark.catalog.clearCache()` — repeated calls otherwise
+    * accumulate cached model tables. */
   def nbClassify(docs: DataFrame, textCol: String = "text",
       labelCol: String = "lang", idCol: String = "doc_id"): DataFrame =
     operators.LmScore.nbClassify(docs, textCol, labelCol, idCol)
+
+  /** Exact dedup over a BINARY column: one md5-fingerprint hash aggregate
+    * keeping the lowest-id copy of each distinct blob — see
+    * [[graft.operators.Multimodal.dedupBlobs]]. */
+  def dedupBlobs(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    operators.Multimodal.dedupBlobs(df, idCol, blobCol)
+
+  /** Quantized byte-histogram near-dup blocking signature for binary
+    * payloads (16 buckets over the first `maxBytes` bytes) — see
+    * [[graft.operators.Multimodal.blobHistogramSig]]. Returns
+    * `(idCol, bh_sig)`; self-join on `bh_sig` for candidate pairs. */
+  def blobHistogramSig(df: DataFrame, idCol: String, blobCol: String,
+      maxBytes: Int = 256, quant: Int = 2): DataFrame =
+    operators.Multimodal.blobHistogramSig(df, idCol, blobCol, maxBytes, quant)
+
+  /** MMC4-style interleaved multimodal sequence packing: items (text
+    * chunks, image placeholders) → fixed token windows per partition key
+    * in a pinned order, ONE running-sum window per partition — see
+    * [[graft.operators.Multimodal.interleavePack]]. Adds `seq_id`. */
+  def interleavePack(items: DataFrame, partCol: String,
+      orderCols: Seq[String], tokensCol: String,
+      windowTokens: Int): DataFrame =
+    operators.Multimodal.interleavePack(
+      items, partCol, orderCols, tokensCol, windowTokens)
+
+  /** Parse a BMP (BITMAPFILEHEADER+BITMAPINFOHEADER) header out of a
+    * binary column → struct(magic_ok, file_bytes, width, height, channels,
+    * bpp, img_bytes) — see [[graft.operators.Multimodal.bmpMeta]]. */
+  def bmpMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Multimodal.bmpMeta(blob)
+
+  /** Parse a canonical WAV/RIFF header out of a binary column →
+    * struct(riff_ok, n_channels, sample_rate, byte_rate, bits, data_bytes)
+    * — see [[graft.operators.Multimodal.wavMeta]]. */
+  def wavMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Multimodal.wavMeta(blob)
 
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,

@@ -2345,7 +2345,115 @@ object GoldenSql {
               'foo' AS lookahead,
               '4' AS lookbehind""")
 
+  // ------------------------------------------------------------- batch 21
+
+  /** SQL:2011 window frame EXCLUDE semantics. Spark 4's grammar has NO
+    * EXCLUDE clause (SqlBaseParser.windowFrame carries only frame bounds —
+    * verified against the 4.1.2 parser), so the engine's portable spelling
+    * is frame arithmetic: EXCLUDE CURRENT ROW = frame sum − x, EXCLUDE
+    * GROUP = total − peer-group sum, EXCLUDE TIES = total − peers + x.
+    * The DuckDB oracle runs the NATIVE EXCLUDE clause, so this golden
+    * proves the emulation implements the standard's semantics exactly. */
+  lazy val windowExclude = QueryDef.sql(
+    "q_golden_window_exclude",
+    """WITH t AS (SELECT x, g FROM VALUES
+         (1,1),(2,1),(3,2),(4,2),(5,2),(6,3) AS v(x, g))
+       SELECT x,
+         CAST(sum(x) OVER (ORDER BY x
+                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) - x AS BIGINT)
+           AS s_excl_cur,
+         CAST(sum(x) OVER () - sum(x) OVER (PARTITION BY g) AS BIGINT)
+           AS s_excl_grp,
+         CAST(sum(x) OVER () - sum(x) OVER (PARTITION BY g) + x AS BIGINT)
+           AS s_excl_ties,
+         CAST(sum(x) OVER () AS BIGINT) AS s_no_others
+       FROM t""",
+    """WITH t(x, g) AS (VALUES (1,1),(2,1),(3,2),(4,2),(5,2),(6,3))
+       SELECT x,
+         CAST(sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND
+              1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s_excl_cur,
+         CAST(sum(x) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND
+              UNBOUNDED FOLLOWING EXCLUDE GROUP) AS BIGINT) AS s_excl_grp,
+         CAST(sum(x) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND
+              UNBOUNDED FOLLOWING EXCLUDE TIES) AS BIGINT) AS s_excl_ties,
+         CAST(sum(x) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND
+              UNBOUNDED FOLLOWING EXCLUDE NO OTHERS) AS BIGINT)
+           AS s_no_others
+       FROM t""")
+
+  /** TABLESAMPLE row-count invariants: the spellings are engine-specific
+    * (Spark TABLESAMPLE (n ROWS / p PERCENT), DuckDB USING SAMPLE), so the
+    * oracle pins the COUNTS, which the standard fixes: n ROWS yields
+    * exactly n (corpus permitting), 100 PERCENT yields everything, 0
+    * PERCENT yields nothing. Seeded REPEATABLE determinism is pinned in
+    * SemanticsSpec (two runs, identical row sets). */
+  lazy val tablesamplePins = QueryDef(
+    "q_golden_tablesample",
+    (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT (SELECT count(*) FROM lineitem TABLESAMPLE (50 ROWS))
+                 AS n_rows50,
+               (SELECT count(*) FROM lineitem TABLESAMPLE (100 PERCENT))
+                 AS n_pct100,
+               (SELECT count(*) FROM lineitem TABLESAMPLE (0 PERCENT))
+                 AS n_pct0,
+               (SELECT count(*) FROM lineitem) AS n_all""")
+    },
+    Some("""
+      SELECT 50 AS n_rows50, count(*) AS n_pct100, 0 AS n_pct0,
+             count(*) AS n_all
+      FROM lineitem"""))
+
+  /** LATERAL VIEW OUTER json_tuple: the multi-path JSON generator the
+    * reference whitelists only as row-fallback (get_json_object family).
+    * Pins: present key, missing key → NULL, malformed JSON → all-NULL row
+    * KEPT (OUTER), NULL input → all-NULL row kept. Constant inputs, so
+    * the DuckDB oracle is the literal truth table. */
+  lazy val lateralJsonTuple = QueryDef.sql(
+    "q_golden_lateral_json_tuple",
+    """SELECT id, a, b
+       FROM (SELECT id, js FROM VALUES
+              (1, '{"a":"x","b":"y"}'),
+              (2, '{"a":"only_a"}'),
+              (3, 'not json'),
+              (4, CAST(NULL AS STRING)) AS t(id, js))
+       LATERAL VIEW OUTER json_tuple(js, 'a', 'b') jt AS a, b""",
+    """SELECT id, a, b FROM (VALUES
+        (1, 'x', 'y'),
+        (2, 'only_a', NULL),
+        (3, NULL, NULL),
+        (4, NULL, NULL)) t(id, a, b)""")
+
+  /** stack() with a non-rectangular argument list: trailing cells of the
+    * last row are NULL-padded (stack(3, …5 values) → (1,2),(3,4),(5,NULL)),
+    * and mixed-type columns widen per column, not per call. */
+  lazy val stackPadding = QueryDef.sql(
+    "q_golden_stack_padding",
+    """SELECT CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1
+       FROM (SELECT 1) LATERAL VIEW stack(3, 1, 2, 3, 4, 5) s AS c0, c1""",
+    """SELECT c0, c1 FROM (VALUES (1, 2), (3, 4), (5, NULL)) t(c0, c1)""")
+
+  /** DISTRIBUTE BY / CLUSTER BY: physical-layout directives that must not
+    * change query CONTENT (the plan shape — hash exchange, local sort, no
+    * global sort — is pinned in PlanAuditSpec). The oracle is the plain
+    * projection. */
+  lazy val distributeBy = QueryDef(
+    "q_golden_distribute_by",
+    (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_orderkey < 200
+        CLUSTER BY l_orderkey""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey < 200"""))
+
   val all: Seq[QueryDef] = Seq(
+    windowExclude, tablesamplePins, lateralJsonTuple, stackPadding,
+    distributeBy,
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
     arraySearch, arraySortNulls, printfFormat, binaryCodec,

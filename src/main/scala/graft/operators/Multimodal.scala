@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One decoded multimodal record after the (stubbed) decode stage. */
@@ -12,21 +14,447 @@ final case class MMFeature(
     byte_sum: Long,
     fp: String)
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+/** Multimodal-column operators: opaque `binary` payloads + typed metadata.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (arithmetic over the raw bytes); the
-  * Spark-side plumbing is real: binary columns, a metadata struct, a typed
-  * `Dataset[MMFeature]` produced by `mapPartitions` (the Scala analogue of a
-  * `mapInPandas` batch UDF — one iterator per partition, no per-row
-  * serialization churn), and partition-parallel execution. On a real cluster
-  * the stub body is where an image/audio library call would go, batched per
-  * partition.
+  * The pillar has four legs, all pure binary/arithmetic kernels so every
+  * query is DuckDB-oracle-checkable without any codec library:
+  *
+  *  1. container header synth + parse — REAL container layouts (BMP's
+  *     BITMAPFILEHEADER+BITMAPINFOHEADER, WAV's RIFF/fmt/data chunks)
+  *     assembled byte-for-byte from md5-derived dimensions, then parsed
+  *     BACK from the blob via binary slicing + little-endian decode. The
+  *     oracle recomputes the dimensions independently, so the checked
+  *     claim is parse∘synth ≡ identity on genuine container bytes.
+  *  2. blob dedup — exact (md5 fingerprint) and near-dup (quantized
+  *     byte-histogram signature blocking) over binary columns.
+  *  3. MMC4-style interleaved text+image sequence assembly — packing text
+  *     chunks and image placeholders into fixed token windows in a pinned
+  *     deterministic order (the running-sum pack shape, one window per
+  *     language partition — never a global sort).
+  *  4. caption↔embedding joint retrieval — documents joined to their
+  *     embedding rows, cosine top-k per caption through the custom
+  *     CosineTopKJoin plan, candidate metadata joined back on.
+  *
+  * Real image/audio codecs aren't in the container, so the frame decode in
+  * [[pipeline]] stays a clearly-marked deterministic stub; the container
+  * parsing above is NOT stubbed — those are the actual BMP/WAV byte
+  * layouts.
   *
   * Reference has no multimodal support at all — BinaryType is
   * columnar-unsupported (ConverterUtils.scala:494-508).
   */
 object Multimodal {
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Hex pair of the low byte of a long column (uppercase, zero-padded). */
+  private def bhex(v: Column): Column = lpad(hex(v.cast("long") % 256), 2, "0")
+
+  /** Little-endian hex image of the low 32 bits of a non-negative long. */
+  private def le32hex(v: Column): Column = {
+    val x = v.cast("long")
+    concat(bhex(x), bhex(shiftright(x, 8)), bhex(shiftright(x, 16)),
+      bhex(shiftright(x, 24)))
+  }
+
+  /** Little-endian hex image of the low 16 bits of a non-negative long. */
+  private def le16hex(v: Column): Column = {
+    val x = v.cast("long")
+    concat(bhex(x), bhex(shiftright(x, 8)))
+  }
+
+  /** Parse an n-byte little-endian unsigned int at 1-based byte offset
+    * `off` of a binary column: slice → hex → byte-reverse → base-16. */
+  def leDecode(blob: Column, off: Int, n: Int): Column = {
+    val h = hex(substring(blob, off, n))
+    val reordered = concat((0 until n).reverse.map(i =>
+      substring(h, i * 2 + 1, 2)): _*)
+    conv(reordered, 16, 10).cast("long")
+  }
+
+  /** md5-derived int: value of hex chars [from, from+len) of md5(text) —
+    * the cross-engine deterministic "random" source (DuckDB mirror:
+    * ('0x'||substr(md5(text),from,len))::BIGINT). */
+  private def mdInt(text: Column, from: Int, len: Int): Column =
+    conv(substring(md5(text.cast("binary")), from, len), 16, 10).cast("long")
+
+  // -------------------------------------------------- 1a. BMP synth + parse
+
+  /** Assemble a byte-exact 54-byte BMP header (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, BI_RGB) + an 8-byte payload stub for the given
+    * dimensions. Layout: 'BM', fileSize u32le, 4 reserved zero bytes,
+    * data offset 54, DIB size 40, width i32le, height i32le, planes 1,
+    * bpp u16le, compression 0, imageSize u32le, 16 trailing zero bytes. */
+  def synthBmp(width: Column, height: Column, channels: Column,
+      payloadStub: Column): Column = {
+    val imgSize = width * height * channels
+    val hdr = concat(
+      lit("424D"), le32hex(imgSize + 54), lit("00000000"), le32hex(lit(54)),
+      le32hex(lit(40)), le32hex(width), le32hex(height), le16hex(lit(1)),
+      le16hex(channels * 8), le32hex(lit(0)), le32hex(imgSize),
+      lit("00" * 16))
+    concat(unhex(hdr), payloadStub)
+  }
+
+  /** Parse a BMP header back out of the blob: every field read from the
+    * bytes (offsets are the BITMAPFILEHEADER/INFOHEADER spec positions). */
+  def bmpMeta(blob: Column): Column = struct(
+    (hex(substring(blob, 1, 2)) === "424D").as("magic_ok"),
+    leDecode(blob, 3, 4).as("file_bytes"),
+    leDecode(blob, 19, 4).as("width"),
+    leDecode(blob, 23, 4).as("height"),
+    (leDecode(blob, 29, 2) / lit(8)).cast("long").as("channels"),
+    leDecode(blob, 29, 2).as("bpp"),
+    leDecode(blob, 35, 4).as("img_bytes"))
+
+  /** Synthesize one BMP per document (dims md5-derived: width/height in
+    * 1..512, channels in {1,3,4}), then parse the header back from the
+    * assembled bytes. The oracle recomputes the dims straight from
+    * md5(text), so any byte misplaced in synth OR parse mismatches. */
+  val bmpHeader = QueryDef(
+    "q_mm_bmp_header",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val t = col("text")
+      val blobs = docs.select(col("doc_id"),
+        synthBmp(
+          mdInt(t, 1, 3) % 512 + 1,
+          mdInt(t, 4, 3) % 512 + 1,
+          when(mdInt(t, 7, 1) % 3 === 0, 1L)
+            .when(mdInt(t, 7, 1) % 3 === 1, 3L).otherwise(4L),
+          substring(t.cast("binary"), 1, 8)).as("blob"))
+      blobs.select(col("doc_id"), bmpMeta(col("blob")).as("m"))
+        .select(col("doc_id"),
+          col("m.magic_ok").cast("int").as("magic_ok"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.channels").as("channels"), col("m.bpp").as("bpp"),
+          col("m.img_bytes").as("img_bytes"),
+          col("m.file_bytes").as("file_bytes"))
+    },
+    Some("""
+      SELECT doc_id, 1 AS magic_ok, width, height, channels,
+             channels * 8 AS bpp,
+             width * height * channels AS img_bytes,
+             width * height * channels + 54 AS file_bytes
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(text), 1, 3))::BIGINT % 512 + 1
+                     AS width,
+                   ('0x' || substr(md5(text), 4, 3))::BIGINT % 512 + 1
+                     AS height,
+                   CASE ('0x' || substr(md5(text), 7, 1))::BIGINT % 3
+                     WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels
+            FROM documents)"""))
+
+  // -------------------------------------------------- 1b. WAV synth + parse
+
+  /** Assemble a byte-exact 44-byte canonical WAV (RIFF) header: 'RIFF',
+    * riffSize u32le, 'WAVE', 'fmt ', 16, PCM=1, channels u16le,
+    * sampleRate u32le, byteRate u32le, blockAlign u16le, bits u16le,
+    * 'data', dataSize u32le. */
+  def synthWav(channels: Column, sampleRate: Column, bits: Column,
+      nSamples: Column): Column = {
+    val bytesPer = (channels * bits / lit(8)).cast("long")
+    val dataSize = nSamples * bytesPer
+    unhex(concat(
+      lit("52494646"), le32hex(dataSize + 36), lit("57415645"),
+      lit("666D7420"), le32hex(lit(16)), le16hex(lit(1)), le16hex(channels),
+      le32hex(sampleRate), le32hex(sampleRate * bytesPer),
+      le16hex(bytesPer), le16hex(bits), lit("64617461"), le32hex(dataSize)))
+  }
+
+  /** Parse a canonical WAV header from the blob (RIFF spec offsets);
+    * duration from dataSize/byteRate, integer milliseconds. */
+  def wavMeta(blob: Column): Column = struct(
+    (hex(substring(blob, 1, 4)) === "52494646" &&
+      hex(substring(blob, 9, 4)) === "57415645" &&
+      hex(substring(blob, 37, 4)) === "64617461").as("riff_ok"),
+    leDecode(blob, 23, 2).as("n_channels"),
+    leDecode(blob, 25, 4).as("sample_rate"),
+    leDecode(blob, 29, 4).as("byte_rate"),
+    leDecode(blob, 35, 2).as("bits"),
+    leDecode(blob, 41, 4).as("data_bytes"))
+
+  /** One WAV per document (rate in {8000,16000,44100}, 1–2 channels, 8/16
+    * bits, ≤100k samples — all md5-derived), parsed back from the bytes;
+    * oracle recomputes the fields independently. */
+  val wavHeader = QueryDef(
+    "q_mm_wav_header",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val t = col("text")
+      val blobs = docs.select(col("doc_id"),
+        synthWav(
+          mdInt(t, 9, 1) % 2 + 1,
+          when(mdInt(t, 8, 1) % 3 === 0, 8000L)
+            .when(mdInt(t, 8, 1) % 3 === 1, 16000L).otherwise(44100L),
+          (mdInt(t, 10, 1) % 2 + 1) * 8,
+          mdInt(t, 11, 5) % 100000 + 1).as("blob"))
+      blobs.select(col("doc_id"), wavMeta(col("blob")).as("m"))
+        .select(col("doc_id"),
+          col("m.riff_ok").cast("int").as("riff_ok"),
+          col("m.n_channels").as("n_channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"),
+          col("m.data_bytes").as("data_bytes"),
+          expr("CAST(m.data_bytes * 1000 DIV m.byte_rate AS BIGINT)")
+            .as("dur_ms"))
+    },
+    Some("""
+      SELECT doc_id, 1 AS riff_ok, n_channels, sample_rate, bits,
+             n_samples * n_channels * bits // 8 AS data_bytes,
+             (n_samples * n_channels * bits // 8) * 1000
+               // (sample_rate * n_channels * bits // 8) AS dur_ms
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(text), 9, 1))::BIGINT % 2 + 1
+                     AS n_channels,
+                   CASE ('0x' || substr(md5(text), 8, 1))::BIGINT % 3
+                     WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+                     AS sample_rate,
+                   (('0x' || substr(md5(text), 10, 1))::BIGINT % 2 + 1) * 8
+                     AS bits,
+                   ('0x' || substr(md5(text), 11, 5))::BIGINT % 100000 + 1
+                     AS n_samples
+            FROM documents)"""))
+
+  // ------------------------------------------------------------ 2. blob dedup
+
+  /** Library API: exact dedup over a binary column — ONE md5-fingerprint
+    * hash aggregate keeping the lowest-id copy of every distinct blob
+    * (min_by over the full row struct, no join-back). The binary twin of
+    * [[Dedup]]'s exact text dedup; same single-shuffle 100 TB shape. */
+  def dedupBlobs(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(md5(col(blobCol)).as("bd_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("bd_row"))
+      .select(cols.map(c => col(s"bd_row.$c")): _*)
+  }
+
+  /** Quantized byte-histogram signature of the first `maxBytes` bytes of a
+    * (doc_id, blob) frame: 16 buckets of byte>>4, counts quantized by
+    * `quant`, joined into one signature string. Bounded per-row work
+    * (≤ maxBytes exploded positions), one aggregate — a pure map-side
+    * near-dup blocking key for binary payloads. */
+  def blobHistogramSig(df: DataFrame, idCol: String, blobCol: String,
+      maxBytes: Int = 256, quant: Int = 2): DataFrame = {
+    df.select(col(idCol), explode(
+        sequence(lit(1), least(length(col(blobCol)), lit(maxBytes))))
+        .as("bh_i"), col(blobCol))
+      .select(col(idCol),
+        (conv(hex(substring(col(blobCol), col("bh_i"), lit(1))), 16, 10)
+          .cast("long") / lit(16)).cast("long").as("bh_bucket"))
+      .groupBy(col(idCol), col("bh_bucket"))
+      .agg(count(lit(1)).as("bh_n"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bh_bucket"), col("bh_n")))).as("bh_m"))
+      .select(col(idCol), concat_ws(",",
+        transform(sequence(lit(0L), lit(15L)), b =>
+          (coalesce(element_at(col("bh_m"), b), lit(0L)) / lit(quant))
+            .cast("long")
+        )).as("bh_sig"))
+  }
+
+  /** Blob dedup over the corpus, treating the first 64 bytes of each
+    * document as the binary payload (the fixture's near-dups share long
+    * prefixes, so real duplicate blobs exist): exact fingerprint census +
+    * the kept-id checksum of [[dedupBlobs]]. */
+  val blobDedup = QueryDef(
+    "q_mm_blob_dedup",
+    (spark, dir) => {
+      val blobs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          substring(col("text").cast("binary"), 1, 64).as("blob"))
+      dedupBlobs(blobs, "doc_id", "blob")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_uniq_blobs"),
+          sum(col("doc_id")).as("keeper_id_sum"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_uniq_blobs,
+             CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+      FROM (SELECT min_by(source, doc_id) AS source, min(doc_id) AS keeper
+            FROM documents GROUP BY md5(substring(text, 1, 64)))
+      GROUP BY source"""))
+
+  /** Byte-histogram near-dup blocking: signature collisions → candidate
+    * pairs → confirmed by exact 64-byte-prefix identity. Census output:
+    * distinct signatures, candidate pairs, confirmed near-dup pairs. */
+  val blobNearDup = QueryDef(
+    "q_mm_blob_histo_neardup",
+    (spark, dir) => {
+      val blobs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      val sigs = blobHistogramSig(blobs, "doc_id", "blob")
+        .join(blobs, "doc_id")
+        .select(col("doc_id"), col("bh_sig"),
+          md5(substring(col("blob"), 1, 64)).as("pfx_fp"))
+      val a = sigs.select(col("bh_sig"), col("doc_id").as("id_a"),
+        col("pfx_fp").as("fp_a"))
+      val b = sigs.select(col("bh_sig"), col("doc_id").as("id_b"),
+        col("pfx_fp").as("fp_b"))
+      val pairs = a.join(b, "bh_sig").filter(col("id_a") < col("id_b"))
+      pairs.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L))
+          .as("n_confirmed"),
+        countDistinct(col("bh_sig")).as("n_colliding_sigs"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT doc_id,
+               unnest(range(1, least(length(text), 256)::BIGINT + 1)) AS i,
+               text
+        FROM documents),
+      v AS (
+        SELECT doc_id,
+               ('0x' || hex(encode(substring(text, CAST(i AS INT), 1))))::INT
+                 // 16 AS bucket
+        FROM e),
+      c AS (SELECT doc_id, bucket, count(*) AS n FROM v GROUP BY 1, 2),
+      grid AS (
+        SELECT doc_id, k
+        FROM (SELECT DISTINCT doc_id FROM documents), unnest(range(16)) AS u(k)),
+      s AS (
+        SELECT g.doc_id,
+               string_agg(CAST(coalesce(c.n, 0) // 2 AS VARCHAR), ','
+                          ORDER BY g.k) AS sig,
+               any_value(md5(substring(d.text, 1, 64))) AS pfx_fp
+        FROM grid g
+        JOIN documents d ON g.doc_id = d.doc_id
+        LEFT JOIN c ON g.doc_id = c.doc_id AND g.k = c.bucket
+        GROUP BY g.doc_id),
+      p AS (
+        SELECT a.sig, a.pfx_fp AS fp_a, b.pfx_fp AS fp_b
+        FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id)
+      SELECT count(*) AS n_candidate_pairs,
+             CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_confirmed,
+             count(DISTINCT sig) AS n_colliding_sigs
+      FROM p"""))
+
+  // ------------------------------------- 3. interleaved sequence assembly
+
+  /** Library API: MMC4-style interleaved text+image packing. `items` must
+    * carry (partCol, orderCols…, tokens); each partition's items are
+    * packed greedily in the pinned order into windows of `windowTokens`
+    * via the running-sum shape — ONE window function per partition key,
+    * never a global sort. Returns items + seq_id. */
+  def interleavePack(items: DataFrame, partCol: String,
+      orderCols: Seq[String], tokensCol: String,
+      windowTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    items.withColumn("mm_cum", sum(col(tokensCol)).over(w))
+      .withColumn("seq_id",
+        ((col("mm_cum") - 1) / lit(windowTokens)).cast("long"))
+      .drop("mm_cum")
+  }
+
+  /** Interleaved text+image assembly over the corpus: every document is a
+    * text chunk (whitespace token count); every fourth document (md5
+    * nibble) carries an image placeholder costing 64 tokens immediately
+    * after its text. Packed per language into 2048-token windows in
+    * content-hash order; per-window census (items, images, texts, tokens)
+    * is the pinned output. */
+  val interleave = QueryDef(
+    "q_mm_interleave",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val base = docs.select(col("lang"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+          + 1).cast("long").as("n_toks"))
+      val txt = base.select(col("lang"), col("h"), col("doc_id"),
+        lit(0).as("pos"), lit("txt").as("kind"), col("n_toks").as("toks"))
+      val img = base
+        .filter(conv(substring(col("h"), 12, 1), 16, 10).cast("long") % 4 === 0)
+        .select(col("lang"), col("h"), col("doc_id"),
+          lit(1).as("pos"), lit("img").as("kind"), lit(64L).as("toks"))
+      val items = txt.unionAll(img)
+      interleavePack(items, "lang", Seq("h", "doc_id", "pos"), "toks", 2048)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("kind") === "img", 1L).otherwise(0L)).as("n_imgs"),
+          sum(when(col("kind") === "txt", 1L).otherwise(0L)).as("n_txts"),
+          sum(col("toks")).as("seq_tokens"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT lang, doc_id, md5(text) AS h,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_toks
+        FROM documents),
+      items AS (
+        SELECT lang, h, doc_id, 0 AS pos, 'txt' AS kind, n_toks AS toks
+        FROM base
+        UNION ALL
+        SELECT lang, h, doc_id, 1 AS pos, 'img' AS kind, CAST(64 AS BIGINT)
+        FROM base
+        WHERE ('0x' || substr(h, 12, 1))::BIGINT % 4 = 0),
+      packed AS (
+        SELECT lang, kind, toks,
+               CAST(floor((sum(toks) OVER (PARTITION BY lang
+                      ORDER BY h, doc_id, pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                    / 2048) AS BIGINT) AS seq_id
+        FROM items)
+      SELECT lang, seq_id, count(*) AS n_items,
+             CAST(sum(CASE WHEN kind = 'img' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imgs,
+             CAST(sum(CASE WHEN kind = 'txt' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_txts,
+             CAST(sum(toks) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY lang, seq_id"""))
+
+  // ------------------------------------ 4. caption↔embedding joint retrieval
+
+  /** Caption→embedding joint retrieval: zh-language captions (doc_id<250)
+    * as queries, every other document's embedding as candidates; cosine
+    * top-3 per caption through the custom CosineTopKJoin plan, with the
+    * retrieved document's source + length joined back on — the
+    * text-metadata ↔ vector join both ways. */
+  val captionRetrieval = QueryDef(
+    "q_mm_caption_retrieval",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val embs = Tables(spark, dir, "embeddings")
+      val qs = docs.filter(col("lang") === "zh" && col("doc_id") < 250)
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("query_id"), col("embedding").as("eq"))
+      val cs = docs.filter(!(col("lang") === "zh" && col("doc_id") < 250))
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("cand_id"), col("embedding").as("ec"))
+      graft.ops.cosineTopK(qs, cs, 3)
+        .join(docs.select(col("doc_id").as("cand_id"),
+          col("source").as("cand_source"),
+          col("n_chars").as("cand_chars")), "cand_id")
+        .select(col("query_id"), col("cand_id"), col("cos"),
+          col("rn").cast("long").as("rn"), col("cand_source"),
+          col("cand_chars"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT d.doc_id AS query_id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = 'zh' AND d.doc_id < 250),
+      c AS (
+        SELECT d.doc_id AS cand_id, d.source, d.n_chars, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE NOT (d.lang = 'zh' AND d.doc_id < 250)),
+      scored AS (
+        SELECT q.query_id, c.cand_id,
+               ${Dedup.duckCosine("q.emb", "c.emb")} AS cos,
+               c.source AS cand_source, c.n_chars AS cand_chars
+        FROM q, c),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+        FROM scored)
+      SELECT query_id, cand_id, cos, rn, cand_source, cand_chars
+      FROM ranked WHERE rn <= 3"""))
+
+  // --------------------------------------------------- legacy decode stubs
 
   /** binary payload + metadata struct → stubbed per-partition decode →
     * typed features. The oracle checks the length-derived features + md5;
@@ -95,5 +523,6 @@ object Multimodal {
             FROM documents)
       WHERE length(frame) = 64"""))
 
-  val all: Seq[QueryDef] = Seq(pipeline, frameSample)
+  val all: Seq[QueryDef] = Seq(pipeline, frameSample, bmpHeader, wavHeader,
+    blobDedup, blobNearDup, interleave, captionRetrieval)
 }

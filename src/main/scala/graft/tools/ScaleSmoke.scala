@@ -80,7 +80,14 @@ object ScaleSmoke {
     // form shares the minhash quadratic-in-duplication hazard (replica
     // cliques), so the gate measures the composition the operator's
     // scaladoc prescribes: exact dedup FIRST, then the split
-    "q_sample_oversample", "op_leakage_split_deduped")
+    "q_sample_oversample", "op_leakage_split_deduped",
+    // round 7: container header synth+parse is a pure per-row byte kernel
+    // (must be exactly linear); interleaved packing is the running-sum
+    // window per language (linear, no global sort); blob near-dup is gated
+    // in the prescribed composition — exact blob dedup FIRST (one md5
+    // shuffle collapses the replicas), then the histogram-signature pair
+    // census, same stage-order lever as op_leakage_split_deduped
+    "q_mm_bmp_header", "q_mm_interleave", "op_blob_neardup_deduped")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
@@ -108,6 +115,19 @@ object ScaleSmoke {
           .select(docs.columns.map(col): _*)
         graft.ops.leakageSafeSplit(deduped)
           .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      },
+      // blob near-dup as the pipeline runs it at scale: exact blob dedup
+      // collapses replicas first, then the histogram-signature candidate
+      // pair census runs over the deduped blobs
+      "op_blob_neardup_deduped" -> { (spark, dir) =>
+        val blobs = Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        val deduped = graft.ops.dedupBlobs(blobs, "doc_id", "blob")
+        val sigs = graft.ops.blobHistogramSig(deduped, "doc_id", "blob")
+        val a = sigs.select(col("bh_sig"), col("doc_id").as("id_a"))
+        val b = sigs.select(col("bh_sig"), col("doc_id").as("id_b"))
+        a.join(b, "bh_sig").filter(col("id_a") < col("id_b"))
+          .agg(count(lit(1)).as("n_candidate_pairs"))
       })
 
   private def runner(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =

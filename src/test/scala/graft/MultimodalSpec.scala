@@ -38,4 +38,72 @@ class MultimodalSpec extends GraftSpecBase {
     assert(n > 0)
     assert(frames.select(countDistinct(col("frame_id"))).head.getLong(0) <= 3)
   }
+
+  test("BMP synth+parse roundtrips known dimensions byte-exactly") {
+    // a 3x2 24-bit image: the header bytes are the BITMAPFILEHEADER spec
+    val df = sp.range(1).select(
+      operators.Multimodal.synthBmp(lit(3L), lit(2L), lit(3L),
+        lit(Array[Byte](1, 2))).as("blob"))
+    val hdr = df.select(hex(col("blob")).as("h")).head.getString(0)
+    // 'BM', fileSize=3*2*3+54=72=0x48 LE, reserved, offset 54=0x36, DIB 40
+    assert(hdr.startsWith("424D" + "48000000" + "00000000" + "36000000" +
+      "28000000" + "03000000" + "02000000" + "0100" + "1800"))
+    val m = df.select(operators.Multimodal.bmpMeta(col("blob")).as("m"))
+      .select("m.magic_ok", "m.width", "m.height", "m.channels", "m.bpp",
+        "m.img_bytes", "m.file_bytes").head
+    assert(m.getBoolean(0))
+    assert((m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4),
+      m.getLong(5), m.getLong(6)) == ((3L, 2L, 3L, 24L, 18L, 72L)))
+  }
+
+  test("WAV synth+parse roundtrips a 16-bit stereo 44.1kHz second") {
+    val df = sp.range(1).select(
+      operators.Multimodal.synthWav(lit(2L), lit(44100L), lit(16L),
+        lit(44100L)).as("blob"))
+    assert(df.select(length(col("blob"))).head.getInt(0) == 44)
+    val m = df.select(operators.Multimodal.wavMeta(col("blob")).as("m"))
+      .select("m.riff_ok", "m.n_channels", "m.sample_rate", "m.byte_rate",
+        "m.bits", "m.data_bytes").head
+    assert(m.getBoolean(0))
+    assert((m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4),
+      m.getLong(5)) == ((2L, 44100L, 176400L, 16L, 176400L)))
+  }
+
+  test("dedupBlobs keeps exactly one lowest-id row per distinct blob") {
+    val df = Seq((5L, "aa", "x"), (3L, "aa", "y"), (7L, "bb", "z"))
+      .toDF("id", "payload", "tag")
+      .select(col("id"), col("payload").cast("binary").as("blob"), col("tag"))
+    val out = operators.Multimodal.dedupBlobs(df, "id", "blob")
+      .select(col("id"), col("tag")).as[(Long, String)].collect().sorted
+    assert(out.toSeq == Seq((3L, "y"), (7L, "z")))
+  }
+
+  test("interleavePack never exceeds the window unless a single item does") {
+    val items = Tables(sp, sfDir, "documents").select(col("lang"),
+      md5(col("text").cast("binary")).as("h"), col("doc_id"),
+      lit(0).as("pos"),
+      (length(col("text")) % 700 + 1).cast("long").as("toks"))
+    val packed = operators.Multimodal.interleavePack(
+      items, "lang", Seq("h", "doc_id", "pos"), "toks", 2048)
+    val over = packed.groupBy(col("lang"), col("seq_id"))
+      .agg(sum(col("toks")).as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > 2048 && col("n") > 1)
+    // a window may only overflow via its LAST item straddling the boundary,
+    // so overshoot is < one max item size, never a whole extra item chain
+    assert(over.filter(col("t") > 2048 + 700).count() == 0)
+    // determinism: same input → same packing
+    val again = operators.Multimodal.interleavePack(
+      items, "lang", Seq("h", "doc_id", "pos"), "toks", 2048)
+    assert(packed.exceptAll(again).count() == 0)
+  }
+
+  test("blobHistogramSig emits one 16-slot integer signature per doc") {
+    val blobs = Tables(sp, sfDir, "documents").limit(50)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val sigs = operators.Multimodal.blobHistogramSig(blobs, "doc_id", "blob")
+    assert(sigs.count() == 50)
+    val sig = sigs.select(col("bh_sig")).head.getString(0)
+    assert(sig.split(",").length == 16)
+    assert(sig.split(",").forall(s => s.matches("[0-9]+")))
+  }
 }

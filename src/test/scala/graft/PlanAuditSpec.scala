@@ -187,4 +187,24 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("partial_"), p)
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("CLUSTER BY plans as hash exchange + LOCAL sort, never a global sort") {
+    // q_golden_distribute_by: CLUSTER BY = DISTRIBUTE BY + SORT BY — the
+    // layout directive a writer uses to co-locate and locally order
+    // partitions without the rangepartitioning a global ORDER BY would pay
+    val p = finalPlan("q_golden_distribute_by")
+    assert(p.contains("hashpartitioning(l_orderkey"),
+      s"CLUSTER BY should hash-distribute on the key:\n$p")
+    assert(p.contains("Sort [l_orderkey") && p.contains("false, 0"),
+      s"CLUSTER BY should sort locally (global=false):\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"CLUSTER BY must not pay a range exchange:\n$p")
+  }
+
+  test("multimodal header parse is one map-only codegen stage over the scan") {
+    val p = finalPlan("q_mm_bmp_header")
+    assert(!p.contains("Exchange"),
+      s"per-row byte kernel must not shuffle:\n$p")
+    assert(p.contains("*("), s"expected whole-stage codegen:\n$p")
+  }
 }

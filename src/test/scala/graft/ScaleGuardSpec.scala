@@ -64,6 +64,15 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   broadcast codebook,
                                                     //   ~100 rows)
       "q_sim_topk_plan", "q_sim_quantized_topk",
+      "q_mm_caption_retrieval",                     // CosineTopKJoin with the
+                                                    //   zh-caption query side
+                                                    //   broadcast-bounded by
+                                                    //   construction (same
+                                                    //   shape as topk_plan)
+      "q_golden_window_exclude",                    // global windows over a
+                                                    //   6-row VALUES constant
+                                                    //   (EXCLUDE-emulation
+                                                    //   truth table)
 
       "q_text_tfidf", "q_text_bm25",                // 1-row corpus-stats
       "q_rag_chunk_retrieval",                      //   frames (N, df_t, w_t)

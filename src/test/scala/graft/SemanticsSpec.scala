@@ -112,4 +112,20 @@ class SemanticsSpec extends GraftSpecBase {
                 try_element_at(array(1,2), 5) d""").collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
+
+  test("TABLESAMPLE REPEATABLE(seed) is deterministic; distinct seeds differ") {
+    Tables.registerAll(spark, sfDir)
+    def ids(seed: Int) = spark.sql(
+      s"""SELECT l_orderkey, l_linenumber
+          FROM lineitem TABLESAMPLE (20 PERCENT) REPEATABLE ($seed)""")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    val a1 = ids(42)
+    assert(a1 == ids(42), "same seed must reproduce the identical row set")
+    assert(a1.nonEmpty && a1 != ids(43),
+      "different seeds should draw different samples")
+    // n-ROWS sampling is an exact limit, not probabilistic
+    assert(spark.sql(
+      "SELECT count(*) FROM lineitem TABLESAMPLE (50 ROWS)")
+      .head.getLong(0) == 50L)
+  }
 }
