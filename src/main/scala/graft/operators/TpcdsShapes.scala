@@ -645,9 +645,43 @@ object TpcdsShapes {
     * UNION ALL of the per-channel aggregates restricted to that key set,
     * and a final ROLLUP over (channel, brand) — the deepest composite in
     * the DS corpus: set-op + scalar subquery + union + Expand in one plan. */
-  val crossChannelRollup = QueryDef.sqlSame(
+  val crossChannelRollup = QueryDef(
     "q_ds_cross_channel_rollup",
-    s"""WITH cross_brands AS (
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      // Scan reuse (round 7, VERDICT r6 #4): the oracle keeps the ds14
+      // shape verbatim (INTERSECT of two channel join trees + a third for
+      // channel_sales = three lineitem⋈orders⋈part scans); the engine
+      // builds the channel base ONCE, persists it (post-join, post-filter
+      // — far smaller than the fact), and derives both the cross-channel
+      // brand set (brands with BOTH statuses ≡ the INTERSECT) and the
+      // rollup input from it. Only the uncorrelated scalar average still
+      // scans lineitem, so the plan carries 2 fact scans instead of 3.
+      val li = graft.Tables(spark, dir, "lineitem")
+      val base = li
+        .join(graft.Tables(spark, dir, "orders")
+          .filter(col("o_orderstatus").isin("F", "O")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(graft.Tables(spark, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_orderstatus").as("channel"), col("p_brand"),
+          col("l_quantity"), cents(col("l_extendedprice")).as("rev_c"))
+        .persist()
+      val crossBrands = base.groupBy(col("p_brand"))
+        .agg(countDistinct(col("channel")).as("nch"))
+        .filter(col("nch") === 2).select(col("p_brand"))
+      val avgQ = li.agg(
+        expr("CAST(round(avg(l_quantity * 100), 0) AS BIGINT)").as("avg_q100"))
+      base.join(broadcast(crossBrands), "p_brand")
+        .crossJoin(broadcast(avgQ))
+        .filter(col("l_quantity") * 100 > col("avg_q100"))
+        .rollup(col("channel"), col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .select(col("channel"), col("p_brand"), col("n_lines"),
+          col("revenue"))
+    },
+    Some(s"""WITH cross_brands AS (
          SELECT p_brand FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN part ON l_partkey = p_partkey
@@ -671,7 +705,7 @@ object TpcdsShapes {
        SELECT channel, p_brand, count(*) AS n_lines,
               CAST(sum(rev_c) AS DOUBLE) / 100.0 AS revenue
        FROM channel_sales
-       GROUP BY ROLLUP (channel, p_brand)""")
+       GROUP BY ROLLUP (channel, p_brand)"""))
 
   /** ds70: the dimension set is itself WINDOW-FILTERED — rank nations by
     * revenue in a subquery, keep the top 5, and roll up only over orders
@@ -1530,13 +1564,43 @@ object TpcdsShapes {
        WHERE 2 * pr.rev_c * sa.np <= sa.tot_c
        ORDER BY suppkey, partkey""")
 
-  /** ds75: three-channel UNION ALL re-aggregated to (year, part), then the
+  /** ds75: three-channel counts re-aggregated to (year, part), then the
     * prior-year self-join keeping parts whose order COUNT dropped >20% —
     * the decrease filter as an integer cross-multiplication
-    * (5·cur < 4·prev). Union-in, window-free year-over-year out. */
-  val channelCountDelta = QueryDef.sqlSame(
+    * (5·cur < 4·prev).
+    *
+    * Scan reuse (round 7, VERDICT r6 #4): the oracle keeps the ds75 shape
+    * verbatim — three channel scans UNION ALL'd then re-aggregated — but
+    * the engine plans ONE fact scan: the emulated channels are disjoint
+    * returnflag slices of the same fact, so the union-of-channel-counts at
+    * (yr, part) grain is exactly the single grouped count over the
+    * combined channel filter. The (yr, part) aggregate (part-dim-bounded,
+    * never fact-sized) is persisted so the prev/cur self-join reads it
+    * twice without recomputing the scan — the persisted-channel-base
+    * pattern real DS channels (separate fact tables) need. One lineitem
+    * scan is pinned in PlanAuditSpec + the plan signature. */
+  val channelCountDelta = QueryDef(
     "q_ds_channel_count_delta",
-    """WITH ch AS (
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val tot = graft.Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N", "R"))
+        .groupBy(year(col("l_shipdate")).cast("int").as("yr"),
+          col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      val cur = tot.select(col("l_partkey").as("partkey"), col("yr"),
+        col("cnt").as("cur_cnt"))
+      val prev = tot.select(col("l_partkey").as("pk_prev"),
+        col("yr").as("prev_yr"), col("cnt").as("prev_cnt"))
+      cur.join(prev, col("partkey") === col("pk_prev") &&
+          col("yr") === col("prev_yr") + 1)
+        .filter(col("cur_cnt") * 5 < col("prev_cnt") * 4)
+        .select(col("partkey"), col("prev_yr"), col("prev_cnt"),
+          col("cur_cnt"))
+        .orderBy(col("partkey"), col("prev_yr"))
+    },
+    Some("""WITH ch AS (
          SELECT CAST(year(l_shipdate) AS INT) AS yr, l_partkey,
                 count(*) AS cnt
          FROM lineitem WHERE l_returnflag = 'A' GROUP BY year(l_shipdate), l_partkey
@@ -1556,15 +1620,42 @@ object TpcdsShapes {
        FROM tot cur JOIN tot prev
          ON cur.l_partkey = prev.l_partkey AND cur.yr = prev.yr + 1
        WHERE 5 * cur.cnt < 4 * prev.cnt
-       ORDER BY partkey, prev_yr""")
+       ORDER BY partkey, prev_yr"""))
 
   /** ds61: the PROMOTION-SHARE ratio — two aggregates over the SAME
     * join tree (promo-filtered numerator, unfiltered denominator), the
     * classic exchange/scan-reuse opportunity, output as one exact-cents
     * ratio row per region. */
-  val promoRatio = QueryDef.sqlSame(
+  val promoRatio = QueryDef(
     "q_ds_promo_ratio",
-    s"""WITH base AS (
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      // Scan reuse (round 7): numerator and denominator aggregate the SAME
+      // join tree, so the engine computes both in ONE pass — a conditional
+      // aggregate over a single scan of the star (the classic rewrite for
+      // filtered-share reports). The inner-join drop of regions with zero
+      // promo rows is preserved by the null-sum filter.
+      val base = graft.Tables(spark, dir, "orders")
+        .join(graft.Tables(spark, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(graft.Tables(spark, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(graft.Tables(spark, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_c"))
+      base.groupBy(col("r_name").as("region"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            col("price_c"))).as("promo_c"),
+          sum(col("price_c")).as("total_c"))
+        .filter(col("promo_c").isNotNull)
+        .select(col("region"), col("promo_c"), col("total_c"),
+          (col("promo_c").cast("double") / col("total_c").cast("double"))
+            .as("promo_share"))
+        .orderBy(col("region"))
+    },
+    Some(s"""WITH base AS (
          SELECT r_name, o_orderpriority,
                 ${centsSql("o_totalprice")} AS price_c
          FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1579,7 +1670,7 @@ object TpcdsShapes {
        SELECT t.r_name AS region, p.v AS promo_c, t.v AS total_c,
               CAST(p.v AS DOUBLE) / CAST(t.v AS DOUBLE) AS promo_share
        FROM total t JOIN promo p ON t.r_name = p.r_name
-       ORDER BY region""")
+       ORDER BY region"""))
 
   /** ds35-family MULTI-DISTINCT aggregate: several COUNT(DISTINCT x) over
     * DIFFERENT columns plus a plain sum in ONE aggregate — the planner

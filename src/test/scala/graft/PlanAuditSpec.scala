@@ -201,6 +201,28 @@ class PlanAuditSpec extends GraftSpecBase {
       s"CLUSTER BY must not pay a range exchange:\n$p")
   }
 
+  test("channel-emulation shapes reuse the fact scan (VERDICT r6 #4)") {
+    // ds75: three emulated channels, ONE lineitem scan (persisted
+    // (yr, part) base feeds both sides of the prev/cur self-join)
+    val delta = finalPlan("q_ds_channel_count_delta")
+    assert("lineitem\\.parquet".r.findAllIn(delta).size == 1,
+      s"ds75 must scan lineitem once:\n$delta")
+    assert(delta.contains("InMemoryTableScan"),
+      s"self-join should read the persisted channel base:\n$delta")
+    // ds14: INTERSECT + channel_sales share the persisted join base; only
+    // the uncorrelated scalar average scans the fact again (2, not 3)
+    val rollup = finalPlan("q_ds_cross_channel_rollup")
+    assert("lineitem\\.parquet".r.findAllIn(rollup).size <= 2,
+      s"ds14 must scan lineitem at most twice (base + scalar avg):\n$rollup")
+    assert(rollup.contains("InMemoryTableScan"),
+      s"ds14 should read the persisted channel base:\n$rollup")
+    // ds61 promo share: numerator+denominator in ONE conditional
+    // aggregate over a single scan of the star
+    val promo = finalPlan("q_ds_promo_ratio")
+    assert("orders\\.parquet".r.findAllIn(promo).size == 1,
+      s"promo share must aggregate in one pass:\n$promo")
+  }
+
   test("multimodal header parse is one map-only codegen stage over the scan") {
     val p = finalPlan("q_mm_bmp_header")
     assert(!p.contains("Exchange"),
