@@ -328,6 +328,15 @@ object ops {
       labelCol: String = "lang", idCol: String = "doc_id"): DataFrame =
     operators.LmScore.nbClassify(docs, textCol, labelCol, idCol)
 
+  /** Generic SCD-Type-2 merge of a change-set into a history table
+    * (close current versions of changed keys, open version max+1, pass
+    * untouched keys through) — see
+    * [[graft.operators.Mutations.scd2Merge]]. The per-microbatch MERGE a
+    * streaming foreachBatch sink runs. */
+  def scd2Merge(hist: DataFrame, changes: DataFrame,
+      keyCol: String): DataFrame =
+    operators.Mutations.scd2Merge(hist, changes, keyCol)
+
   /** Exact dedup over a BINARY column: one md5-fingerprint hash aggregate
     * keeping the lowest-id copy of each distinct blob — see
     * [[graft.operators.Multimodal.dedupBlobs]]. */

@@ -60,28 +60,53 @@ object Mutations {
              CAST(sum(pc) AS DOUBLE) / 100.0 AS total_price
       FROM m GROUP BY action, status"""))
 
-  /** SCD-Type-2 history build from the same change-set: updated keys close
-    * their current version (is_current=false) and open a new one; untouched
-    * keys stay current. Pure union + projection — no iterative logic, one
-    * pass over each side. */
+  /** Library API: generic SCD-Type-2 merge of a change-set into a history
+    * table. `hist` carries (keyCol, payload…, version BIGINT, is_current
+    * BOOLEAN); `changes` carries (keyCol, payload…) with at most one row
+    * per key (dedup upstream — [[graft.ops.dedupKeepBest]] if the stream
+    * can repeat keys). Changed keys close their current version
+    * (is_current=false) and open version max+1; new keys open at
+    * version 1; untouched keys pass through.
+    *
+    * Scale shape: ONE left join of history against the (typically small,
+    * broadcastable) change key set to flip is_current, one join of changes
+    * against current versions for the version counter, one union — no
+    * iteration, no window over history. This is the per-microbatch MERGE a
+    * streaming foreachBatch sink runs (StreamingSpec pins exactly-once
+    * across a checkpoint restart). */
+  def scd2Merge(hist: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val payload = changes.columns.filterNot(_ == keyCol)
+    val chKeys = changes.select(col(keyCol)).distinct()
+      .withColumn("sc_ch", lit(1))
+    val closed = hist.join(broadcast(chKeys), Seq(keyCol), "left")
+      .withColumn("is_current", col("is_current") && col("sc_ch").isNull)
+      .drop("sc_ch")
+    val curVer = hist.filter(col("is_current"))
+      .select(col(keyCol), col("version").as("sc_cur_ver"))
+    val opened = changes.join(curVer, Seq(keyCol), "left")
+      .select(col(keyCol) +: payload.map(col) :+
+        coalesce(col("sc_cur_ver") + 1, lit(1L)).as("version") :+
+        lit(true).as("is_current"): _*)
+    closed.unionByName(opened.select(hist.columns.map(col): _*))
+  }
+
+  /** SCD-Type-2 history build from the same change-set, THROUGH the
+    * generic [[scd2Merge]] operator (the oracle replays the close/open
+    * semantics directly): updated keys close their current version and
+    * open version 2; untouched keys stay current. */
   val scd2 = QueryDef(
     "q_merge_scd2",
     (spark, dir) => {
       val base = Tables(spark, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           round(col("o_totalprice") * 100).cast("long").as("pc"))
-      val updKeys = base.filter(col("k") % 13 === 0)
-      val untouched = base.join(updKeys.select(col("k")), Seq("k"),
-        "left_anti")
-        .select(col("k"), col("st"), col("pc"),
-          lit(1L).as("version"), lit(true).as("is_current"))
-      val closed = updKeys
-        .select(col("k"), col("st"), col("pc"),
-          lit(1L).as("version"), lit(false).as("is_current"))
-      val opened = updKeys
-        .select(col("k"), col("st"), expr("pc * 110 div 100").as("pc"),
-          lit(2L).as("version"), lit(true).as("is_current"))
-      untouched.unionAll(closed).unionAll(opened)
+      val hist = base.select(col("k"), col("st"), col("pc"),
+        lit(1L).as("version"), lit(true).as("is_current"))
+      val changes = base.filter(col("k") % 13 === 0)
+        .select(col("k"), col("st"), expr("pc * 110 div 100").as("pc"))
+      scd2Merge(hist, changes, "k")
         .groupBy(col("is_current"), col("version"), col("st").as("status"))
         .agg(count(lit(1)).as("n"),
           (sum(col("pc")).cast("double") / lit(100.0)).as("total_price"))

@@ -480,6 +480,62 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch SCD2 MERGE sink: exactly-once across checkpoint restart") {
+    // the streaming→mutation closure: a change stream upserts into an SCD2
+    // history via ops.scd2Merge inside foreachBatch. The sink keys its
+    // commit on batchId (exactly-once against microbatch replay), the
+    // query runs against a checkpointLocation and is STOPPED and RESTARTED
+    // mid-stream; the final history must equal the batch twin — the same
+    // change-sets folded through scd2Merge directly.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val seed = Seq((100L, "O", 1000L), (200L, "O", 2000L))
+    def toHist(rows: Seq[(Long, String, Long, Long, Boolean)]) =
+      rows.toDF("k", "st", "pc", "version", "is_current")
+    var hist = seed.map(r => (r._1, r._2, r._3, 1L, true))
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    def mergeBatch(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = this.synchronized {
+      if (committed.add(batchId) && !df.isEmpty) {
+        hist = graft.ops.scd2Merge(toHist(hist),
+            df.toDF("k", "st", "pc"), "k")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4))).toSeq
+      }
+    }
+    val ms = MemoryStream[(Long, String, Long)]  // (k, st, pc)
+    def start() = ms.toDF().toDF("k", "st", "pc")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(mergeBatch _).start()
+    val batchA = Seq((100L, "F", 1100L), (300L, "O", 3000L))
+    val batchB = Seq((100L, "P", 1200L), (200L, "F", 2200L))
+    val q1 = start()
+    try { ms.addData(batchA: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()  // restart from the checkpoint, sink state carried
+    try { ms.addData(batchB: _*); q2.processAllAvailable() } finally q2.stop()
+
+    // batch twin: the same change-sets folded through scd2Merge directly
+    var twin = toHist(seed.map(r => (r._1, r._2, r._3, 1L, true)))
+    Seq(batchA, batchB).foreach { b =>
+      twin = graft.ops.scd2Merge(twin, b.toDF("k", "st", "pc"), "k")
+    }
+    val got = hist.toSet
+    val want = twin.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == want, s"streaming history != batch twin:\n$got\n$want")
+    // shape sanity: k=100 has 3 versions, exactly one current (the latest)
+    val k100 = got.filter(_._1 == 100L)
+    assert(k100.map(_._4) == Set(1L, 2L, 3L))
+    assert(k100.count(_._5) == 1 && k100.find(_._5).get._2 == "P")
+    // replayed microbatch (failure re-offer) must be a no-op
+    val before = hist
+    mergeBatch(Seq((100L, "X", 9L)).toDF("k", "st", "pc"),
+      committed.iterator().next())
+    assert(hist == before, "replayed batchId must not re-merge")
+  }
+
   test("streaming curation composes with the Gopher quality gate") {
     // same ingestion pattern, with ops.gopherFlags filtering each
     // micro-batch BEFORE admission: repetitive spam never reaches the
