@@ -2451,9 +2451,115 @@ object GoldenSql {
       SELECT l_orderkey, l_linenumber, l_quantity
       FROM lineitem WHERE l_orderkey < 200"""))
 
+  // ------------------------------------------------------------- batch 22
+
+  /** Calendar-name + part-extraction battery (Spark 3.5/4 fns): dayname/
+    * monthname emit the ABBREVIATED English names (DuckDB's same-named
+    * functions emit full names — each cell literal-pinned to the Spark
+    * contract), weekday is 0=Monday (vs extract(DOW) 0=Sunday — both
+    * pinned), date_part mirrors extract, and try_make_timestamp swallows
+    * the Feb-30 error into NULL where make_timestamp raises. */
+  lazy val calendarNames = QueryDef.sql(
+    "q_golden_calendar_names",
+    """SELECT dayname(DATE'2021-03-05')   AS dn,
+              monthname(DATE'2021-03-05') AS mn,
+              CAST(weekday(DATE'2021-03-05') AS INT) AS wd_mon0,
+              CAST(dayofweek(DATE'2021-03-05') AS INT) AS dow_sun1,
+              CAST(date_part('hour', TIMESTAMP'2021-01-01 10:30:00') AS INT)
+                AS dp_hour,
+              CAST(date_part('quarter', DATE'2021-08-14') AS INT) AS dp_q,
+              CAST(try_make_timestamp(2021, 2, 30, 0, 0, 0) AS STRING)
+                AS bad_ts""",
+    """SELECT 'Fri' AS dn, 'Mar' AS mn,
+              4 AS wd_mon0, 6 AS dow_sun1,
+              CAST(date_part('hour', TIMESTAMP '2021-01-01 10:30:00') AS INT)
+                AS dp_hour,
+              CAST(date_part('quarter', DATE '2021-08-14') AS INT) AS dp_q,
+              CAST(NULL AS VARCHAR) AS bad_ts""")
+
+  /** equal_null + ILIKE: the null-safe equality FUNCTION spelling (same
+    * semantics as <=>, DuckDB IS NOT DISTINCT FROM) and case-insensitive
+    * LIKE with an explicit escape — both engines compute. */
+  lazy val equalNullIlike = QueryDef.sql(
+    "q_golden_equal_null_ilike",
+    """SELECT equal_null(NULL, NULL)          AS en_nn,
+              equal_null(NULL, 1)             AS en_n1,
+              equal_null(1, 1)                AS en_11,
+              'AbC' ILIKE 'ab%'               AS il_hit,
+              'AbC' ILIKE 'ab'                AS il_miss,
+              '50%' ILIKE '50!%' ESCAPE '!'   AS il_esc,
+              'AbC' LIKE 'ab%'                AS like_case""",
+    """SELECT (NULL IS NOT DISTINCT FROM NULL) AS en_nn,
+              (NULL IS NOT DISTINCT FROM 1)    AS en_n1,
+              (1 IS NOT DISTINCT FROM 1)       AS en_11,
+              'AbC' ILIKE 'ab%'                AS il_hit,
+              'AbC' ILIKE 'ab'                 AS il_miss,
+              ilike_escape('50%', '50!%', '!') AS il_esc,
+              'AbC' LIKE 'ab%'                 AS like_case""")
+
+  /** Timezone conversion + microsecond epochs (Spark 3.4+): DST-aware
+    * wall-clock shifts both directions across the spring-forward boundary,
+    * and unix_micros/timestamp_micros round-tripping. The tz database is
+    * engine-specific, so the DuckDB cells are literal-pinned to the IANA
+    * contract. */
+  lazy val tzConvert = QueryDef.sql(
+    "q_golden_tz_convert",
+    """SELECT CAST(convert_timezone('UTC', 'America/Los_Angeles',
+                TIMESTAMP'2021-01-15 12:00:00') AS STRING) AS la_winter,
+              CAST(convert_timezone('UTC', 'America/Los_Angeles',
+                TIMESTAMP'2021-07-15 12:00:00') AS STRING) AS la_summer,
+              CAST(convert_timezone('Asia/Kolkata', 'UTC',
+                TIMESTAMP'2021-01-15 12:00:00') AS STRING) AS from_ist,
+              CAST(unix_micros(TIMESTAMP'1970-01-02 00:00:00') AS BIGINT)
+                AS um_day1,
+              CAST(timestamp_micros(86400000000) AS STRING) AS tm_rt""",
+    """SELECT '2021-01-15 04:00:00' AS la_winter,
+              '2021-07-15 05:00:00' AS la_summer,
+              '2021-01-15 06:30:00' AS from_ist,
+              CAST(86400000000 AS BIGINT) AS um_day1,
+              '1970-01-02 00:00:00' AS tm_rt""")
+
+  /** JSON introspection (Spark 3.1+ fns): json_object_keys (flattened —
+    * list outputs stay out of the harness), json_array_length on nested
+    * and malformed input, and the get_json_object bracket-path edge. */
+  lazy val jsonIntrospect = QueryDef.sql(
+    "q_golden_json_introspect",
+    """SELECT array_join(json_object_keys('{"a":1,"b":{"c":2}}'), ',')
+                AS keys_top,
+              CAST(json_array_length('[1,2,[3,4]]') AS INT) AS len_top,
+              CAST(json_array_length('{"a":1}') AS INT)     AS len_obj,
+              CAST(json_array_length('not json') AS INT)    AS len_bad,
+              get_json_object('{"a.b":5}', "$['a.b']")      AS bracket_path,
+              get_json_object('{"a":[10,20]}', '$.a[1]')    AS idx_path""",
+    """SELECT 'a,b' AS keys_top,
+              3 AS len_top,
+              CAST(NULL AS INT) AS len_obj,
+              CAST(NULL AS INT) AS len_bad,
+              '5' AS bracket_path,
+              '20' AS idx_path""")
+
+  /** Bitmap exact-distinct function family (Spark 3.5+): bitmap_count ∘
+    * bitmap_construct_agg ≡ COUNT(DISTINCT), bitmap_bucket_number
+    * splits the key space at 32768, and bit_get reads single bits — the
+    * scalar surface under q_agg_bitmap_distinct's aggregate. */
+  lazy val bitmapFns = QueryDef.sql(
+    "q_golden_bitmap_fns",
+    """SELECT CAST(bitmap_count(bitmap_construct_agg(
+                bitmap_bit_position(x))) AS BIGINT) AS nd,
+              CAST(min(bitmap_bucket_number(1)) AS BIGINT)     AS bkt1,
+              CAST(min(bitmap_bucket_number(32769)) AS BIGINT) AS bkt2,
+              CAST(min(bit_get(5, 0)) AS INT) AS b0,
+              CAST(min(bit_get(5, 1)) AS INT) AS b1
+       FROM VALUES (1), (2), (2), (99), (1) AS t(x)""",
+    """SELECT count(DISTINCT x) AS nd,
+              CAST(1 AS BIGINT) AS bkt1, CAST(2 AS BIGINT) AS bkt2,
+              1 AS b0, 0 AS b1
+       FROM (VALUES (1), (2), (2), (99), (1)) t(x)""")
+
   val all: Seq[QueryDef] = Seq(
     windowExclude, tablesamplePins, lateralJsonTuple, stackPadding,
     distributeBy,
+    calendarNames, equalNullIlike, tzConvert, jsonIntrospect, bitmapFns,
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,
     arraySearch, arraySortNulls, printfFormat, binaryCodec,
