@@ -328,6 +328,17 @@ object ops {
       labelCol: String = "lang", idCol: String = "doc_id"): DataFrame =
     operators.LmScore.nbClassify(docs, textCol, labelCol, idCol)
 
+  /** Cross-document boilerplate removal: chunks whose document frequency
+    * exceeds maxDf (headers/footers/banners) are cut from every document,
+    * which is reassembled in order from its surviving chunks — see
+    * [[graft.operators.TextAnalysis.removeBoilerplate]]. Returns
+    * (idCol, clean_text, n_chunks, n_dropped). */
+  def removeBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 8,
+      maxDf: Int = 2): DataFrame =
+    operators.TextAnalysis.removeBoilerplate(
+      docs, idCol, textCol, chunkTokens, maxDf)
+
   /** Generic SCD-Type-2 merge of a change-set into a history table
     * (close current versions of changed keys, open version max+1, pass
     * untouched keys through) — see

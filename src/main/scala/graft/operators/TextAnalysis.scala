@@ -536,8 +536,99 @@ object TextAnalysis {
       JOIN ent e ON t.lang = e.lang
       JOIN tris r ON t.lang = r.lang"""))
 
+  /** Library API: cross-document boilerplate removal (the CCNet/jusText
+    * cleanup stage) — headers, footers, nav bars, cookie banners repeat
+    * across pages, so any chunk whose DOCUMENT FREQUENCY exceeds `maxDf`
+    * is boilerplate and is cut from every document. "Chunk" = tumbling
+    * `chunkTokens`-token window (documents here carry no newline
+    * structure; with real pages the splitter is `split(text, '\n')` and
+    * the machinery is identical). Returns
+    * (idCol, clean_text, n_chunks, n_dropped) — clean_text is the doc
+    * reassembled IN ORDER from its surviving chunks.
+    *
+    * Scale shape: one chunk explode (output ≈ corpus size), one
+    * chunk-keyed df aggregate (distinct-chunk-bounded), one join back on
+    * the chunk key, one per-doc ordered reassembly aggregate
+    * (sort_array over each doc's own chunk list, never a corpus-wide
+    * sort). Duplicated corpora only deepen df counts — the df table
+    * never widens past the distinct-chunk vocabulary. */
+  def removeBoilerplate(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, chunkTokens: Int = 8,
+      maxDf: Int = 2): org.apache.spark.sql.DataFrame = {
+    val nChunksExpr =
+      s"CAST((size(split($textCol, ' ')) + ${chunkTokens - 1}) " +
+        s"DIV $chunkTokens AS INT)"
+    val chunks = docs.select(col(idCol),
+      posexplode(expr(
+        s"""transform(sequence(0, $nChunksExpr - 1),
+            i -> array_join(slice(split($textCol, ' '),
+                 i * $chunkTokens + 1, $chunkTokens), ' '))"""))
+        .as(Seq("bp_idx", "bp_chunk")))
+    val dfTab = chunks.groupBy(col("bp_chunk"))
+      .agg(countDistinct(col(idCol)).as("bp_df"))
+    val kept = chunks.join(dfTab, "bp_chunk").filter(col("bp_df") <= maxDf)
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("bp_idx"), col("bp_chunk")))),
+          x => x.getField("bp_chunk")), " ").as("clean_text"),
+        count(lit(1)).as("bp_kept"))
+    docs.select(col(idCol), expr(nChunksExpr).cast("long").as("n_chunks"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("bp_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** Boilerplate removal over the corpus (8-token chunks, df > 2 cut):
+    * per-source census of touched docs and dropped chunks, plus an
+    * md5-prefix checksum over every reassembled clean_text — one integer
+    * that pins the exact post-removal corpus, chunk order included. */
+  val boilerplate = QueryDef(
+    "q_text_boilerplate",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      removeBoilerplate(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_dropped") > 0, 1L).otherwise(0L))
+            .as("n_docs_cleaned"),
+          sum(col("n_dropped")).as("n_chunks_dropped"),
+          sum(expr(
+            "CAST(conv(substr(md5(clean_text), 1, 7), 16, 10) AS BIGINT)"))
+            .as("corpus_checksum"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, i AS bp_idx,
+              array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+            FROM t, unnest(range((len(w)+7)//8)) AS u(i)),
+      df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+      kept AS (SELECT c.doc_id, c.bp_idx, c.chunk
+               FROM c JOIN df USING (chunk) WHERE df.df <= 2),
+      re AS (SELECT doc_id,
+                    string_agg(chunk, ' ' ORDER BY bp_idx) AS clean_text,
+                    count(*) AS bp_kept
+             FROM kept GROUP BY doc_id),
+      full_t AS (
+        SELECT t.doc_id, (len(t.w)+7)//8 AS n_chunks,
+               coalesce(re.clean_text, '') AS clean_text,
+               (len(t.w)+7)//8 - coalesce(re.bp_kept, 0) AS n_dropped
+        FROM t LEFT JOIN re USING (doc_id))
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN f.n_dropped > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_docs_cleaned,
+             CAST(sum(f.n_dropped) AS BIGINT) AS n_chunks_dropped,
+             CAST(sum(('0x' || substr(md5(f.clean_text), 1, 7))::BIGINT)
+                  AS BIGINT) AS corpus_checksum
+      FROM full_t f JOIN documents d ON f.doc_id = d.doc_id
+      GROUP BY d.source"""))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
       freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
-      diversity)
+      diversity, boilerplate)
 }

@@ -87,7 +87,11 @@ object ScaleSmoke {
     // in the prescribed composition — exact blob dedup FIRST (one md5
     // shuffle collapses the replicas), then the histogram-signature pair
     // census, same stage-order lever as op_leakage_split_deduped
-    "q_mm_bmp_header", "q_mm_interleave", "op_blob_neardup_deduped")
+    "q_mm_bmp_header", "q_mm_interleave", "op_blob_neardup_deduped",
+    // boilerplate removal: chunk explode + df aggregate + join-back +
+    // per-doc reassembly, all corpus-linear (replication deepens df
+    // counts — it never widens the chunk vocabulary)
+    "q_text_boilerplate")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -138,4 +138,33 @@ class TextModelsSpec extends GraftSpecBase {
       assert(got.size.toDouble / truth.size >= 0.8,
         s"LSH recall ${got.size}/${truth.size} below 0.8")
   }
+
+  test("removeBoilerplate: shared chunks cut, unique docs untouched, order kept") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val banner = (1 to 8).map(i => s"cookie$i").mkString(" ")  // one chunk
+    val bodyA = (1 to 8).map(i => s"alpha$i").mkString(" ")
+    val bodyB = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val bodyC = (1 to 8).map(i => s"gamma$i").mkString(" ")
+    val in = Seq(
+      (1L, s"$banner $bodyA"),          // banner + unique body
+      (2L, s"$bodyB $banner"),          // banner at the END (order check)
+      (3L, s"$banner $bodyC"),
+      (4L, "short unique doc"))         // < 1 full chunk, untouched
+      .toDF("doc_id", "text")
+    val out = ops.removeBoilerplate(in, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // banner appears in 3 docs > maxDf=2 -> cut everywhere; bodies survive
+    assert(out(1L) == ((bodyA, 2L, 1L)))
+    assert(out(2L) == ((bodyB, 2L, 1L)), "surviving chunk keeps its position")
+    assert(out(3L) == ((bodyC, 2L, 1L)))
+    assert(out(4L) == (("short unique doc", 1L, 0L)), "unique doc untouched")
+    // a doc that is ONLY boilerplate reassembles to the empty string
+    val all = ops.removeBoilerplate(
+      in.union(Seq((5L, banner)).toDF("doc_id", "text")),
+      "doc_id", "text", 8, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(5L) == "")
+  }
 }
