@@ -652,32 +652,39 @@ object TpcdsShapes {
       // Scan reuse (round 7, VERDICT r6 #4): the oracle keeps the ds14
       // shape verbatim (INTERSECT of two channel join trees + a third for
       // channel_sales = three lineitem⋈orders⋈part scans); the engine
-      // builds the channel base ONCE, persists it (post-join, post-filter
-      // — far smaller than the fact), and derives both the cross-channel
-      // brand set (brands with BOTH statuses ≡ the INTERSECT) and the
-      // rollup input from it. Only the uncorrelated scalar average still
-      // scans lineitem, so the plan carries 2 fact scans instead of 3.
+      // makes ONE pass over the join tree, aggregating straight to the
+      // (channel, brand) grain with the quantity gate applied as a
+      // conditional sum — and persists only THAT dim-bounded grain table
+      // (|brands|×2 rows), never row-level fact data (the round-7 gate
+      // caught the fact-sized-persist variant OOMing at 100×). The
+      // cross-channel brand set (brands with BOTH statuses ≡ the
+      // INTERSECT) and the rollup input both read the cached grain; only
+      // the uncorrelated scalar average rescans the fact.
       val li = graft.Tables(spark, dir, "lineitem")
-      val base = li
+      val avgQ = li.agg(
+        expr("CAST(round(avg(l_quantity * 100), 0) AS BIGINT)").as("avg_q100"))
+      val grain = li
         .join(graft.Tables(spark, dir, "orders")
           .filter(col("o_orderstatus").isin("F", "O")),
           col("l_orderkey") === col("o_orderkey"))
         .join(graft.Tables(spark, dir, "part"),
           col("l_partkey") === col("p_partkey"))
+        .crossJoin(broadcast(avgQ))
         .select(col("o_orderstatus").as("channel"), col("p_brand"),
-          col("l_quantity"), cents(col("l_extendedprice")).as("rev_c"))
+          (col("l_quantity") * 100 > col("avg_q100")).as("qok"),
+          cents(col("l_extendedprice")).as("rev_c"))
+        .groupBy(col("channel"), col("p_brand"))
+        .agg(sum(when(col("qok"), 1L).otherwise(0L)).as("n_lines_f"),
+          sum(when(col("qok"), col("rev_c"))).as("rev_f"))
         .persist()
-      val crossBrands = base.groupBy(col("p_brand"))
+      val crossBrands = grain.groupBy(col("p_brand"))
         .agg(countDistinct(col("channel")).as("nch"))
         .filter(col("nch") === 2).select(col("p_brand"))
-      val avgQ = li.agg(
-        expr("CAST(round(avg(l_quantity * 100), 0) AS BIGINT)").as("avg_q100"))
-      base.join(broadcast(crossBrands), "p_brand")
-        .crossJoin(broadcast(avgQ))
-        .filter(col("l_quantity") * 100 > col("avg_q100"))
+      grain.join(broadcast(crossBrands), "p_brand")
+        .filter(col("n_lines_f") > 0)
         .rollup(col("channel"), col("p_brand"))
-        .agg(count(lit(1)).as("n_lines"),
-          (sum(col("rev_c")).cast("double") / 100.0).as("revenue"))
+        .agg(sum(col("n_lines_f")).as("n_lines"),
+          (sum(col("rev_f")).cast("double") / 100.0).as("revenue"))
         .select(col("channel"), col("p_brand"), col("n_lines"),
           col("revenue"))
     },

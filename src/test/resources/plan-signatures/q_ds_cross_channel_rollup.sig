@@ -3,24 +3,15 @@ HashAggregate
     HashAggregate
       Expand
         Project
-          BroadcastNestedLoopJoin [broadcast,plain]
+          BroadcastHashJoin [broadcast,plain]
             Filter
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    ColumnarToRow
-                      Scan parquet 
+              InMemoryTableScan
             Project
-              BroadcastHashJoin [broadcast,plain]
-                Filter
-                  InMemoryTableScan
-                Project
-                  Filter
+              Filter
+                HashAggregate
+                  Exchange
                     HashAggregate
-                      Exchange
+                      HashAggregate
                         HashAggregate
-                          HashAggregate
-                            Exchange
-                              HashAggregate
-                                Filter
-                                  InMemoryTableScan
+                          Filter
+                            InMemoryTableScan

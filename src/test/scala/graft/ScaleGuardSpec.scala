@@ -74,12 +74,9 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   (EXCLUDE-emulation
                                                     //   truth table)
 
-      "q_ds_cross_channel_rollup",                  // 1-row scalar-average
-                                                    //   frame broadcast onto
-                                                    //   the persisted channel
-                                                    //   base (the ds14 gate;
-                                                    //   same stats pattern as
-                                                    //   tfidf/bm25 below)
+      // (q_ds_cross_channel_rollup left this list when its scalar-average
+      // cross join moved ahead of the grain aggregate — the planner folds
+      // it into the single-pass scan)
       "q_text_tfidf", "q_text_bm25",                // 1-row corpus-stats
       "q_rag_chunk_retrieval",                      //   frames (N, df_t, w_t)
                                                     //   cross-joined onto the
