@@ -116,6 +116,17 @@ object ops {
     graft.operators.Sampling.quotaSelect(
       df, groupCol, contentCol, tiebreakCol, budgets)
 
+  /** TOKEN-weighted quota selection — [[quotaSelect]]'s sibling where the
+    * budget caps summed tokens per group (the unit pre-training mixtures
+    * are specified in); maximal hash-order prefix ≤ budget — see
+    * [[graft.operators.Sampling.tokenQuotaSelect]]. `budgets` carries
+    * (groupCol, budget). */
+  def tokenQuotaSelect(df: DataFrame, groupCol: String, contentCol: String,
+      tiebreakCol: String, tokensCol: String,
+      budgets: DataFrame): DataFrame =
+    graft.operators.Sampling.tokenQuotaSelect(
+      df, groupCol, contentCol, tiebreakCol, tokensCol, budgets)
+
   /** Near-dup-leakage-safe train/val/test split: every near-duplicate
     * cluster splits as a unit (members key off the representative's
     * content), so no near-dup pair can straddle train/test — see

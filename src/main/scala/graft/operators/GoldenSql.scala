@@ -2556,9 +2556,47 @@ object GoldenSql {
               1 AS b0, 0 AS b1
        FROM (VALUES (1), (2), (2), (99), (1)) t(x)""")
 
+  /** The last uncovered string-search trio + AES-ECB: substring_index
+    * (positive = prefix through nth delimiter, negative = suffix),
+    * find_in_set 1-based position with 0-miss and the comma-poisoning
+    * rule (needle containing ',' never matches), locate with a start
+    * offset, and an aes_encrypt/aes_decrypt ECB round-trip (deterministic
+    * mode — GCM's random IV could never be oracle-checked) with the
+    * PKCS7-padded ciphertext length pinned. DuckDB computes the trio via
+    * split_part/list_position/position; AES cells are literal. */
+  lazy val stringSearchAes = QueryDef.sql(
+    "q_golden_string_search_aes",
+    """SELECT substring_index('a.b.c.d', '.', 2)  AS si_pos,
+              substring_index('a.b.c.d', '.', -1) AS si_neg,
+              substring_index('abc', '.', 2)      AS si_nodelim,
+              CAST(find_in_set('b', 'a,b,c') AS INT)  AS fis_hit,
+              CAST(find_in_set('z', 'a,b,c') AS INT)  AS fis_miss,
+              CAST(find_in_set('a,b', 'a,b,c') AS INT) AS fis_comma,
+              CAST(locate('b', 'abcabc') AS INT)      AS loc_first,
+              CAST(locate('b', 'abcabc', 3) AS INT)   AS loc_from3,
+              CAST(locate('z', 'abcabc') AS INT)      AS loc_miss,
+              CAST(aes_decrypt(aes_encrypt('Spark', 'abcdefghijklmnop',
+                'ECB'), 'abcdefghijklmnop', 'ECB') AS STRING) AS aes_rt,
+              CAST(octet_length(aes_encrypt('Spark', 'abcdefghijklmnop',
+                'ECB')) AS INT) AS aes_len""",
+    """SELECT split_part('a.b.c.d', '.', 1) || '.' ||
+                split_part('a.b.c.d', '.', 2)       AS si_pos,
+              split_part('a.b.c.d', '.', 4)         AS si_neg,
+              'abc'                                 AS si_nodelim,
+              CAST(list_position(str_split('a,b,c', ','), 'b') AS INT)
+                AS fis_hit,
+              CAST(coalesce(list_position(str_split('a,b,c', ','), 'z'), 0)
+                AS INT) AS fis_miss,
+              0 AS fis_comma,
+              CAST(position('b' IN 'abcabc') AS INT) AS loc_first,
+              5 AS loc_from3,
+              CAST(position('z' IN 'abcabc') AS INT) AS loc_miss,
+              'Spark' AS aes_rt,
+              16 AS aes_len""")
+
   val all: Seq[QueryDef] = Seq(
     windowExclude, tablesamplePins, lateralJsonTuple, stackPadding,
-    distributeBy,
+    distributeBy, stringSearchAes,
     calendarNames, equalNullIlike, tzConvert, jsonIntrospect, bitmapFns,
     namedWindow, outerGenerators, opPrecedence, groupingIdFilter,
     nestedComments, dateSequence, distinctFrom, aggEmptyInput, stringFns2,

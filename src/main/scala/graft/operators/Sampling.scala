@@ -264,6 +264,122 @@ object Sampling {
       .drop("qs_h", "qs_b", "qs_rem")
   }
 
+  /** Library API: TOKEN-weighted quota selection — [[quotaSelect]]'s
+    * sibling where the budget caps the summed `tokensCol` per group
+    * rather than the document count (the unit a pre-training mixture is
+    * actually specified in: "X billion tokens of web, Y of code").
+    * Selection is the maximal prefix in content-hash order whose running
+    * token sum fits the budget, so kept tokens ≤ budget with at most one
+    * straddling document's worth of slack, deterministically.
+    *
+    * Same 100 TB shape as quotaSelect: a 256-bucket census (now summing
+    * tokens), running totals over the tiny census, whole buckets pass
+    * unranked, and ONLY the boundary bucket pays a ranked running-sum
+    * window — never a per-group sort of the corpus. */
+  def tokenQuotaSelect(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String, contentCol: String, tiebreakCol: String,
+      tokensCol: String,
+      budgets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withH = df
+      .withColumn("tq_h", md5(col(contentCol).cast("binary")))
+      .withColumn("tq_b", substring(col("tq_h"), 1, 2))
+    val census = withH.groupBy(col(groupCol), col("tq_b"))
+      .agg(sum(col(tokensCol)).as("tq_n"))
+    val wcum = Window.partitionBy(col(groupCol)).orderBy(col("tq_b"))
+    val info = census
+      .withColumn("tq_cum", sum(col("tq_n")).over(wcum))
+      .join(budgets, groupCol)
+      .withColumn("tq_prev", col("tq_cum") - col("tq_n"))
+      .filter(col("tq_prev") < col("budget"))
+      .withColumn("tq_rem", // null = bucket passes whole, else token limit
+        when(col("tq_cum") <= col("budget"), lit(null).cast("long"))
+          .otherwise(col("budget") - col("tq_prev")))
+      .select(col(groupCol), col("tq_b"), col("tq_rem"))
+      .persist() // ≤ |G|·256 rows, read by both union branches
+    val joined = withH.join(broadcast(info), Seq(groupCol, "tq_b"))
+    val wb = Window.partitionBy(col(groupCol), col("tq_b"))
+      .orderBy(col("tq_h"), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = joined.filter(col("tq_rem").isNotNull)
+      .withColumn("tq_rcum", sum(col(tokensCol)).over(wb))
+      .filter(col("tq_rcum") <= col("tq_rem"))
+      .drop("tq_rcum")
+    joined.filter(col("tq_rem").isNull).unionByName(partial)
+      .drop("tq_h", "tq_b", "tq_rem")
+  }
+
+  /** Token-budget mixture over the corpus: each language capped at 50% of
+    * its total whitespace tokens (en tighter at 25%) via
+    * [[tokenQuotaSelect]] — the audit row pins kept docs, kept tokens,
+    * the budget, and an id-checksum of exactly which documents made the
+    * cut; the DuckDB oracle replays the census, the boundary-bucket
+    * running sum, and the prefix rule end to end. */
+  val tokenBudget = QueryDef(
+    "q_sample_token_budget",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .withColumn("n_toks",
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+            + 1).cast("long"))
+      val budgets = docs.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("tot"))
+        .select(col("lang"),
+          when(col("lang") === "en", expr("tot DIV 4"))
+            .otherwise(expr("tot DIV 2")).as("budget"))
+      tokenQuotaSelect(docs, "lang", "text", "doc_id", "n_toks", budgets)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_toks")).as("tokens_kept"),
+          sum(col("doc_id") * col("doc_id")).as("id_checksum"))
+        .join(budgets, "lang")
+        .select(col("lang"), col("n_docs_kept"), col("tokens_kept"),
+          col("budget"), col("id_checksum"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_toks,
+               md5(text) AS h, substr(md5(text), 1, 2) AS b
+        FROM documents),
+      budgets AS (
+        SELECT lang,
+               CASE WHEN lang = 'en' THEN CAST(sum(n_toks) AS BIGINT) // 4
+                    ELSE CAST(sum(n_toks) AS BIGINT) // 2 END AS budget
+        FROM t GROUP BY lang),
+      census AS (
+        SELECT lang, b, CAST(sum(n_toks) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2),
+      info AS (
+        SELECT c.lang, c.b, g.budget,
+               sum(c.n) OVER (PARTITION BY c.lang ORDER BY c.b) AS cum,
+               sum(c.n) OVER (PARTITION BY c.lang ORDER BY c.b) - c.n
+                 AS prev
+        FROM census c JOIN budgets g USING (lang)),
+      gate AS (
+        SELECT lang, b,
+               CASE WHEN cum <= budget THEN NULL
+                    ELSE budget - prev END AS rem
+        FROM info WHERE prev < budget),
+      sel AS (
+        SELECT t.lang, t.doc_id, t.n_toks
+        FROM t JOIN gate USING (lang, b) WHERE gate.rem IS NULL
+        UNION ALL
+        SELECT lang, doc_id, n_toks FROM (
+          SELECT t.lang, t.doc_id, t.n_toks, gate.rem,
+                 sum(t.n_toks) OVER (PARTITION BY t.lang, t.b
+                   ORDER BY t.h, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rcum
+          FROM t JOIN gate USING (lang, b) WHERE gate.rem IS NOT NULL)
+        WHERE rcum <= rem)
+      SELECT s.lang, count(*) AS n_docs_kept,
+             CAST(sum(s.n_toks) AS BIGINT) AS tokens_kept, g.budget,
+             CAST(sum(s.doc_id * s.doc_id) AS BIGINT) AS id_checksum
+      FROM sel s JOIN budgets g ON s.lang = g.lang
+      GROUP BY s.lang, g.budget"""))
+
   /** UniMax-style temperature rebalancing (public recipe: budget each
     * language by n^alpha rather than n, so head languages stop drowning the
     * tail; alpha = 0.5 here). All-integer budget arithmetic keeps it
@@ -651,5 +767,5 @@ object Sampling {
 
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
-      unimax, epochShards, dsir, oversample, leakageSplit)
+      unimax, epochShards, dsir, oversample, leakageSplit, tokenBudget)
 }

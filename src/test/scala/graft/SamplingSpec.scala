@@ -49,6 +49,50 @@ class SamplingSpec extends GraftSpecBase {
     }
   }
 
+  test("tokenQuotaSelect equals the global running-sum window formulation") {
+    // the bucket census + boundary-window path must select EXACTLY the
+    // maximal (md5, id)-order prefix whose token sum fits each budget —
+    // proven against the whole-group running-sum window brute force
+    val toked = docs.withColumn("n_toks",
+      (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+        .cast("long"))
+    val totals = toked.groupBy($"lang").agg(sum($"n_toks").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = totals.keys.toSeq.sorted
+    val budgets = langs.zipWithIndex.map { case (l, i) =>
+      (l, i match {
+        case 0 => 0L                  // drop group
+        case 1 => 5L                  // boundary in the first bucket
+        case 2 => totals(l) / 3
+        case 3 => totals(l) / 2
+        case _ => totals(l) + 100     // keep everything
+      })
+    }.toDF("lang", "budget")
+    val got = operators.Sampling
+      .tokenQuotaSelect(toked, "lang", "text", "doc_id", "n_toks", budgets)
+      .select($"lang", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"text".cast("binary")), $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = toked.withColumn("rcum", sum($"n_toks").over(w))
+      .join(broadcast(budgets), "lang")
+      .filter($"rcum" <= $"budget")
+      .select($"lang", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    // budget is a hard cap and the prefix is maximal: per group, kept
+    // tokens <= budget and the next doc in order would overflow it
+    val kept = operators.Sampling
+      .tokenQuotaSelect(toked, "lang", "text", "doc_id", "n_toks", budgets)
+      .groupBy($"lang").agg(sum($"n_toks").as("k"))
+      .join(budgets, "lang").collect()
+    kept.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"${r.getString(0)}: kept ${r.getLong(1)} > budget ${r.getLong(2)}")
+    }
+  }
+
   test("epoch shards partition the corpus and sequence within shards") {
     val out = SparkEntry.queries("q_sample_epoch_shards")(sp, sfDir).collect()
     val total = docs.count()
