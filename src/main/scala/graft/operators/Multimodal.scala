@@ -216,6 +216,86 @@ object Multimodal {
                      AS n_samples
             FROM documents)"""))
 
+  // ------------------------------------- 1c. PNG-style chunk walk (var-offset)
+
+  /** Parse an n-byte BIG-endian unsigned int (PNG chunk lengths are
+    * network order, unlike BMP/WAV's little-endian). Offset may be a
+    * computed Column — chunk walks have data-dependent positions. */
+  def beDecode(blob: Column, off: Column, n: Int): Column =
+    conv(hex(substring(blob, off, lit(n))), 16, 10).cast("long")
+
+  /** PNG-style container: 8-byte signature then length-prefixed chunks
+    * [len u32be | type 4cc | payload | crc u32be] ending in IEND. Unlike
+    * the fixed-offset BMP/WAV headers, each chunk's position depends on
+    * the previous chunk's LENGTH field — the parse must walk the file.
+    * Synthesizes sig + IHDR(13) + DATA(variable, md5-derived) + IEND(0). */
+  def synthPng(dataLen: Column, fillByte: Column): Column = {
+    def be32(v: Column) = {
+      val x = v.cast("long")
+      concat(bhex(shiftright(x, 24)), bhex(shiftright(x, 16)),
+        bhex(shiftright(x, 8)), bhex(x))
+    }
+    unhex(concat(
+      lit("89504E470D0A1A0A"),                       // signature
+      be32(lit(13)), lit("49484452"),                // IHDR, len 13
+      lit("00" * 13), be32(lit(0)),                  // stub payload + crc
+      be32(dataLen), lit("44415441"),                // DATA, variable len
+      repeat(bhex(fillByte), dataLen.cast("int")),   // payload fill
+      be32(lit(0)),                                  // crc stub
+      be32(lit(0)), lit("49454E44"), be32(lit(0)))) // IEND
+  }
+
+  /** Walk the chunk list: chunk k's offset = prior offset + 12 + prior
+    * length — every position except the first is computed from parsed
+    * bytes. Returns struct(sig_ok, t1, l1, t2, l2, t3, l3, total_len). */
+  def pngChunkWalk(blob: Column): Column = {
+    val off1 = lit(9)
+    val l1 = beDecode(blob, off1, 4)
+    val t1 = substring(blob, 13, 4).cast("string")
+    val off2 = (off1 + 12 + l1).cast("int")
+    val l2 = beDecode(blob, off2, 4)
+    val t2 = substring(blob, off2 + 4, lit(4)).cast("string")
+    val off3 = (off2 + 12 + l2).cast("int")
+    val l3 = beDecode(blob, off3, 4)
+    val t3 = substring(blob, off3 + 4, lit(4)).cast("string")
+    struct(
+      (hex(substring(blob, 1, 8)) === "89504E470D0A1A0A").as("sig_ok"),
+      t1.as("t1"), l1.as("l1"), t2.as("t2"), l2.as("l2"),
+      t3.as("t3"), l3.as("l3"),
+      (off3 + 12 - 1).cast("long").as("total_len"))
+  }
+
+  /** One PNG-style blob per document (DATA length 1–64 and fill byte both
+    * md5-derived), then the chunk WALK parses types/lengths back out of
+    * the bytes at data-dependent offsets; the oracle recomputes the
+    * expected walk from md5 directly, and total_len doubles as a check
+    * that the walk consumed exactly the synthesized byte count. */
+  val pngChunks = QueryDef(
+    "q_mm_png_chunks",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val t = col("text")
+      val blobs = docs.select(col("doc_id"),
+        synthPng(mdInt(t, 16, 2) % 64 + 1, mdInt(t, 18, 2)).as("blob"))
+      blobs.select(col("doc_id"), length(col("blob")).as("blob_len"),
+          pngChunkWalk(col("blob")).as("m"))
+        .select(col("doc_id"),
+          col("m.sig_ok").cast("int").as("sig_ok"),
+          col("m.t1").as("t1"), col("m.l1").as("l1"),
+          col("m.t2").as("t2"), col("m.l2").as("l2"),
+          col("m.t3").as("t3"), col("m.l3").as("l3"),
+          (col("m.total_len") === col("blob_len").cast("long"))
+            .cast("int").as("len_ok"))
+    },
+    Some("""
+      SELECT doc_id, 1 AS sig_ok,
+             'IHDR' AS t1, CAST(13 AS BIGINT) AS l1,
+             'DATA' AS t2,
+             ('0x' || substr(md5(text), 16, 2))::BIGINT % 64 + 1 AS l2,
+             'IEND' AS t3, CAST(0 AS BIGINT) AS l3,
+             1 AS len_ok
+      FROM documents"""))
+
   // ------------------------------------------------------------ 2. blob dedup
 
   /** Library API: exact dedup over a binary column — ONE md5-fingerprint
@@ -524,5 +604,5 @@ object Multimodal {
       WHERE length(frame) = 64"""))
 
   val all: Seq[QueryDef] = Seq(pipeline, frameSample, bmpHeader, wavHeader,
-    blobDedup, blobNearDup, interleave, captionRetrieval)
+    pngChunks, blobDedup, blobNearDup, interleave, captionRetrieval)
 }

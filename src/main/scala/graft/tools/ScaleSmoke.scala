@@ -91,7 +91,11 @@ object ScaleSmoke {
     // boilerplate removal: chunk explode + df aggregate + join-back +
     // per-doc reassembly, all corpus-linear (replication deepens df
     // counts — it never widens the chunk vocabulary)
-    "q_text_boilerplate")
+    "q_text_boilerplate",
+    // token-weighted quota: same census + boundary-bucket discipline as
+    // quotaSelect (must never regress to a whole-group sort); PNG chunk
+    // walk is a pure per-row byte kernel (exactly linear)
+    "q_sample_token_budget", "q_mm_png_chunks")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -69,6 +69,27 @@ class MultimodalSpec extends GraftSpecBase {
       m.getLong(5)) == ((2L, 44100L, 176400L, 16L, 176400L)))
   }
 
+  test("PNG chunk walk parses data-dependent offsets on a known blob") {
+    // DATA length 5, fill byte 0xAB: the walk must find chunk 2 and 3 at
+    // offsets computed from chunk 1's and 2's parsed lengths
+    val df = sp.range(1).select(
+      operators.Multimodal.synthPng(lit(5L), lit(0xABL)).as("blob"))
+    val blobLen = df.select(length(col("blob"))).head.getInt(0)
+    // 8 sig + (12+13) IHDR + (12+5) DATA + 12 IEND = 62
+    assert(blobLen == 62)
+    val m = df.select(operators.Multimodal.pngChunkWalk(col("blob")).as("m"))
+      .select("m.sig_ok", "m.t1", "m.l1", "m.t2", "m.l2", "m.t3", "m.l3",
+        "m.total_len").head
+    assert(m.getBoolean(0))
+    assert((m.getString(1), m.getLong(2)) == (("IHDR", 13L)))
+    assert((m.getString(3), m.getLong(4)) == (("DATA", 5L)))
+    assert((m.getString(5), m.getLong(6)) == (("IEND", 0L)))
+    assert(m.getLong(7) == 62L)
+    // the DATA payload really is the fill byte repeated
+    val payload = df.select(hex(substring(col("blob"), 42, 5))).head.getString(0)
+    assert(payload == "ABABABABAB")
+  }
+
   test("dedupBlobs keeps exactly one lowest-id row per distinct blob") {
     val df = Seq((5L, "aa", "x"), (3L, "aa", "y"), (7L, "bb", "z"))
       .toDF("id", "payload", "tag")
