@@ -339,6 +339,15 @@ object ops {
       labelCol: String = "lang", idCol: String = "doc_id"): DataFrame =
     operators.LmScore.nbClassify(docs, textCol, labelCol, idCol)
 
+  /** Fixed-iteration integer PageRank over an edge list (micro-rank
+    * units, floor-division damping — bit-reproducible on any engine):
+    * the link-centrality quality prior pretraining pipelines run over
+    * crawl graphs — see [[graft.operators.Graphs.pageRankInt]]. Returns
+    * (node, rank_u). */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Int = 85): DataFrame =
+    operators.Graphs.pageRankInt(edges, srcCol, dstCol, iters, dampingPct)
+
   /** Cross-document boilerplate removal: chunks whose document frequency
     * exceeds maxDf (headers/footers/banners) are cut from every document,
     * which is reassembled in order from its surviving chunks — see

@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Layout.all ++
       operators.Profiling.all ++
       operators.Multimodal.all ++
+      operators.Graphs.all ++
       operators.ArrowBatch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over document collections — pretraining pipelines
+  * score web pages by link centrality (PageRank over the host/page graph is
+  * a standard quality prior beside the text-level filters), and the dedup
+  * stage already produces one graph (the near-dup pair list) this engine
+  * walks with connected components (Dedup.connectedComponents).
+  *
+  * PageRank here is INTEGER-ARITHMETIC end to end (micro-rank units,
+  * floor-division damping), so a fixed iteration count is bit-reproducible
+  * on any engine — the DuckDB oracle unrolls the same five iterations and
+  * must match exactly, the same determinism discipline as the k-means /
+  * KMV / LM-score families. No float tolerance anywhere.
+  */
+object Graphs {
+
+  /** Fixed-iteration integer PageRank over an edge list.
+    *
+    * Ranks start at 1e6 micro-units per node; each iteration every node
+    * sends `rank DIV out_degree` along each out-edge and collects
+    * `base + damping% · Σ contributions DIV 100` (base = (100−damping)% of
+    * 1e6). Nodes without in-links keep the base; dangling mass is dropped
+    * (the documented no-redistribution variant — rank ORDER, which is what
+    * a quality prior consumes, is unaffected for connected graphs).
+    *
+    * Scale shape: the degree-annotated edge list is built once and
+    * persisted; each iteration is ONE join of edges to current ranks on
+    * the src key plus ONE dst-keyed aggregate — the standard distributed
+    * PageRank round, shuffle ∝ |E| per iteration, nothing driver-side. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("e_src"), col(dstCol).as("e_dst"))
+    val deg = e.groupBy(col("e_src")).agg(count(lit(1)).as("e_deg"))
+    val ed = e.join(deg, "e_src").persist() // reused every iteration
+    val nodes = e.select(col("e_src").as("node"))
+      .unionAll(e.select(col("e_dst").as("node")))
+      .distinct().persist()
+    val base = 1000000L * (100 - dampingPct) / 100
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_u"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, col("e_src") === col("node"))
+        .select(col("e_dst"), expr("rank_u DIV e_deg").as("c"))
+        .groupBy(col("e_dst")).agg(sum(col("c")).as("cs"))
+        .withColumnRenamed("e_dst", "node")
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"$dampingPct * coalesce(cs, 0L) DIV 100")).as("rank_u"))
+    }
+    ranks
+  }
+
+  /** PageRank quality prior over the corpus link graph: each document
+    * carries two md5-derived out-links (a deterministic stand-in for the
+    * page→page edges a crawl provides), five integer iterations, top-20
+    * pages by rank. The oracle unrolls the identical five rounds in
+    * DuckDB — every micro-rank unit must match. */
+  val pagerank = QueryDef(
+    "q_graph_pagerank",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val links = docs.crossJoin(broadcast(n)).select(col("doc_id"),
+        expr("CAST(conv(substr(md5(text), 20, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst1"),
+        expr("CAST(conv(substr(md5(text), 24, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst2"))
+      val edges = links.select(col("doc_id").as("src"),
+          col("dst1").as("dst"))
+        .unionAll(links.select(col("doc_id").as("src"),
+          col("dst2").as("dst")))
+      pageRankInt(edges, "src", "dst", iters = 5)
+        .orderBy(col("rank_u").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("rank_u"))
+    },
+    Some("""
+      WITH lk AS (
+        SELECT doc_id AS src,
+               ('0x' || substr(md5(text), 20, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst1,
+               ('0x' || substr(md5(text), 24, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst2
+        FROM documents),
+      e0 AS (
+        SELECT src, dst1 AS dst FROM lk
+        UNION ALL
+        SELECT src, dst2 FROM lk),
+      deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg USING (src)),
+      n AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+      r1 AS (
+        SELECT n.node, CAST(150000 + 85 * coalesce(c.cs, 0) // 100
+               AS BIGINT) AS r
+        FROM n LEFT JOIN (
+          SELECT e.dst AS node, CAST(sum(r.r // e.d) AS BIGINT) AS cs
+          FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst) c
+        USING (node)),
+      r2 AS (
+        SELECT n.node, CAST(150000 + 85 * coalesce(c.cs, 0) // 100
+               AS BIGINT) AS r
+        FROM n LEFT JOIN (
+          SELECT e.dst AS node, CAST(sum(r.r // e.d) AS BIGINT) AS cs
+          FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst) c
+        USING (node)),
+      r3 AS (
+        SELECT n.node, CAST(150000 + 85 * coalesce(c.cs, 0) // 100
+               AS BIGINT) AS r
+        FROM n LEFT JOIN (
+          SELECT e.dst AS node, CAST(sum(r.r // e.d) AS BIGINT) AS cs
+          FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst) c
+        USING (node)),
+      r4 AS (
+        SELECT n.node, CAST(150000 + 85 * coalesce(c.cs, 0) // 100
+               AS BIGINT) AS r
+        FROM n LEFT JOIN (
+          SELECT e.dst AS node, CAST(sum(r.r // e.d) AS BIGINT) AS cs
+          FROM e JOIN r3 r ON e.src = r.node GROUP BY e.dst) c
+        USING (node)),
+      r5 AS (
+        SELECT n.node, CAST(150000 + 85 * coalesce(c.cs, 0) // 100
+               AS BIGINT) AS r
+        FROM n LEFT JOIN (
+          SELECT e.dst AS node, CAST(sum(r.r // e.d) AS BIGINT) AS cs
+          FROM e JOIN r4 r ON e.src = r.node GROUP BY e.dst) c
+        USING (node))
+      SELECT node, r AS rank_u FROM r5
+      ORDER BY rank_u DESC, node LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(pagerank)
+}

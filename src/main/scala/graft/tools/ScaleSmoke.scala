@@ -95,7 +95,10 @@ object ScaleSmoke {
     // token-weighted quota: same census + boundary-bucket discipline as
     // quotaSelect (must never regress to a whole-group sort); PNG chunk
     // walk is a pure per-row byte kernel (exactly linear)
-    "q_sample_token_budget", "q_mm_png_chunks")
+    "q_sample_token_budget", "q_mm_png_chunks",
+    // PageRank: 5 rounds of one |E|-shuffle join + one dst aggregate —
+    // must track the edge count linearly
+    "q_graph_pagerank")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

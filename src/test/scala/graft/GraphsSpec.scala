@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural pins for the integer PageRank the oracle's unrolled replay
+  * can't see: base floor, sink behavior, and hub dominance on a graph with
+  * known shape. */
+class GraphsSpec extends GraftSpecBase {
+
+  private val sp = TestSpark.spark
+  import sp.implicits._
+
+  test("pageRankInt: hub dominates, no-inlink node sits at the base floor") {
+    // star graph: 1,2,3 all point at 10; 10 points at 2 (so it has
+    // out-degree and is not dangling); node 1 has NO in-links
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (10L, 2L))
+      .toDF("src", "dst")
+    val r = ops.pageRankInt(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 10L))
+    // base = 15% of 1e6; a node nobody links to holds exactly the base
+    assert(r(1L) == 150000L, s"no-inlink rank ${r(1L)}")
+    assert(r(3L) == 150000L)
+    // the hub out-ranks everything, and its feeder 2 out-ranks the floor
+    assert(r(10L) > r(2L) && r(2L) > r(1L), r.toString)
+    // determinism: a second run is bit-identical
+    val again = ops.pageRankInt(edges, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r)
+  }
+
+  test("pageRankInt: rank mass stays bounded by the closed-form ceiling") {
+    // with damping d, unnormalized ranks satisfy
+    // sum(r) <= N*base + d*sum(prev)/100 -> bounded by N*1e6 for any graph
+    val docs = Tables(sp, sfDir, "documents").limit(100)
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+      (col("doc_id") * 7 % n).as("dst"))
+    val total = ops.pageRankInt(edges, "src", "dst", iters = 4)
+      .agg(sum(col("rank_u"))).head.getLong(0)
+    assert(total > 0 && total <= n * 1000000L,
+      s"total rank $total exceeds the ceiling ${n * 1000000L}")
+  }
+}
