@@ -116,6 +116,15 @@ object ops {
     graft.operators.Sampling.quotaSelect(
       df, groupCol, contentCol, tiebreakCol, budgets)
 
+  /** Curriculum sharding: global score-quantile shard assignment
+    * (easy→hard epochs) via a score-domain-bounded census — the corpus
+    * never sorts, only map-joins the tiny score→shard table — see
+    * [[graft.operators.Sampling.curriculumShards]]. `scoreCol` must be a
+    * bounded-domain integer difficulty score. Adds `shard`. */
+  def curriculumShards(df: DataFrame, scoreCol: String,
+      nShards: Int): DataFrame =
+    graft.operators.Sampling.curriculumShards(df, scoreCol, nShards)
+
   /** TOKEN-weighted quota selection — [[quotaSelect]]'s sibling where the
     * budget caps summed tokens per group (the unit pre-training mixtures
     * are specified in); maximal hash-order prefix ≤ budget — see

@@ -380,6 +380,78 @@ object Sampling {
       FROM sel s JOIN budgets g ON s.lang = g.lang
       GROUP BY s.lang, g.budget"""))
 
+  /** Library API: curriculum sharding — assign each document a shard
+    * 0..nShards−1 by GLOBAL quantile of an integer difficulty score
+    * (easy→hard ordered training epochs), without ever sorting the
+    * corpus: a census of (score → count), cumulative totals over the
+    * census, shard = ⌊prev_cum · nShards / total⌋ (capped), then one
+    * broadcast join of the tiny score→shard map back onto the corpus.
+    * Equal scores always land in the same shard, so the assignment is
+    * stable under repartitioning and re-runs.
+    *
+    * `scoreCol` must be a bounded-domain integer score (milli-bits,
+    * milli-avg-token-length, length buckets…) — the census and its
+    * single-partition cumulative window are score-domain-sized, NEVER
+    * corpus-sized; the corpus itself only pays a map-side join. */
+  def curriculumShards(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String, nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1)
+    val census = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("cs_n"))
+    val w = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = census.agg(sum(col("cs_n")).as("cs_tot"))
+    val shardMap = census
+      .withColumn("cs_cum", sum(col("cs_n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col(scoreCol),
+        least(lit(nShards - 1L),
+          expr(s"(cs_cum - cs_n) * $nShards DIV cs_tot")).as("shard"))
+    df.join(broadcast(shardMap), scoreCol)
+  }
+
+  /** Curriculum over the corpus: difficulty = average token length in
+    * milli-chars (an integer proxy any engine reproduces), four shards
+    * easy→hard; audit per shard pins sizes, the score range, and an
+    * id-checksum of the exact membership against the DuckDB census
+    * replay. */
+  val curriculum = QueryDef(
+    "q_sample_curriculum",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .withColumn("n_toks",
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+            + 1).cast("long"))
+        .withColumn("difficulty",
+          expr("n_chars * 1000 DIV n_toks"))
+      curriculumShards(docs, "difficulty", 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("difficulty")).as("min_score"),
+          max(col("difficulty")).as("max_score"),
+          sum(col("doc_id") * col("doc_id")).as("id_checksum"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               n_chars * 1000 //
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS difficulty
+        FROM documents),
+      census AS (
+        SELECT difficulty, count(*) AS n FROM t GROUP BY difficulty),
+      m AS (
+        SELECT difficulty,
+               CAST(least(3, (sum(n) OVER (ORDER BY difficulty) - n) * 4
+                        // (SELECT CAST(sum(n) AS BIGINT) FROM census))
+                 AS BIGINT) AS shard
+        FROM census)
+      SELECT m.shard, count(*) AS n_docs,
+             min(t.difficulty) AS min_score,
+             max(t.difficulty) AS max_score,
+             CAST(sum(t.doc_id * t.doc_id) AS BIGINT) AS id_checksum
+      FROM t JOIN m USING (difficulty)
+      GROUP BY m.shard"""))
+
   /** UniMax-style temperature rebalancing (public recipe: budget each
     * language by n^alpha rather than n, so head languages stop drowning the
     * tail; alpha = 0.5 here). All-integer budget arithmetic keeps it
@@ -767,5 +839,6 @@ object Sampling {
 
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
-      unimax, epochShards, dsir, oversample, leakageSplit, tokenBudget)
+      unimax, epochShards, dsir, oversample, leakageSplit, tokenBudget,
+      curriculum)
 }

@@ -93,6 +93,37 @@ class SamplingSpec extends GraftSpecBase {
     }
   }
 
+  test("curriculumShards: shards ordered by score, sizes quantile-balanced") {
+    val toked = docs.withColumn("score",
+      expr("n_chars * 1000 DIV CAST(length(text) - " +
+        "length(replace(text, ' ', '')) + 1 AS BIGINT)"))
+    val out = operators.Sampling.curriculumShards(toked, "score", 4)
+    val stats = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"score").as("lo"),
+        max($"score").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(stats.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // strict score ordering across shards: shard k's max < shard k+1's min
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"shards overlap: $a vs $b")
+    }
+    // quantile balance: each shard within one largest-tie-group of n/4
+    val total = stats.map(_._2).sum
+    val biggestTie = toked.groupBy($"score").count()
+      .agg(max($"count")).head.getLong(0)
+    stats.foreach { case (s, n, _, _) =>
+      assert(math.abs(n - total / 4) <= biggestTie,
+        s"shard $s size $n vs ideal ${total / 4} (tie bound $biggestTie)")
+    }
+    // stability: equal scores share a shard by construction; rerun equal
+    val again = operators.Sampling.curriculumShards(toked, "score", 4)
+      .select($"doc_id", $"shard").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(again == out.select($"doc_id", $"shard").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("epoch shards partition the corpus and sequence within shards") {
     val out = SparkEntry.queries("q_sample_epoch_shards")(sp, sfDir).collect()
     val total = docs.count()

@@ -114,6 +114,14 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   the whole point is
                                                     //   that raw tokens never
                                                     //   join)
+      "q_sample_curriculum",                        // global cumulative
+                                                    //   window over the
+                                                    //   SCORE CENSUS — a
+                                                    //   score-domain-bounded
+                                                    //   table (≤ thousands
+                                                    //   of distinct integer
+                                                    //   scores), never the
+                                                    //   corpus
       "q_ds_decile_spend",                          // global ntile(10) over
                                                     //   the POST-AGG per-
                                                     //   customer spend table
