@@ -357,6 +357,14 @@ object ops {
       iters: Int, dampingPct: Int = 85): DataFrame =
     operators.Graphs.pageRankInt(edges, srcCol, dstCol, iters, dampingPct)
 
+  /** PII detection flags: per-document counts of emails, NNN-NNN-NNNN
+    * phones, dotted-quad IPs, and 16-digit card candidates gated by the
+    * LUHN checksum, plus `has_pii` — see
+    * [[graft.operators.TextAnalysis.piiFlags]]. Pure map stage; compose
+    * in front of [[scrubbed]]. */
+  def piiFlags(docs: DataFrame, textCol: String = "text"): DataFrame =
+    operators.TextAnalysis.piiFlags(docs, textCol)
+
   /** Cross-document boilerplate removal: chunks whose document frequency
     * exceeds maxDf (headers/footers/banners) are cut from every document,
     * which is reassembled in order from its surviving chunks — see

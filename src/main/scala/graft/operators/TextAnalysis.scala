@@ -536,6 +536,87 @@ object TextAnalysis {
       JOIN ent e ON t.lang = e.lang
       JOIN tris r ON t.lang = r.lang"""))
 
+  /** Library API: PII detection flags — per-document counts of
+    * email-shaped tokens, NNN-NNN-NNNN phone shapes, dotted-quad IPs, and
+    * 16-digit card candidates GATED BY THE LUHN CHECKSUM (a bare \d{16}
+    * matcher flags order ids and hashes; the mod-10 gate is what separates
+    * a plausible card number). All patterns live in the Java∩RE2 common
+    * subset; the Luhn gate is Spark's codegen'd luhn_check, replayed
+    * digit-by-digit in the DuckDB oracle. Pure map stage — zero shuffle,
+    * composes in front of [[graft.operators.Sampling.scrubbed]]. */
+  def piiFlags(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    docs
+      .withColumn("pii_emails", expr(
+        s"size(regexp_extract_all($textCol, " +
+          "'[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', 0))").cast("long"))
+      .withColumn("pii_phones", expr(
+        s"size(regexp_extract_all($textCol, " +
+          "'\\\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\\\b', 0))").cast("long"))
+      .withColumn("pii_ips", expr(
+        s"size(regexp_extract_all($textCol, " +
+          "'\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b'," +
+          " 0))").cast("long"))
+      .withColumn("pii_cards", expr(
+        s"size(filter(regexp_extract_all($textCol, " +
+          "'\\\\b[0-9]{16}\\\\b', 0), c -> luhn_check(c)))").cast("long"))
+      .withColumn("has_pii",
+        (col("pii_emails") + col("pii_phones") + col("pii_ips") +
+          col("pii_cards")) > 0)
+  }
+
+  /** PII detection over a deterministically PII-salted corpus (the fixture
+    * text carries none, so each doc's md5 class injects one known shape:
+    * an email, a phone, a LUHN-VALID card, a Luhn-INVALID 16-digit decoy,
+    * or nothing). The per-source census pins that the card counter
+    * accepts exactly the valid card class and rejects the decoy class —
+    * the Luhn gate is the assertion, replayed digit-by-digit in DuckDB. */
+  val pii = QueryDef(
+    "q_text_pii",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val cls = expr(
+        "CAST(conv(substr(md5(text), 30, 1), 16, 10) AS BIGINT) % 5")
+      val salted = docs.withColumn("salted",
+        concat(col("text"), lit(" "),
+          when(cls === 0, concat(lit("user"), col("doc_id"),
+            lit("@example.com")))
+            .when(cls === 1, lit("555-867-5309"))
+            .when(cls === 2, lit("4111111111111111"))
+            .when(cls === 3, lit("4111111111111112"))
+            .otherwise(lit("clean"))))
+      piiFlags(salted, "salted")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pii_emails")).as("n_emails"),
+          sum(col("pii_phones")).as("n_phones"),
+          sum(col("pii_ips")).as("n_ips"),
+          sum(col("pii_cards")).as("n_valid_cards"),
+          sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_docs_flagged"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               ('0x' || substr(md5(text), 30, 1))::BIGINT % 5 AS cls
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_emails,
+             CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_phones,
+             CAST(0 AS BIGINT) AS n_ips,
+             CAST(sum(CASE WHEN cls = 2 AND
+                 list_sum(list_transform(range(1, 17), i ->
+                   CASE WHEN i % 2 = 1 THEN
+                     CASE WHEN 2 * CAST('4111111111111111'[i] AS INT) > 9
+                          THEN 2 * CAST('4111111111111111'[i] AS INT) - 9
+                          ELSE 2 * CAST('4111111111111111'[i] AS INT) END
+                   ELSE CAST('4111111111111111'[i] AS INT) END)) % 10 = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_cards,
+             CAST(sum(CASE WHEN cls IN (0, 1, 2) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_flagged
+      FROM t GROUP BY source"""))
+
   /** Library API: cross-document boilerplate removal (the CCNet/jusText
     * cleanup stage) — headers, footers, nav bars, cookie banners repeat
     * across pages, so any chunk whose DOCUMENT FREQUENCY exceeds `maxDf`
@@ -630,5 +711,5 @@ object TextAnalysis {
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
       freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
-      diversity, boilerplate)
+      diversity, boilerplate, pii)
 }

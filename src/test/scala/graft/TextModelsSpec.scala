@@ -139,6 +139,26 @@ class TextModelsSpec extends GraftSpecBase {
         s"LSH recall ${got.size}/${truth.size} below 0.8")
   }
 
+  test("piiFlags: Luhn gate accepts real cards, rejects 16-digit decoys") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val in = Seq(
+      (1L, "contact user@example.com or 555-867-5309 now"),
+      (2L, "card 4111111111111111 on file"),          // Luhn-valid
+      (3L, "order 4111111111111112 confirmed"),       // Luhn-INVALID decoy
+      (4L, "server at 10.0.42.7 responded"),
+      (5L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = ops.piiFlags(in).collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6))).toMap
+    assert(out(1L) == ((1L, 1L, 0L, 0L, true)))
+    assert(out(2L) == ((0L, 0L, 0L, 1L, true)), "valid card must flag")
+    assert(out(3L) == ((0L, 0L, 0L, 0L, false)),
+      "Luhn-invalid 16-digit run must NOT flag")
+    assert(out(4L) == ((0L, 0L, 1L, 0L, true)))
+    assert(out(5L) == ((0L, 0L, 0L, 0L, false)))
+  }
+
   test("removeBoilerplate: shared chunks cut, unique docs untouched, order kept") {
     val sp = TestSpark.spark
     import sp.implicits._
