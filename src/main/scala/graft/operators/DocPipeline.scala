@@ -160,5 +160,101 @@ object DocPipeline {
              min(quality) AS min_quality
       FROM kept GROUP BY source"""))
 
-  val all: Seq[QueryDef] = Seq(pipeline)
+  /** The CLEANING-side pipeline (round 7): the pre-dedup passes a crawl
+    * corpus runs before the near-dup machinery of [[pipeline]] —
+    *
+    *   1. PII scrub ([[Sampling.scrubbed]]) over a deterministically
+    *      PII-salted corpus (each doc's md5 class injects an email /
+    *      phone / card / decoy / nothing — the fixture carries none)
+    *   2. cross-document boilerplate removal
+    *      ([[TextAnalysis.removeBoilerplate]]) on the scrubbed text —
+    *      the near-dup docs' shared-prefix chunks are the high-df
+    *      boilerplate it cuts (105 chunks at sf0.01), and running it
+    *      AFTER the scrub means mask normalization can only increase
+    *      chunk-level agreement, never hide it
+    *   3. exact dedup of the cleaned text (min_by fingerprint aggregate)
+    *   4. per-source census: kept docs, chunks dropped, and an md5-prefix
+    *      checksum pinning every surviving byte
+    *
+    * Every stage replays in the DuckDB oracle, so the COMPOSITION —
+    * including the scrub→boilerplate interaction — is bit-exact, the
+    * same end-to-end discipline as q_docs_pipeline. */
+  val cleaningPipeline = QueryDef(
+    "q_docs_pipeline_clean",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val cls = expr(
+        "CAST(conv(substr(md5(text), 30, 1), 16, 10) AS BIGINT) % 5")
+      val salted = docs.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" "),
+          when(cls === 0, concat(lit("user"), col("doc_id"),
+            lit("@example.com")))
+            .when(cls === 1, lit("555-867-5309"))
+            .when(cls === 2, lit("4111111111111111"))
+            .when(cls === 3, lit("4111111111111112"))
+            .otherwise(lit("clean"))).as("salted"))
+      val scrubbedDocs = salted.select(col("doc_id"), col("source"),
+        Sampling.scrubbed(col("salted")).as("clean0"))
+      val cleaned = TextAnalysis
+        .removeBoilerplate(scrubbedDocs, "doc_id", "clean0")
+        .join(scrubbedDocs.select(col("doc_id"), col("source")), "doc_id")
+      val deduped = cleaned
+        .groupBy(md5(col("clean_text")).as("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("clean_text"),
+          col("n_dropped")), col("doc_id")).as("r"))
+        .select(col("r.*"))
+      deduped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_dropped")).as("n_chunks_dropped"),
+          sum(expr(
+            "CAST(conv(substr(md5(clean_text), 1, 7), 16, 10) AS BIGINT)"))
+            .as("corpus_checksum"))
+    },
+    Some("""
+      WITH salted AS (
+        SELECT doc_id, source,
+               text || ' ' ||
+               CASE ('0x' || substr(md5(text), 30, 1))::BIGINT % 5
+                 WHEN 0 THEN 'user' || doc_id || '@example.com'
+                 WHEN 1 THEN '555-867-5309'
+                 WHEN 2 THEN '4111111111111111'
+                 WHEN 3 THEN '4111111111111112'
+                 ELSE 'clean' END AS salted
+        FROM documents),
+      scrub AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                 regexp_replace(salted,
+                   '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g') AS clean0
+        FROM salted),
+      t AS (SELECT doc_id, source, string_split(clean0, ' ') AS w
+            FROM scrub),
+      c AS (SELECT doc_id, i AS bp_idx,
+              array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
+            FROM t, unnest(range((len(w)+7)//8)) AS u(i)),
+      df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+      kept AS (SELECT c.doc_id, c.bp_idx, c.chunk
+               FROM c JOIN df USING (chunk) WHERE df.df <= 2),
+      re AS (SELECT doc_id,
+                    string_agg(chunk, ' ' ORDER BY bp_idx) AS clean_text,
+                    count(*) AS bp_kept
+             FROM kept GROUP BY doc_id),
+      full_t AS (
+        SELECT t.doc_id, t.source,
+               coalesce(re.clean_text, '') AS clean_text,
+               (len(t.w)+7)//8 - coalesce(re.bp_kept, 0) AS n_dropped
+        FROM t LEFT JOIN re USING (doc_id)),
+      dedup AS (
+        SELECT doc_id, source, clean_text, n_dropped FROM (
+          SELECT f.*, row_number() OVER (PARTITION BY md5(clean_text)
+                                         ORDER BY doc_id) AS rn
+          FROM full_t f) WHERE rn = 1)
+      SELECT source, count(*) AS n_docs_kept,
+             CAST(sum(n_dropped) AS BIGINT) AS n_chunks_dropped,
+             CAST(sum(('0x' || substr(md5(clean_text), 1, 7))::BIGINT)
+                  AS BIGINT) AS corpus_checksum
+      FROM dedup GROUP BY source"""))
+
+  val all: Seq[QueryDef] = Seq(pipeline, cleaningPipeline)
 }

@@ -98,7 +98,10 @@ object ScaleSmoke {
     "q_sample_token_budget", "q_mm_png_chunks",
     // PageRank: 5 rounds of one |E|-shuffle join + one dst aggregate —
     // must track the edge count linearly
-    "q_graph_pagerank")
+    "q_graph_pagerank",
+    // the composed cleaning pipeline: scrub map + boilerplate
+    // explode/df/join + one dedup shuffle, all corpus-linear
+    "q_docs_pipeline_clean")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -39,6 +39,35 @@ class DocPipelineSpec extends GraftSpecBase {
     assert(residual.count() == 0)
   }
 
+  test("cleaning pipeline leaves zero PII-shaped bytes in the corpus") {
+    // q_docs_pipeline_clean's oracle pins the checksums; this pins the
+    // SEMANTIC claim those checksums encode: after salt -> scrub ->
+    // boilerplate -> dedup, no surviving text contains an email shape or
+    // a digit (every injected email/phone/card was masked before the
+    // boilerplate and dedup stages ever saw the text)
+    val docs = input
+    val cls = expr(
+      "CAST(conv(substr(md5(text), 30, 1), 16, 10) AS BIGINT) % 5")
+    val salted = docs.select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" "),
+        when(cls === 0, concat(lit("user"), col("doc_id"),
+          lit("@example.com")))
+          .when(cls === 1, lit("555-867-5309"))
+          .when(cls === 2, lit("4111111111111111"))
+          .when(cls === 3, lit("4111111111111112"))
+          .otherwise(lit("clean"))).as("salted"))
+    val scrubbed = salted.select(col("doc_id"), col("source"),
+      operators.Sampling.scrubbed(col("salted")).as("clean0"))
+    val cleaned = operators.TextAnalysis
+      .removeBoilerplate(scrubbed, "doc_id", "clean0")
+    val dirty = cleaned.filter(
+      col("clean_text").rlike("@") || col("clean_text").rlike("[0-9]"))
+    assert(dirty.count() == 0,
+      s"PII-shaped bytes survived: ${dirty.take(3).mkString("; ")}")
+    // and the salt really was there before cleaning
+    assert(salted.filter(col("salted").rlike("[0-9]|@")).count() > 0)
+  }
+
   test("exact dedup keeps the smallest doc_id of each fingerprint group") {
     val gatedIds = operators.DocPipeline
       .curatedDocs(input, jaccard = 1.1) // disable near-dup drops (no pairs)
