@@ -1,0 +1,37 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              ObjectHashAggregate
+                Exchange
+                  ObjectHashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          Generate
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                        Project
+                          Filter
+                            HashAggregate
+                              Exchange
+                                HashAggregate
+                                  HashAggregate
+                                    Exchange
+                                      HashAggregate
+                                        Project
+                                          Filter
+                                            Generate
+                                              ColumnarToRow
+                                                Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
