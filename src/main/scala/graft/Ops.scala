@@ -357,6 +357,15 @@ object ops {
       iters: Int, dampingPct: Int = 85): DataFrame =
     operators.Graphs.pageRankInt(edges, srcCol, dstCol, iters, dampingPct)
 
+  /** Per-node triangle counts over an undirected edge list via
+    * degree-oriented wedge joins (each node's out-adjacency bounded to
+    * O(√m), so hub nodes can't blow up the wedge stage) — the local
+    * clustering signal link-spam/community filters consume. Returns
+    * (node, n_tri) — see [[graft.operators.Graphs.triangleCounts]]. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    operators.Graphs.triangleCounts(edges, srcCol, dstCol)
+
   /** PII detection flags: per-document counts of emails, NNN-NNN-NNNN
     * phones, dotted-quad IPs, and 16-digit card candidates gated by the
     * LUHN checksum, plus `has_pii` — see
@@ -420,6 +429,23 @@ object ops {
     * — see [[graft.operators.Multimodal.wavMeta]]. */
   def wavMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     operators.Multimodal.wavMeta(blob)
+
+  /** Dereference a TIFF-style IFD pointer and pivot the walked tag
+    * entries → struct(ii_ok, ifd_off, n_entries, width, height, bits) —
+    * see [[graft.operators.Multimodal.tiffMeta]]. */
+  def tiffMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Multimodal.tiffMeta(blob)
+
+  /** Frame-level PCM energy + silence-span census over WAV blobs (the
+    * voice-activity-detection shape ASR curation trims silence with):
+    * one bounded explode → per-frame energies → per-doc silent-run
+    * islands. Returns (idCol, n_frames, n_silent, total_energy,
+    * max_silent_run) — see
+    * [[graft.operators.Multimodal.audioFrameEnergy]]. */
+  def audioFrameEnergy(blobs: DataFrame, idCol: String, blobCol: String,
+      frameLen: Int = 8, silenceThresh: Long = 30000L): DataFrame =
+    operators.Multimodal.audioFrameEnergy(
+      blobs, idCol, blobCol, frameLen, silenceThresh)
 
   def rangeBucketJoin(
       points: DataFrame, ptCol: String,

@@ -2233,6 +2233,46 @@ object GoldenSql {
               'FIX' AS up_lig,
               false AS low_dotted_is_bare_i""")
 
+  /** Unicode NORMALIZATION (the graft `unicode_norm` kernel — Spark has
+    * no builtin): NFC recomposes e+combining-acute (built portably from
+    * its UTF-8 bytes via decode∘unhex, 5 codepoints) into precomposed
+    * 'café' (4), is idempotent on composed input, and PRESERVES
+    * compatibility characters (ﬁ ligature survives NFC); NFD re-expands;
+    * NFKC additionally folds the ligature, full-width forms, superscripts
+    * and circled digits to their compatibility equivalents; ASCII input
+    * is the zero-copy identity. DuckDB computes the NFC half natively
+    * (nfc_normalize) and pins the NFKC half as documented literals (it
+    * has no NFKC). */
+  val unicodeNorm = QueryDef.sql(
+    "q_golden_unicode_norm",
+    """SELECT length(dec_e) AS len_dec,
+              length(unicode_norm(dec_e, 'NFC')) AS len_nfc,
+              unicode_norm(dec_e, 'NFC') = comp_e AS nfc_recomposes,
+              unicode_norm(comp_e, 'NFC') = comp_e AS nfc_idempotent,
+              length(unicode_norm(comp_e, 'NFD')) AS len_nfd,
+              unicode_norm('ﬁle', 'NFC') AS nfc_keeps_lig,
+              unicode_norm('ﬁle', 'NFKC') AS nfkc_lig,
+              unicode_norm('Ａ１', 'NFKC') AS nfkc_fullwidth,
+              unicode_norm('x²', 'NFKC') AS nfkc_superscript,
+              unicode_norm('①', 'NFKC') AS nfkc_circled,
+              unicode_norm('plain ascii!', 'NFKC') AS ascii_identity
+       FROM (SELECT concat('caf', 'e', decode(unhex('CC81'), 'UTF-8'))
+                      AS dec_e,
+                    'café' AS comp_e)""",
+    """SELECT CAST(length(dec_e) AS INT) AS len_dec,
+              CAST(length(nfc_normalize(dec_e)) AS INT) AS len_nfc,
+              nfc_normalize(dec_e) = comp_e AS nfc_recomposes,
+              nfc_normalize(comp_e) = comp_e AS nfc_idempotent,
+              CAST(5 AS INT) AS len_nfd,
+              'ﬁle' AS nfc_keeps_lig,
+              'file' AS nfkc_lig,
+              'A1' AS nfkc_fullwidth,
+              'x2' AS nfkc_superscript,
+              '1' AS nfkc_circled,
+              'plain ascii!' AS ascii_identity
+       FROM (SELECT 'caf' || 'e' || decode(unhex('CC81')) AS dec_e,
+                    'café' AS comp_e)""")
+
   /** Spark 4 SQL scripting surface: session variables (DECLARE OR REPLACE
     * / SET VAR, referenced from query text), EXECUTE IMMEDIATE with a
     * named USING parameter, and the IDENTIFIER() clause resolving a table
@@ -2628,5 +2668,5 @@ object GoldenSql {
     maskBattery, convLuhn, urlPhoneticFmt, variantType, collationLcase,
     monthsWidthBucket, tsUnitArith, xmlFns, regexpReport, orderByAll,
     unicodeSemantics, sqlScripting, arraysZipTry, intervalBreadth,
-    lambdaScopeRegex)
+    lambdaScopeRegex, unicodeNorm)
 }

@@ -135,5 +135,123 @@ object Graphs {
       SELECT node, r AS rank_u FROM r5
       ORDER BY rank_u DESC, node LIMIT 20"""))
 
-  val all: Seq[QueryDef] = Seq(pagerank)
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge joins — the
+    * standard distributed triangle algorithm (Schank & Wagner 2005;
+    * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, so each node's
+    * OUT-adjacency is O(√m) regardless of hubs, then
+    *
+    *   wedges  = oriented ⋈ oriented on the shared source `a`
+    *             (kept only when head keys satisfy k(x) < k(y)), and
+    *   triangle = wedge (a,x,y) whose closing edge x→y is itself an
+    *             oriented edge (always oriented x→y because k(x) < k(y)).
+    *
+    * Each triangle {a,x,y} is found exactly ONCE (from its lowest-key
+    * corner), then credited to all three corners. Shuffle cost: one
+    * hash shuffle on `a` for the wedge join (Σ outdeg² ≤ O(m^1.5) pairs,
+    * the orientation bound) + one on (x,y) for the closing-edge join —
+    * no global sort, no driver state, hub-proof by construction. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ud = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = ud.select(col("u").as("node"))
+      .unionAll(ud.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total-order key (degree, id) packed into one long: ids are
+    // node ids < 1e9 here; a production wrapper would zip arbitrary
+    // keys to dense longs first
+    val keyed = ud
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"),
+        (col("du") * lit(1000000000L) + col("u")).as("ku"),
+        (col("dv") * lit(1000000000L) + col("v")).as("kv"))
+    val oriented = keyed.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("a"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("b"),
+      greatest(col("ku"), col("kv")).as("kb"))
+    val wedges = oriented.select(col("a"), col("b").as("x"), col("kb").as("kx"))
+      .join(oriented.select(col("a"), col("b").as("y"), col("kb").as("ky")),
+        "a")
+      .filter(col("kx") < col("ky"))
+      .select(col("a"), col("x"), col("y"))
+    val tri = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("x").as("node")))
+      .unionAll(tri.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Triangle census over the same md5-derived document link graph as
+    * [[pagerank]]: per-node triangle participation (the local clustering
+    * signal link-spam/community filters consume), top-15 nodes. The
+    * DuckDB oracle replays the identical orientation and wedge joins —
+    * exact counts, no tolerance. */
+  val triangles = QueryDef(
+    "q_graph_triangles",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val links = docs.crossJoin(broadcast(n)).select(col("doc_id"),
+        expr("CAST(conv(substr(md5(text), 20, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst1"),
+        expr("CAST(conv(substr(md5(text), 24, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst2"))
+      val edges = links.select(col("doc_id").as("src"),
+          col("dst1").as("dst"))
+        .unionAll(links.select(col("doc_id").as("src"),
+          col("dst2").as("dst")))
+      triangleCounts(edges, "src", "dst")
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(15)
+    },
+    Some("""
+      WITH lk AS (
+        SELECT doc_id AS src,
+               ('0x' || substr(md5(text), 20, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst1,
+               ('0x' || substr(md5(text), 24, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst2
+        FROM documents),
+      e0 AS (
+        SELECT src, dst1 AS dst FROM lk
+        UNION ALL
+        SELECT src, dst2 FROM lk),
+      ud AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM ud UNION ALL SELECT v FROM ud)
+        GROUP BY node),
+      o AS (
+        SELECT CASE WHEN ku < kv THEN u ELSE v END AS a,
+               CASE WHEN ku < kv THEN v ELSE u END AS b,
+               greatest(ku, kv) AS kb
+        FROM (SELECT ud.u, ud.v,
+                     d1.deg * 1000000000 + ud.u AS ku,
+                     d2.deg * 1000000000 + ud.v AS kv
+              FROM ud
+              JOIN deg d1 ON ud.u = d1.node
+              JOIN deg d2 ON ud.v = d2.node)),
+      tri AS (
+        SELECT w.a, w.x, w.y
+        FROM (SELECT o1.a, o1.b AS x, o1.kb AS kx, o2.b AS y, o2.kb AS ky
+              FROM o o1 JOIN o o2 ON o1.a = o2.a
+              WHERE o1.kb < o2.kb) w
+        JOIN o oc ON oc.a = w.x AND oc.b = w.y),
+      pn AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+      SELECT node, count(*) AS n_tri FROM pn GROUP BY node
+      ORDER BY n_tri DESC, node LIMIT 15"""))
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangles)
 }

@@ -216,6 +216,96 @@ object Multimodal {
                      AS n_samples
             FROM documents)"""))
 
+  // ----------------------------------------- 1b'. PCM frame energy / VAD
+
+  /** Frame-level PCM energy + silence-span census over WAV blobs — the
+    * voice-activity-detection shape ASR data curation runs to trim
+    * silence and drop dead-air clips. `blobs` must carry (idCol, blob)
+    * where blob is a 44-byte canonical WAV header + 8-bit unsigned PCM
+    * payload. Every full `frameLen`-sample frame gets an integer energy
+    * Σ(sample−128)²; frames under `silenceThresh` are silent; silent-run
+    * lengths come from the per-doc gaps-and-islands window.
+    *
+    * Scale shape: ONE bounded explode (≤ payload bytes per row, here
+    * capped at 128) → one (doc, frame) aggregate → one doc-partitioned
+    * window — shuffle keyed on the doc id throughout, no global window,
+    * no driver state. Returns (idCol, n_frames, n_silent, total_energy,
+    * max_silent_run). */
+  def audioFrameEnergy(blobs: DataFrame, idCol: String, blobCol: String,
+      frameLen: Int = 8, silenceThresh: Long = 30000L): DataFrame = {
+    val nSamp = (octet_length(col(blobCol)) - 44).cast("long")
+    val fullSamples = (nSamp.cast("long") / frameLen).cast("long") * frameLen
+    val samples = blobs
+      .select(col(idCol), col(blobCol).as("au_blob"),
+        explode(sequence(lit(0L), fullSamples - 1)).as("au_i"))
+      .select(col(idCol), (col("au_i") / frameLen).cast("long").as("au_f"),
+        (conv(hex(expr("substring(au_blob, 45 + CAST(au_i AS INT), 1)")),
+          16, 10).cast("long") - 128).as("au_d"))
+    val frames = samples.groupBy(col(idCol), col("au_f"))
+      .agg(sum(col("au_d") * col("au_d")).as("au_energy"))
+      .withColumn("au_silent", col("au_energy") < silenceThresh)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("au_f"))
+    val runs = frames.filter(col("au_silent"))
+      .withColumn("au_grp", col("au_f") - row_number().over(w))
+      .groupBy(col(idCol), col("au_grp"))
+      .agg(count(lit(1)).as("au_run"))
+      .groupBy(col(idCol)).agg(max(col("au_run")).as("max_silent_run"))
+    frames.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("au_silent"), 1L).otherwise(0L)).as("n_silent"),
+        sum(col("au_energy")).as("total_energy"))
+      .join(runs, Seq(idCol), "left")
+      .withColumn("max_silent_run", coalesce(col("max_silent_run"), lit(0L)))
+  }
+
+  /** One WAV per document (8 kHz mono 8-bit header + the doc's first 128
+    * text bytes as the PCM payload — synthetic audio, REAL byte parsing:
+    * every sample is read back out of the blob at its RIFF data offset),
+    * then the frame-energy/silence census. The oracle recomputes the
+    * same frames from the raw text bytes. */
+  val audioEnergy = QueryDef(
+    "q_mm_audio_energy",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val payload = substring(col("text").cast("binary"), 1, 128)
+      val blobs = docs.select(col("doc_id"),
+        concat(
+          synthWav(lit(1), lit(8000L), lit(8),
+            least(col("n_chars"), lit(128L))),
+          payload).as("blob"))
+      audioFrameEnergy(blobs, "doc_id", "blob")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id, text,
+               unnest(range((least(length(text), 128) // 8) * 8)) AS i
+        FROM documents),
+      b AS (
+        SELECT doc_id, i // 8 AS f,
+               ('0x' || hex(encode(substring(text, CAST(i + 1 AS INT), 1))))
+                 ::BIGINT - 128 AS d
+        FROM s),
+      fe AS (
+        SELECT doc_id, f, CAST(sum(d * d) AS BIGINT) AS energy,
+               sum(d * d) < 30000 AS silent
+        FROM b GROUP BY doc_id, f),
+      isl AS (
+        SELECT doc_id,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM fe WHERE silent),
+      runs AS (
+        SELECT doc_id, CAST(max(run) AS BIGINT) AS max_silent_run
+        FROM (SELECT doc_id, grp, count(*) AS run
+              FROM isl GROUP BY doc_id, grp)
+        GROUP BY doc_id)
+      SELECT fe.doc_id, count(*) AS n_frames,
+             CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent,
+             CAST(sum(energy) AS BIGINT) AS total_energy,
+             coalesce(any_value(runs.max_silent_run), 0) AS max_silent_run
+      FROM fe LEFT JOIN runs ON fe.doc_id = runs.doc_id
+      GROUP BY fe.doc_id"""))
+
   // ------------------------------------- 1c. PNG-style chunk walk (var-offset)
 
   /** Parse an n-byte BIG-endian unsigned int (PNG chunk lengths are
@@ -264,6 +354,85 @@ object Multimodal {
       t3.as("t3"), l3.as("l3"),
       (off3 + 12 - 1).cast("long").as("total_len"))
   }
+
+  /** Little-endian decode at a COMPUTED 1-based offset (TIFF IFD walks
+    * land at pointer-valued positions). */
+  def leDecodeAt(blob: Column, off: Column, n: Int): Column = {
+    val h = hex(substring(blob, off.cast("int"), lit(n)))
+    val reordered = concat((0 until n).reverse.map(i =>
+      substring(h, i * 2 + 1, 2)): _*)
+    conv(reordered, 16, 10).cast("long")
+  }
+
+  /** TIFF-style pointer indirection: 'II' byte-order mark, magic 42, then
+    * a u32le POINTER to the IFD, which sits after a variable-length filler
+    * — the parse must dereference the pointer, read the entry count, and
+    * walk fixed 12-byte tag entries [tag u16le | type u16le | count u32le
+    * | value u32le]. A third container-structure kind beside the
+    * fixed-offset headers (BMP/WAV) and the length-prefix walk (PNG). */
+  def synthTiff(width: Column, height: Column, bits: Column,
+      filler: Column): Column = {
+    def entry(tag: Int, v: Column) =
+      concat(le16hex(lit(tag)), le16hex(lit(3)), le32hex(lit(1)), le32hex(v))
+    unhex(concat(
+      lit("49492A00"),                        // 'II' + magic 42 u16le
+      le32hex(filler + 8),                    // IFD pointer (0-based)
+      repeat(lit("00"), filler.cast("int")),  // variable filler
+      le16hex(lit(3)),                        // entry count
+      entry(256, width), entry(257, height), entry(258, bits),
+      le32hex(lit(0))))                       // next-IFD = none
+  }
+
+  /** Dereference the IFD pointer and pivot the walked entries by tag. */
+  def tiffMeta(blob: Column): Column = {
+    val off0 = leDecode(blob, 5, 4)           // 0-based pointer
+    val base = (off0 + 1).cast("int")         // 1-based IFD position
+    def entryAt(e: Int) = struct(
+      leDecodeAt(blob, base + 2 + 12 * e, 2).as("tag"),
+      leDecodeAt(blob, base + 2 + 12 * e + 8, 4).as("v"))
+    val es = Seq(entryAt(0), entryAt(1), entryAt(2))
+    def byTag(t: Int) = coalesce(
+      es.map(e => when(e.getField("tag") === t, e.getField("v"))): _*)
+    struct(
+      (hex(substring(blob, 1, 2)) === "4949" &&
+        leDecode(blob, 3, 2) === 42).as("ii_ok"),
+      off0.as("ifd_off"),
+      leDecodeAt(blob, base, 2).as("n_entries"),
+      byTag(256).as("width"), byTag(257).as("height"),
+      byTag(258).as("bits"))
+  }
+
+  /** One TIFF-style blob per document (dims and the filler length that
+    * displaces the IFD all md5-derived), parsed back via the pointer
+    * dereference; the oracle recomputes every field from md5 directly,
+    * so a wrong pointer, entry stride, or tag pivot all mismatch. */
+  val tiffIfd = QueryDef(
+    "q_mm_tiff_ifd",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val t = col("text")
+      val blobs = docs.select(col("doc_id"),
+        synthTiff(
+          mdInt(t, 1, 3) % 2048 + 1,
+          mdInt(t, 4, 3) % 2048 + 1,
+          (mdInt(t, 7, 1) % 2 + 1) * 8,
+          mdInt(t, 9, 1) % 16).as("blob"))
+      blobs.select(col("doc_id"), tiffMeta(col("blob")).as("m"))
+        .select(col("doc_id"),
+          col("m.ii_ok").cast("int").as("ii_ok"),
+          col("m.ifd_off").as("ifd_off"),
+          col("m.n_entries").as("n_entries"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.bits").as("bits"))
+    },
+    Some("""
+      SELECT doc_id, 1 AS ii_ok,
+             ('0x' || substr(md5(text), 9, 1))::BIGINT % 16 + 8 AS ifd_off,
+             CAST(3 AS BIGINT) AS n_entries,
+             ('0x' || substr(md5(text), 1, 3))::BIGINT % 2048 + 1 AS width,
+             ('0x' || substr(md5(text), 4, 3))::BIGINT % 2048 + 1 AS height,
+             (('0x' || substr(md5(text), 7, 1))::BIGINT % 2 + 1) * 8 AS bits
+      FROM documents"""))
 
   /** One PNG-style blob per document (DATA length 1–64 and fill byte both
     * md5-derived), then the chunk WALK parses types/lengths back out of
@@ -604,5 +773,6 @@ object Multimodal {
       WHERE length(frame) = 64"""))
 
   val all: Seq[QueryDef] = Seq(pipeline, frameSample, bmpHeader, wavHeader,
-    pngChunks, blobDedup, blobNearDup, interleave, captionRetrieval)
+    pngChunks, tiffIfd, audioEnergy, blobDedup, blobNearDup, interleave,
+    captionRetrieval)
 }

@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, KmvIntersect, KmvJaccard, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, KmvIntersect, KmvJaccard, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, UnicodeNormKernel, UnicodeNormalize, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -256,6 +256,16 @@ object GraftFunctions {
           ZValue(init, bits)
         case _ => throw new IllegalArgumentException(
           "zvalue(cols..., bits) requires >=1 column and a literal bits")
+      }),
+    (FunctionIdentifier("unicode_norm"),
+      info("unicode_norm",
+        "unicode_norm(str, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode-normalized " +
+          "copy (zero-copy identity on pure-ASCII input)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, Literal(f, StringType)) =>
+          UnicodeNormalize(s, UnicodeNormKernel.formOrdinal(f.toString))
+        case _ => throw new IllegalArgumentException(
+          "unicode_norm(str, form) requires a literal form name")
       }),
     (FunctionIdentifier("word_chunks"),
       info("word_chunks",

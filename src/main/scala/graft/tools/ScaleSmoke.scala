@@ -101,7 +101,13 @@ object ScaleSmoke {
     "q_graph_pagerank",
     // the composed cleaning pipeline: scrub map + boilerplate
     // explode/df/join + one dedup shuffle, all corpus-linear
-    "q_docs_pipeline_clean")
+    "q_docs_pipeline_clean",
+    // round 7b: triangle counting — the degree orientation bounds every
+    // node's out-adjacency to O(sqrt(m)), so the wedge stage must track
+    // the edge count near-linearly even as replication densifies the
+    // md5 link graph; audio frame energy is one bounded (<=128/row)
+    // explode + per-doc aggregate + per-doc window, exactly linear
+    "q_graph_triangles", "q_mm_audio_energy")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -29,6 +29,35 @@ class GraphsSpec extends GraftSpecBase {
     assert(again == r)
   }
 
+  test("triangleCounts: K4 + pendant + noise edges count exactly") {
+    // K4 on {1,2,3,4} has 4 triangles, every node in 3 of them; node 5 is
+    // a pendant, 6-7-8 is an open wedge, and the input carries reversed
+    // duplicates and a self-loop that canonicalization must absorb
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L),           // reversed duplicates
+      (5L, 5L),                     // self-loop
+      (4L, 5L),                     // pendant
+      (6L, 7L), (7L, 8L))           // open wedge
+      .toDF("src", "dst")
+    val r = ops.triangleCounts(edges, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+    // total participation 12 = 3 corners x 4 triangles
+    assert(r.values.sum == 12L)
+  }
+
+  test("triangleCounts: hub star has none, closing one edge makes one") {
+    // star: hub 100 connected to 1..6 — zero triangles despite the hub's
+    // degree (the orientation bound is what keeps hubs cheap at scale)
+    val star = (1L to 6L).map(i => (i, 100L)).toDF("src", "dst")
+    assert(ops.triangleCounts(star, "src", "dst").count() == 0)
+    val closed = star.unionAll(Seq((2L, 3L)).toDF("src", "dst"))
+    val r = ops.triangleCounts(closed, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(2L -> 1L, 3L -> 1L, 100L -> 1L), r.toString)
+  }
+
   test("pageRankInt: rank mass stays bounded by the closed-form ceiling") {
     // with damping d, unnormalized ranks satisfy
     // sum(r) <= N*base + d*sum(prev)/100 -> bounded by N*1e6 for any graph

@@ -90,6 +90,43 @@ class MultimodalSpec extends GraftSpecBase {
     assert(payload == "ABABABABAB")
   }
 
+  test("TIFF IFD pointer dereference survives any filler displacement") {
+    // same dims behind filler 0 and filler 15: the parse must follow the
+    // pointer, not assume a fixed IFD position
+    val df = sp.range(2).select(col("id"),
+      operators.Multimodal.synthTiff(lit(640L), lit(480L), lit(16L),
+        col("id") * 15).as("blob"))
+    val rows = df.select(col("id"),
+        operators.Multimodal.tiffMeta(col("blob")).as("m"))
+      .selectExpr("id", "m.ii_ok", "m.ifd_off", "m.n_entries",
+        "m.width", "m.height", "m.bits")
+      .collect().sortBy(_.getLong(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getBoolean(1), s"ii_ok row $i")
+      assert(r.getLong(2) == 8L + i * 15, s"ifd_off row $i")
+      assert(r.getLong(3) == 3L)
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) == ((640L, 480L, 16L)))
+    }
+  }
+
+  test("audioFrameEnergy: hand-built frames census silent runs exactly") {
+    // doc 0: silent(0x80*8) | loud(0x00*8) | silent | silent  -> runs 1,2
+    // doc 1: all-silent 16 samples -> 2 frames, run 2
+    val df = sp.range(2).select(col("id").as("doc_id"),
+      concat(
+        operators.Multimodal.synthWav(lit(1), lit(8000L), lit(8),
+          when(col("id") === 0, 32L).otherwise(16L)),
+        when(col("id") === 0,
+          unhex(concat(lit("80" * 8), lit("00" * 8), lit("80" * 16))))
+          .otherwise(unhex(lit("80" * 16)))).as("blob"))
+    val r = ops.audioFrameEnergy(df, "doc_id", "blob")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // loud frame energy: 8 samples of (0-128)^2 = 8*16384
+    assert(r(0L) == ((4L, 3L, 8L * 16384L, 2L)), r.toString)
+    assert(r(1L) == ((2L, 2L, 0L, 2L)), r.toString)
+  }
+
   test("dedupBlobs keeps exactly one lowest-id row per distinct blob") {
     val df = Seq((5L, "aa", "x"), (3L, "aa", "y"), (7L, "bb", "z"))
       .toDF("id", "payload", "tag")

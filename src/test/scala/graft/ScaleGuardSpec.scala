@@ -140,6 +140,15 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   DISTINCT-day table —
                                                     //   bounded by the
                                                     //   calendar (≤31 rows)
+      "q_graph_triangles",                          // 1-row n_docs frame
+                                                    //   broadcast onto the
+                                                    //   doc scan to derive
+                                                    //   the md5 link targets
+                                                    //   (same stats pattern
+                                                    //   as tfidf/nb; the
+                                                    //   wedge joins
+                                                    //   themselves are
+                                                    //   equi-joins)
       "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
                                                     //   DIMENSION-grain
                                                     //   aggregates (supplier/
