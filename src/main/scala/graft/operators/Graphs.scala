@@ -28,9 +28,13 @@ object Graphs {
     * a quality prior consumes, is unaffected for connected graphs).
     *
     * Scale shape: the degree-annotated edge list is built once and
-    * persisted; each iteration is ONE join of edges to current ranks on
-    * the src key plus ONE dst-keyed aggregate — the standard distributed
-    * PageRank round, shuffle ∝ |E| per iteration, nothing driver-side. */
+    * persisted; between rounds only the IN-LINK CONTRIBUTION table
+    * (node, cs) is carried — a node with no in-links holds exactly the
+    * base, so its rank is implicit and the per-round all-nodes join of
+    * the naive formulation disappears. Each iteration is ONE left join
+    * of edges to the contribution table on the src key plus ONE
+    * dst-keyed aggregate — shuffle ∝ |E| per iteration, nothing
+    * driver-side; the all-nodes join happens once, at the end. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
@@ -41,18 +45,24 @@ object Graphs {
       .unionAll(e.select(col("e_dst").as("node")))
       .distinct().persist()
     val base = 1000000L * (100 - dampingPct) / 100
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_u"))
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(ranks, col("e_src") === col("node"))
-        .select(col("e_dst"), expr("rank_u DIV e_deg").as("c"))
+    // carry only the in-link contribution table (node, cs) between rounds:
+    // a node with no in-links holds exactly the base, so its rank never
+    // needs a row — rank(x) = base + d%·coalesce(cs(x), 0) DIV 100. This
+    // drops the per-round all-nodes join the naive formulation pays (one
+    // join + one aggregate per round instead of two joins + one).
+    val rankSql = s"${base}L + $dampingPct * coalesce(cs, 0L) DIV 100"
+    var cs: DataFrame = ed
+      .select(col("e_dst"), expr("1000000L DIV e_deg").as("c"))
+      .groupBy(col("e_dst")).agg(sum(col("c")).as("cs"))
+      .withColumnRenamed("e_dst", "node")
+    for (_ <- 2 to iters) {
+      cs = ed.join(cs, col("e_src") === col("node"), "left")
+        .select(col("e_dst"), expr(s"($rankSql) DIV e_deg").as("c"))
         .groupBy(col("e_dst")).agg(sum(col("c")).as("cs"))
         .withColumnRenamed("e_dst", "node")
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"$dampingPct * coalesce(cs, 0L) DIV 100")).as("rank_u"))
     }
-    ranks
+    nodes.join(cs, Seq("node"), "left")
+      .select(col("node"), expr(rankSql).as("rank_u"))
   }
 
   /** PageRank quality prior over the corpus link graph: each document

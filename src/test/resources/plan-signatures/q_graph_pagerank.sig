@@ -8,50 +8,31 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   InMemoryTableScan
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    Filter
-                      InMemoryTableScan
+                HashAggregate
+                  Exchange
                     HashAggregate
-                      Exchange
-                        HashAggregate
-                          Project
-                            BroadcastHashJoin [broadcast,plain]
-                              Filter
-                                InMemoryTableScan
-                              Project
-                                BroadcastHashJoin [broadcast,plain]
-                                  Filter
-                                    InMemoryTableScan
-                                  HashAggregate
-                                    Exchange
-                                      HashAggregate
-                                        Project
-                                          BroadcastHashJoin [broadcast,plain]
-                                            Filter
-                                              InMemoryTableScan
-                                            Project
-                                              BroadcastHashJoin [broadcast,plain]
-                                                Filter
-                                                  InMemoryTableScan
-                                                HashAggregate
-                                                  Exchange
-                                                    HashAggregate
-                                                      Project
-                                                        BroadcastHashJoin [broadcast,plain]
-                                                          Filter
-                                                            InMemoryTableScan
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Filter
-                                                                InMemoryTableScan
-                                                              HashAggregate
-                                                                Exchange
-                                                                  HashAggregate
-                                                                    Project
-                                                                      BroadcastHashJoin [broadcast,plain]
-                                                                        Filter
-                                                                          InMemoryTableScan
-                                                                        Filter
-                                                                          InMemoryTableScan
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            InMemoryTableScan
+                          HashAggregate
+                            Exchange
+                              HashAggregate
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      InMemoryTableScan
+                                    HashAggregate
+                                      Exchange
+                                        HashAggregate
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                InMemoryTableScan
+                                              HashAggregate
+                                                Exchange
+                                                  HashAggregate
+                                                    Project
+                                                      Filter
+                                                        InMemoryTableScan
       InMemoryTableScan
