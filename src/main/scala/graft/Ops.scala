@@ -366,6 +366,21 @@ object ops {
       dstCol: String): DataFrame =
     operators.Graphs.triangleCounts(edges, srcCol, dstCol)
 
+  /** Right-to-be-forgotten cascade census: per child table, the rows a
+    * purge of rootKeys would delete (one semi-join per table) + fk-sum
+    * checksums — see [[graft.operators.Mutations.purgeCascade]]. */
+  def purgeCascade(rootKeys: DataFrame, keyCol: String,
+      children: Seq[(String, DataFrame, String)]): DataFrame =
+    operators.Mutations.purgeCascade(rootKeys, keyCol, children)
+
+  /** Bounded-round k-core peeling: drop nodes with degree < k, restrict
+    * edges to survivors, repeat `rounds` times — the dense-core link
+    * prior. Returns surviving (node, deg) — see
+    * [[graft.operators.Graphs.kCore]]. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame =
+    operators.Graphs.kCore(edges, srcCol, dstCol, k, rounds)
+
   /** PII detection flags: per-document counts of emails, NNN-NNN-NNNN
     * phones, dotted-quad IPs, and 16-digit card candidates gated by the
     * LUHN checksum, plus `has_pii` — see

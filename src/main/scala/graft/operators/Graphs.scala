@@ -145,6 +145,109 @@ object Graphs {
       SELECT node, r AS rank_u FROM r5
       ORDER BY rank_u DESC, node LIMIT 20"""))
 
+  /** Bounded-round k-core peeling: repeatedly drop nodes whose CURRENT
+    * degree is < k and restrict the edge set to survivors — after enough
+    * rounds the survivors are the k-core, the standard link-spam /
+    * community-density prior (a page in a dense core earns trust a
+    * pendant chain never does). Fixed `rounds` keeps it deterministic
+    * and replayable: both engines peel the identical rounds, so results
+    * are exact even short of the fixed point.
+    *
+    * Scale shape per round: one degree aggregate + two semi-joins, all
+    * keyed on node ids — shuffle ∝ |E| per round, monotonically
+    * shrinking, nothing driver-side. Each round's survivor edge set is
+    * EAGERLY materialized (localCheckpoint): round r references round
+    * r−1 five times (the main branch plus both degree arms of `keep`,
+    * joined on both endpoints), so an unmaterialized lineage would grow
+    * 5^rounds — the iterative-graph discipline GraphX applies per
+    * superstep. Returns surviving (node, deg). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var ud = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(ud).filter(col("deg") >= k).select(col("node"))
+      ud = ud
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(ud)
+  }
+
+  /** 3-core of the document link graph after four peeling rounds: the
+    * dense-core membership + residual degree, top-25. The oracle unrolls
+    * the identical four rounds in DuckDB. */
+  val kcore = QueryDef(
+    "q_graph_kcore",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val links = docs.crossJoin(broadcast(n)).select(col("doc_id"),
+        expr("CAST(conv(substr(md5(text), 20, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst1"),
+        expr("CAST(conv(substr(md5(text), 24, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst2"))
+      val edges = links.select(col("doc_id").as("src"),
+          col("dst1").as("dst"))
+        .unionAll(links.select(col("doc_id").as("src"),
+          col("dst2").as("dst")))
+      kCore(edges, "src", "dst", k = 3, rounds = 4)
+        .orderBy(col("deg").desc, col("node"))
+        .limit(25)
+    },
+    Some("""
+      WITH lk AS (
+        SELECT doc_id AS src,
+               ('0x' || substr(md5(text), 20, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst1,
+               ('0x' || substr(md5(text), 24, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst2
+        FROM documents),
+      e0 AS (
+        SELECT src, dst1 AS dst FROM lk
+        UNION ALL
+        SELECT src, dst2 FROM lk),
+      ud0 AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+      d1 AS (SELECT node, count(*) AS deg FROM (
+               SELECT u AS node FROM ud0 UNION ALL SELECT v FROM ud0)
+             GROUP BY node),
+      k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+      ud1 AS (SELECT ud0.u, ud0.v FROM ud0
+              JOIN k1 a ON ud0.u = a.node JOIN k1 b ON ud0.v = b.node),
+      d2 AS (SELECT node, count(*) AS deg FROM (
+               SELECT u AS node FROM ud1 UNION ALL SELECT v FROM ud1)
+             GROUP BY node),
+      k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+      ud2 AS (SELECT ud1.u, ud1.v FROM ud1
+              JOIN k2 a ON ud1.u = a.node JOIN k2 b ON ud1.v = b.node),
+      d3 AS (SELECT node, count(*) AS deg FROM (
+               SELECT u AS node FROM ud2 UNION ALL SELECT v FROM ud2)
+             GROUP BY node),
+      k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+      ud3 AS (SELECT ud2.u, ud2.v FROM ud2
+              JOIN k3 a ON ud2.u = a.node JOIN k3 b ON ud2.v = b.node),
+      d4 AS (SELECT node, count(*) AS deg FROM (
+               SELECT u AS node FROM ud3 UNION ALL SELECT v FROM ud3)
+             GROUP BY node),
+      k4 AS (SELECT node FROM d4 WHERE deg >= 3),
+      ud4 AS (SELECT ud3.u, ud3.v FROM ud3
+              JOIN k4 a ON ud3.u = a.node JOIN k4 b ON ud3.v = b.node)
+      SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM ud4 UNION ALL SELECT v FROM ud4)
+      GROUP BY node
+      ORDER BY deg DESC, node LIMIT 25"""))
+
   /** Per-node triangle counts via DEGREE-ORIENTED wedge joins — the
     * standard distributed triangle algorithm (Schank & Wagner 2005;
     * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
@@ -263,5 +366,5 @@ object Graphs {
       SELECT node, count(*) AS n_tri FROM pn GROUP BY node
       ORDER BY n_tri DESC, node LIMIT 15"""))
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangles)
+  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore)
 }

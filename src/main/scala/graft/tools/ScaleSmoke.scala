@@ -107,7 +107,11 @@ object ScaleSmoke {
     // the edge count near-linearly even as replication densifies the
     // md5 link graph; audio frame energy is one bounded (<=128/row)
     // explode + per-doc aggregate + per-doc window, exactly linear
-    "q_graph_triangles", "q_mm_audio_energy")
+    "q_graph_triangles", "q_mm_audio_energy",
+    // k-core peeling: four rounds of degree-aggregate + two semi-joins
+    // over an eagerly-checkpointed, monotonically-shrinking edge set —
+    // must track |E| linearly
+    "q_graph_kcore")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -58,6 +58,19 @@ class GraphsSpec extends GraftSpecBase {
     assert(r == Map(2L -> 1L, 3L -> 1L, 100L -> 1L), r.toString)
   }
 
+  test("kCore: peels the tail, keeps the clique, cascades removals") {
+    // K4 core {1,2,3,4} + a chain 4-5-6 hanging off it; node 5 has deg 2
+    // and falls in round 1, which drops 6 to deg 0 — the cascade the
+    // round-by-round peel must propagate
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val r = ops.kCore(edges, "src", "dst", k = 3, rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+    // k above the clique degree empties the graph
+    assert(ops.kCore(edges, "src", "dst", k = 4, rounds = 3).count() == 0)
+  }
+
   test("pageRankInt: rank mass stays bounded by the closed-form ceiling") {
     // with damping d, unnormalized ranks satisfy
     // sum(r) <= N*base + d*sum(prev)/100 -> bounded by N*1e6 for any graph

@@ -141,6 +141,11 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   bounded by the
                                                     //   calendar (≤31 rows)
       "q_graph_triangles",                          // 1-row n_docs frame
+                                                    //   (kcore checkpoints
+                                                    //   its edge base, so
+                                                    //   its cross join never
+                                                    //   reaches the final
+                                                    //   inspected plan)
                                                     //   broadcast onto the
                                                     //   doc scan to derive
                                                     //   the md5 link targets
