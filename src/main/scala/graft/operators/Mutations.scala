@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO (upsert) semantics expressed Spark-first: a parquet lake has
@@ -163,5 +164,69 @@ object Mutations {
                / CAST(count(*) AS DOUBLE) AS avg_price
       FROM orders GROUP BY o_orderstatus, year(o_orderdate)"""))
 
-  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2, mvRefresh)
+  /** Right-to-be-forgotten cascade census: for each child table, the rows
+    * a purge of `rootKeys` would delete (left-semi against the key set)
+    * plus an fk-sum checksum pinning exact membership. One semi-join per
+    * table, each keyed on its own fk — at 100 TB every leg is one keyed
+    * shuffle (or a broadcast when the deletion batch is small, the usual
+    * case), nothing driver-side. */
+  def purgeCascade(rootKeys: DataFrame, keyCol: String,
+      children: Seq[(String, DataFrame, String)]): DataFrame = {
+    val keys = rootKeys.select(col(keyCol).as("graft_pk")).distinct()
+    children.map { case (name, df, fk) =>
+      df.join(keys, df(fk) === col("graft_pk"), "left_semi")
+        .agg(count(lit(1)).as("n_purged"),
+          coalesce(sum(col(fk)), lit(0L)).as("fk_sum"))
+        .select(lit(name).as("table_name"), col("n_purged"), col("fk_sum"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** GDPR deletion propagation: customers whose md5(c_name) starts with
+    * nibble '0' request erasure; the census walks the fk graph — their
+    * customer rows, their orders, those orders' lineitems (second hop),
+    * and their events — reporting per-table purge counts + fk-sum
+    * checksums. The oracle replays the same semi-join cascade. */
+  val purge = QueryDef(
+    "q_mutation_purge",
+    (spark, dir) => {
+      val customer = Tables(spark, dir, "customer")
+      val orders = Tables(spark, dir, "orders")
+      val lineitem = Tables(spark, dir, "lineitem")
+      val events = Tables(spark, dir, "events")
+      val flagged = customer
+        .filter(substring(md5(col("c_name").cast("binary")), 1, 1) === "0")
+        .select(col("c_custkey"))
+      val purgedOrders = orders.join(
+        flagged.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+      purgeCascade(flagged, "c_custkey", Seq(
+        ("customer", customer, "c_custkey"),
+        ("orders", orders, "o_custkey"),
+        ("events", events, "user_id")))
+        .unionAll(purgeCascade(purgedOrders, "o_orderkey", Seq(
+          ("lineitem", lineitem, "l_orderkey"))))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT c_custkey FROM customer WHERE substr(md5(c_name), 1, 1) = '0'),
+      po AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM flagged))
+      SELECT 'customer' AS table_name, count(*) AS n_purged,
+             CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS fk_sum
+      FROM customer WHERE c_custkey IN (SELECT c_custkey FROM flagged)
+      UNION ALL
+      SELECT 'orders', count(*),
+             CAST(coalesce(sum(o_custkey), 0) AS BIGINT)
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM flagged)
+      UNION ALL
+      SELECT 'events', count(*),
+             CAST(coalesce(sum(user_id), 0) AS BIGINT)
+      FROM events WHERE user_id IN (SELECT c_custkey FROM flagged)
+      UNION ALL
+      SELECT 'lineitem', count(*),
+             CAST(coalesce(sum(l_orderkey), 0) AS BIGINT)
+      FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)"""))
+
+  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2, mvRefresh, purge)
 }

@@ -332,6 +332,60 @@ object Similarity {
     },
     bruteForceTopK.oracle)
 
+  /** Matryoshka-style truncation funnel (Kusupati et al. 2022, MRL): the
+    * coarse stage ranks every candidate by cosine over only the FIRST 8
+    * dimensions (an 8× cheaper linear scan — the nesting property makes
+    * prefix-truncated embeddings usable as-is), keeps the top 32 per
+    * query, and the fine stage re-ranks just those 32 with the full
+    * 64-dim cosine. Both stages' doubles replay in DuckDB (identical
+    * fold order over list_slice), so the funnel is oracle-exact end to
+    * end — including any coarse-stage ranking mistakes the fine stage
+    * inherits, which is the honest semantics of funnel retrieval. */
+  val matryoshka = QueryDef(
+    "q_sim_matryoshka",
+    (spark, dir) => {
+      val (q, c) = split(spark, dir)
+      val qs = q.select(col("vec_id").as("query_id"), col("embedding").as("eq"))
+      val cs = c.select(col("vec_id").as("cand_id"), col("embedding").as("ec"))
+      val wCoarse = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos8").desc, col("cand_id"))
+      val wFine = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(qs).crossJoin(cs)
+        .withColumn("cos8", expr("cosine_sim(slice(eq, 1, 8), slice(ec, 1, 8))"))
+        .withColumn("rn8", row_number().over(wCoarse).cast("long"))
+        .filter(col("rn8") <= 32)
+        .withColumn("cos", expr("cosine_sim(eq, ec)"))
+        .withColumn("rn", row_number().over(wFine).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rn"), col("cos8"),
+          col("cos"))
+    },
+    Some(s"""
+      WITH coarse AS (
+        SELECT query_id, cand_id, cos8, eq, ec,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos8 DESC, cand_id) AS BIGINT)
+                 AS rn8
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 ${Dedup.duckCosine("list_slice(q.embedding, 1, 8)",
+                   "list_slice(c.embedding, 1, 8)")} AS cos8,
+                 q.embedding AS eq, c.embedding AS ec
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 8 AND c.vec_id >= 8)),
+      fine AS (
+        SELECT query_id, cand_id, cos8,
+               ${Dedup.duckCosine("eq", "ec")} AS cos
+        FROM coarse WHERE rn8 <= 32)
+      SELECT query_id, cand_id, rn, cos8, cos FROM (
+        SELECT query_id, cand_id, cos8, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, cand_id) AS BIGINT)
+                 AS rn
+        FROM fine)
+      WHERE rn <= 5"""))
+
   /** Product-quantization ANN (Jégou et al. 2011) — the COMPRESSED-index
     * scale path beside LSH (bucketing) and IVF (partitioning): the 64-dim
     * embedding becomes m=8 sub-codes, one per 8-dim subspace, each the
@@ -467,5 +521,5 @@ object Similarity {
     })
 
   val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, ivfAnn, dotTopK,
-    planTopK, quantizedTopK, pqAnn)
+    planTopK, quantizedTopK, pqAnn, matryoshka)
 }

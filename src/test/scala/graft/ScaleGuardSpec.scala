@@ -64,6 +64,10 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   broadcast codebook,
                                                     //   ~100 rows)
       "q_sim_topk_plan", "q_sim_quantized_topk",
+      "q_sim_matryoshka",                           // broadcast 8-query side
+                                                    //   over the coarse
+                                                    //   truncated-dim linear
+                                                    //   scan (MRL funnel)
       "q_mm_caption_retrieval",                     // CosineTopKJoin with the
                                                     //   zh-caption query side
                                                     //   broadcast-bounded by
