@@ -229,4 +229,57 @@ class PlanAuditSpec extends GraftSpecBase {
       s"per-row byte kernel must not shuffle:\n$p")
     assert(p.contains("*("), s"expected whole-stage codegen:\n$p")
   }
+
+  test("parquet aggregate pushdown: footer-stats MIN/MAX/COUNT skip the scan") {
+    // the DSv2 parquet reader can answer un-filtered MIN/MAX/COUNT from
+    // row-group statistics alone — at 100 TB that's the difference between
+    // a metadata read and a full-table scan for profiling queries
+    val conf = spark.conf
+    val prevV1 = conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    try {
+      conf.set("spark.sql.sources.useV1SourceList", "")
+      conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("l_quantity").as("q_min"),
+          org.apache.spark.sql.functions.max("l_quantity").as("q_max"))
+      val row = df.collect().head
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_quantity), " +
+        "MAX(l_quantity)]"), s"aggregate not pushed:\n$p")
+      // cross-check against the ordinary scan path
+      val full = Tables(spark, sfDir, "lineitem")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min("l_quantity").as("q_min"),
+          org.apache.spark.sql.functions.max("l_quantity").as("q_max"))
+        .collect().head
+      assert(row == full, s"pushed $row vs scanned $full")
+    } finally {
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+    }
+  }
+
+  test("observe(): gate telemetry rides the same pass, no extra scan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+    val gated = docs
+      .observe("gate_in", count(lit(1)).as("n_in"),
+        sum(col("n_chars")).as("chars_in"))
+      .filter(col("n_chars") >= 100)
+      .observe("gate_out", count(lit(1)).as("n_out"))
+    // collect() executes THIS queryExecution (count() would plan its own,
+    // leaving these observed metrics unpopulated)
+    val kept = gated.collect().length.toLong
+    val metrics = gated.queryExecution.observedMetrics
+    val in = metrics("gate_in")
+    val out = metrics("gate_out")
+    assert(out.getAs[Long]("n_out") == kept)
+    assert(in.getAs[Long]("n_in") == docs.count())
+    assert(in.getAs[Long]("chars_in") ==
+      docs.agg(sum(col("n_chars"))).head.getLong(0))
+  }
 }
