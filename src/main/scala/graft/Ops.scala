@@ -366,6 +366,16 @@ object ops {
       dstCol: String): DataFrame =
     operators.Graphs.triangleCounts(edges, srcCol, dstCol)
 
+  /** Full-batch integer perceptron training (learning rate 1, zero
+    * init): one map + one |features|-wide aggregate per round, the
+    * driver pulls |features| longs per round — the k-means discipline.
+    * Pass a persisted features frame (it is consumed rounds+1 times).
+    * Returns (weights, per-round misclassified counts) — see
+    * [[graft.operators.LmScore.perceptronTrain]]. */
+  def perceptronTrain(features: DataFrame, xCols: Seq[String], yCol: String,
+      rounds: Int): (Seq[Long], Seq[Long]) =
+    operators.LmScore.perceptronTrain(features, xCols, yCol, rounds)
+
   /** Right-to-be-forgotten cascade census: per child table, the rows a
     * purge of rootKeys would delete (one semi-join per table) + fk-sum
     * checksums — see [[graft.operators.Mutations.purgeCascade]]. */

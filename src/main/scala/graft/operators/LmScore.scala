@@ -262,5 +262,204 @@ object LmScore {
       FROM best WHERE rk = 1
       GROUP BY 1, 2"""))
 
-  val all: Seq[QueryDef] = Seq(lmFluency, lmFluencyBuckets, nbLangConfusion)
+  // ------------------------------------------- integer perceptron training
+
+  /** Full-batch integer perceptron TRAINING inside the engine — the
+    * linear quality classifier the GPT-3/WebText pipeline trains on
+    * curated-vs-web labels and then sweeps over the crawl. Classic rule,
+    * learning rate 1, weights initialized to zero:
+    *
+    *   round r:  misclassified_i  ⇔  y_i · (w_r · x_i) ≤ 0
+    *             w_{r+1} = w_r + Σ_{misclassified} y_i · x_i
+    *
+    * Everything is INTEGER (features are counts, labels ±1, weights exact
+    * sums), so a fixed round count is bit-reproducible on any engine —
+    * the DuckDB oracle unrolls the identical rounds, like the
+    * PageRank/k-means families.
+    *
+    * Scale shape per round: one map stage (margin under the broadcast
+    * weight literals) + one |features|-wide aggregate; the driver pulls
+    * exactly |features| longs per round (the k-means discipline — the
+    * model crosses the driver, never the data). `features` is consumed
+    * `rounds`+1 times, so the caller should pass a persisted frame;
+    * [[perceptron]] does. Returns (weights after `rounds`, per-round
+    * misclassified counts). */
+  def perceptronTrain(features: DataFrame, xCols: Seq[String], yCol: String,
+      rounds: Int): (Seq[Long], Seq[Long]) = {
+    require(rounds >= 1 && xCols.nonEmpty)
+    var w = Seq.fill(xCols.size)(0L)
+    val missPerRound = Seq.newBuilder[Long]
+    for (_ <- 1 to rounds) {
+      val margin = xCols.zip(w)
+        .map { case (c, wj) => col(c) * lit(wj) }
+        .reduce(_ + _) * col(yCol)
+      val miss = col("graft_margin") <= 0
+      val agg = features.withColumn("graft_margin", margin)
+        .agg(sum(when(miss, 1L).otherwise(0L)).as("n_miss"),
+          xCols.map(c =>
+            sum(when(miss, col(yCol) * col(c)).otherwise(0L)).as(s"u_$c")): _*)
+        .collect().head
+      missPerRound += agg.getAs[Long]("n_miss")
+      w = w.zip(xCols).map { case (wj, c) => wj + agg.getAs[Long](s"u_$c") }
+    }
+    (w, missPerRound.result())
+  }
+
+  /** Train the 8-feature integer quality perceptron on curated
+    * (src0–src3, y=+1) vs web (y=−1) labels for three rounds, then
+    * report the learned weights and the final-weights error census. The
+    * oracle retrains from scratch in DuckDB — three unrolled rounds over
+    * the identical integer features — so every weight must match
+    * exactly. */
+  val perceptron = QueryDef(
+    "q_text_perceptron",
+    (spark, dir) => {
+      val feats = Tables(spark, dir, "documents").select(
+        when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+          .otherwise(-1L).as("y"),
+        lit(1L).as("x_bias"),
+        col("n_chars").as("x_chars"),
+        size(split(col("text"), " ")).cast("long").as("x_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("x_distinct"),
+        expr("array_max(transform(split(text, ' '), w -> length(w)))")
+          .cast("long").as("x_maxlen"),
+        expr("size(filter(split(text, ' '), w -> length(w) >= 6))")
+          .cast("long").as("x_long"),
+        (length(col("text")) - length(regexp_replace(col("text"), "e", "")))
+          .cast("long").as("x_e"),
+        expr("size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to')))")
+          .cast("long").as("x_stop")).persist()
+      val xs = Seq("x_bias", "x_chars", "x_words", "x_distinct", "x_maxlen",
+        "x_long", "x_e", "x_stop")
+      val (w, miss) = perceptronTrain(feats, xs, "y", rounds = 3)
+      val finalMargin = xs.zip(w)
+        .map { case (c, wj) => col(c) * lit(wj) }
+        .reduce(_ + _) * col("y")
+      feats
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(finalMargin <= 0, 1L).otherwise(0L)).as("n_err_final"))
+        .select(
+          Seq(col("n_docs"), col("n_err_final"),
+            lit(miss(0)).as("miss_r1"), lit(miss(1)).as("miss_r2"),
+            lit(miss(2)).as("miss_r3")) ++
+            xs.zip(w).map { case (c, wj) => lit(wj).as(s"w_$c") }: _*)
+    },
+    Some("""
+      WITH f AS (
+        SELECT CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                    THEN 1 ELSE -1 END AS y,
+               CAST(1 AS BIGINT) AS x_bias,
+               n_chars AS x_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS x_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS x_distinct,
+               CAST(list_max(list_transform(string_split(text, ' '),
+                 w -> length(w))) AS BIGINT) AS x_maxlen,
+               CAST(len(list_filter(string_split(text, ' '),
+                 w -> length(w) >= 6)) AS BIGINT) AS x_long,
+               CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)
+                 AS x_e,
+               CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+                 AS x_stop
+        FROM documents),
+      -- round 1: w = 0, every margin is 0 <= 0, so all docs update
+      u1 AS (
+        SELECT count(*) AS miss,
+               CAST(sum(y * x_bias) AS BIGINT) AS w1,
+               CAST(sum(y * x_chars) AS BIGINT) AS w2,
+               CAST(sum(y * x_words) AS BIGINT) AS w3,
+               CAST(sum(y * x_distinct) AS BIGINT) AS w4,
+               CAST(sum(y * x_maxlen) AS BIGINT) AS w5,
+               CAST(sum(y * x_long) AS BIGINT) AS w6,
+               CAST(sum(y * x_e) AS BIGINT) AS w7,
+               CAST(sum(y * x_stop) AS BIGINT) AS w8
+        FROM f),
+      m2 AS (
+        SELECT f.*,
+               y * (u1.w1 * x_bias + u1.w2 * x_chars + u1.w3 * x_words +
+                    u1.w4 * x_distinct + u1.w5 * x_maxlen + u1.w6 * x_long +
+                    u1.w7 * x_e + u1.w8 * x_stop) AS margin
+        FROM f, u1),
+      u2 AS (
+        SELECT CAST(sum(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS miss,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_bias
+                 ELSE 0 END), 0) AS BIGINT) AS d1,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_chars
+                 ELSE 0 END), 0) AS BIGINT) AS d2,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_words
+                 ELSE 0 END), 0) AS BIGINT) AS d3,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_distinct
+                 ELSE 0 END), 0) AS BIGINT) AS d4,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_maxlen
+                 ELSE 0 END), 0) AS BIGINT) AS d5,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_long
+                 ELSE 0 END), 0) AS BIGINT) AS d6,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_e
+                 ELSE 0 END), 0) AS BIGINT) AS d7,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_stop
+                 ELSE 0 END), 0) AS BIGINT) AS d8
+        FROM m2),
+      w2t AS (
+        SELECT u1.w1 + u2.d1 AS w1, u1.w2 + u2.d2 AS w2,
+               u1.w3 + u2.d3 AS w3, u1.w4 + u2.d4 AS w4,
+               u1.w5 + u2.d5 AS w5, u1.w6 + u2.d6 AS w6,
+               u1.w7 + u2.d7 AS w7, u1.w8 + u2.d8 AS w8,
+               u2.miss AS miss2
+        FROM u1, u2),
+      m3 AS (
+        SELECT f.*,
+               y * (w2t.w1 * x_bias + w2t.w2 * x_chars + w2t.w3 * x_words +
+                    w2t.w4 * x_distinct + w2t.w5 * x_maxlen +
+                    w2t.w6 * x_long + w2t.w7 * x_e + w2t.w8 * x_stop)
+                 AS margin
+        FROM f, w2t),
+      u3 AS (
+        SELECT CAST(sum(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS miss,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_bias
+                 ELSE 0 END), 0) AS BIGINT) AS d1,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_chars
+                 ELSE 0 END), 0) AS BIGINT) AS d2,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_words
+                 ELSE 0 END), 0) AS BIGINT) AS d3,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_distinct
+                 ELSE 0 END), 0) AS BIGINT) AS d4,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_maxlen
+                 ELSE 0 END), 0) AS BIGINT) AS d5,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_long
+                 ELSE 0 END), 0) AS BIGINT) AS d6,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_e
+                 ELSE 0 END), 0) AS BIGINT) AS d7,
+               CAST(coalesce(sum(CASE WHEN margin <= 0 THEN y * x_stop
+                 ELSE 0 END), 0) AS BIGINT) AS d8
+        FROM m3),
+      w3t AS (
+        SELECT w2t.w1 + u3.d1 AS w1, w2t.w2 + u3.d2 AS w2,
+               w2t.w3 + u3.d3 AS w3, w2t.w4 + u3.d4 AS w4,
+               w2t.w5 + u3.d5 AS w5, w2t.w6 + u3.d6 AS w6,
+               w2t.w7 + u3.d7 AS w7, w2t.w8 + u3.d8 AS w8,
+               w2t.miss2 AS miss2, u3.miss AS miss3
+        FROM w2t, u3)
+      SELECT count(*) AS n_docs,
+             CAST(sum(CASE WHEN y * (w3t.w1 * x_bias + w3t.w2 * x_chars +
+                    w3t.w3 * x_words + w3t.w4 * x_distinct +
+                    w3t.w5 * x_maxlen + w3t.w6 * x_long + w3t.w7 * x_e +
+                    w3t.w8 * x_stop) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_err_final,
+             CAST(any_value(u1.miss) AS BIGINT) AS miss_r1,
+             any_value(w3t.miss2) AS miss_r2,
+             any_value(w3t.miss3) AS miss_r3,
+             any_value(w3t.w1) AS w_x_bias, any_value(w3t.w2) AS w_x_chars,
+             any_value(w3t.w3) AS w_x_words,
+             any_value(w3t.w4) AS w_x_distinct,
+             any_value(w3t.w5) AS w_x_maxlen, any_value(w3t.w6) AS w_x_long,
+             any_value(w3t.w7) AS w_x_e, any_value(w3t.w8) AS w_x_stop
+      FROM f, u1, w3t"""))
+
+  val all: Seq[QueryDef] = Seq(lmFluency, lmFluencyBuckets, nbLangConfusion,
+    perceptron)
 }

@@ -111,7 +111,11 @@ object ScaleSmoke {
     // k-core peeling: four rounds of degree-aggregate + two semi-joins
     // over an eagerly-checkpointed, monotonically-shrinking edge set —
     // must track |E| linearly
-    "q_graph_kcore")
+    "q_graph_kcore",
+    // perceptron training: per round one map + one 8-wide aggregate with
+    // an 8-long driver pull (k-means discipline) — corpus-linear however
+    // many rounds
+    "q_text_perceptron")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

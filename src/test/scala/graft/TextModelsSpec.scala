@@ -109,6 +109,28 @@ class TextModelsSpec extends GraftSpecBase {
     assert(a.sameElements(b), "argmin must not depend on partitioning")
   }
 
+  test("perceptronTrain: converges on a separable set, matches hand math") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // 1-D separable around the origin: y = sign(x)
+    val f = Seq((1L, 1L, 2L), (1L, 1L, 3L),
+      (-1L, 1L, -2L), (-1L, 1L, -3L)).toDF("y", "b", "x").persist()
+    val (w, miss) = ops.perceptronTrain(f, Seq("b", "x"), "y", rounds = 3)
+    // round 1: w=0, all 4 misclassified -> w = (sum y*b, sum y*x) = (0, 10)
+    assert(miss.head == 4L)
+    assert(w == Seq(0L, 10L), w.toString)
+    // separable: later rounds must reach zero misclassifications and then
+    // stop changing the weights (update sum over an empty set)
+    assert(miss.last == 0L, s"did not converge: $miss")
+    val (w2, _) = ops.perceptronTrain(f, Seq("b", "x"), "y", rounds = 5)
+    assert(w == w2, s"converged weights drifted: $w vs $w2")
+    // the learned rule actually separates the training set
+    val errs = f.selectExpr(s"y * (${w.head} * b + ${w(1)} * x) AS m")
+      .filter(col("m") <= 0).count()
+    assert(errs == 0L)
+    f.unpersist()
+  }
+
   test("semanticDecontaminate: one best row per flagged eval, cos >= tau") {
     val e = Tables(spark, sfDir, "embeddings")
     val train = e.filter(col("label") =!= 0)
