@@ -293,7 +293,57 @@ object Events {
              FROM h)
        WHERE rn = 1""")
 
+  /** Telemetry burst collapse: retries/double-clicks emit the same
+    * (user, event_type) within seconds — collapse each CHAIN of events
+    * whose consecutive gaps are < 5 s down to its first event (classic
+    * gaps-and-islands: lag → new-burst flag → running count), then
+    * census the compression per event type. One shuffle on the
+    * (user, type) window key, nothing global. */
+  val burstCollapse = QueryDef(
+    "q_events_burst_collapse",
+    (spark, dir) => {
+      val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = Tables(spark, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byKey))
+        .withColumn("new_burst",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) >= 5000L,
+            1L).otherwise(0L))
+        .withColumn("burst_id", sum(col("new_burst")).over(
+          byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy(col("event_type"), col("user_id"), col("burst_id"))
+        .agg(count(lit(1)).as("blen"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("blen")).as("n_events"),
+          count(lit(1)).as("n_kept"),
+          max(col("blen")).as("max_burst_len"))
+    },
+    Some("""
+      SELECT event_type, CAST(sum(blen) AS BIGINT) AS n_events,
+             count(*) AS n_kept, CAST(max(blen) AS BIGINT) AS max_burst_len
+      FROM (
+        SELECT event_type, user_id, burst_id, count(*) AS blen
+        FROM (
+          SELECT event_type, user_id,
+                 sum(new_burst) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS burst_id
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                          OR epoch_ms(ts) - epoch_ms(prev_ts) >= 5000
+                        THEN 1 ELSE 0 END AS new_burst
+            FROM (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(ts, 1) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS prev_ts
+              FROM events)))
+        GROUP BY event_type, user_id, burst_id)
+      GROUP BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
-      retention, gapfill, peakHour)
+      retention, gapfill, peakHour, burstCollapse)
 }

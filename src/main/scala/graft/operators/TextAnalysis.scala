@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over the `documents` fixture: token counting,
@@ -708,8 +709,54 @@ object TextAnalysis {
       FROM full_t f JOIN documents d ON f.doc_id = d.doc_id
       GROUP BY d.source"""))
 
+  /** Vocabulary-coverage census — the planning numbers a tokenizer
+    * design needs before fixing a vocab size: how much of the corpus
+    * token mass the top-10/100/1000 types cover (cumulative counts kept
+    * as exact integers), the type count, and the hapax count (types seen
+    * once — the long tail a subword tokenizer must absorb).
+    *
+    * Scale shape: one token explode → one type census (vocab-bounded) →
+    * a global rank over the CENSUS only (distinct types, never the
+    * corpus — the q_sample_curriculum discipline) → one census-wide
+    * aggregate. */
+  val vocabCoverage = QueryDef(
+    "q_text_vocab_coverage",
+    (spark, dir) => {
+      val census = Tables(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      census.withColumn("r", row_number().over(w))
+        .agg(
+          sum(when(col("r") <= 10, col("n")).otherwise(0L)).as("cum_top10"),
+          sum(when(col("r") <= 100, col("n")).otherwise(0L)).as("cum_top100"),
+          sum(when(col("r") <= 1000, col("n")).otherwise(0L))
+            .as("cum_top1000"),
+          sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    },
+    Some("""
+      WITH census AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM census)
+      SELECT CAST(sum(CASE WHEN r <= 10 THEN n ELSE 0 END) AS BIGINT)
+               AS cum_top10,
+             CAST(sum(CASE WHEN r <= 100 THEN n ELSE 0 END) AS BIGINT)
+               AS cum_top100,
+             CAST(sum(CASE WHEN r <= 1000 THEN n ELSE 0 END) AS BIGINT)
+               AS cum_top1000,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM ranked"""))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
       freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
-      diversity, boilerplate, pii)
+      diversity, boilerplate, pii, vocabCoverage)
 }

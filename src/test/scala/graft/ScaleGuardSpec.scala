@@ -118,6 +118,10 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   the whole point is
                                                     //   that raw tokens never
                                                     //   join)
+      "q_text_vocab_coverage",                      // global rank over the
+                                                    //   TYPE CENSUS only
+                                                    //   (vocab-bounded,
+                                                    //   never the corpus)
       "q_sample_curriculum",                        // global cumulative
                                                     //   window over the
                                                     //   SCORE CENSUS — a
