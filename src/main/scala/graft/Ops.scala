@@ -461,6 +461,14 @@ object ops {
   def tiffMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     operators.Multimodal.tiffMeta(blob)
 
+  /** ViT-style patch-grid decomposition: width×height image bytes →
+    * (P×P)-patch integer features via one pixel explode + one keyed
+    * aggregate — see [[graft.operators.Multimodal.patchify]]. */
+  def patchify(blobs: DataFrame, idCol: String, blobCol: String,
+      width: Int, height: Int, patch: Int, payloadOff: Int): DataFrame =
+    operators.Multimodal.patchify(
+      blobs, idCol, blobCol, width, height, patch, payloadOff)
+
   /** Frame-level PCM energy + silence-span census over WAV blobs (the
     * voice-activity-detection shape ASR curation trims silence with):
     * one bounded explode → per-frame energies → per-doc silent-run

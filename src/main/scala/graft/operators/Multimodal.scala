@@ -216,6 +216,61 @@ object Multimodal {
                      AS n_samples
             FROM documents)"""))
 
+  // ------------------------------------------------ 1a'. ViT-style patchify
+
+  /** Patch-grid decomposition — the ViT preprocessing step: an image
+    * becomes a grid of PxP patches, each reduced to its own feature
+    * vector (here the integer byte sum / max — the stub for a linear
+    * projection, which would be one more per-patch dot product). The
+    * pixel explode carries (row, col) so patch assignment is pure
+    * integer division; one groupBy (idCol, patch) aggregate, keyed
+    * shuffles only — at 100 TB each image contributes exactly
+    * width·height rows to one combine-friendly aggregate. */
+  def patchify(blobs: DataFrame, idCol: String, blobCol: String,
+      width: Int, height: Int, patch: Int, payloadOff: Int): DataFrame = {
+    val perRow = width / patch
+    val pxRow = (col("px_i") / width).cast("long")
+    val pxCol = col("px_i") % width
+    val samples = blobs
+      .select(col(idCol), col(blobCol).as("px_blob"),
+        explode(sequence(lit(0), lit(width * height - 1))).as("px_i"))
+      .select(col(idCol),
+        ((pxRow / patch).cast("long") * perRow +
+          (pxCol / patch).cast("long")).as("px_patch"),
+        conv(hex(expr(s"substring(px_blob, $payloadOff + px_i, 1)")),
+          16, 10).cast("long").as("px_v"))
+    samples.groupBy(col(idCol), col("px_patch"))
+      .agg(sum(col("px_v")).as("p_sum"), max(col("px_v")).as("p_max"))
+  }
+
+  /** One 16×16 single-channel BMP per document (payload: the doc's md5
+    * bytes tiled 16×), patchified into four 8×8 patches with integer
+    * sum/max features parsed back from the blob bytes; the oracle
+    * recomputes every patch from md5(text) directly. */
+  val patchGrid = QueryDef(
+    "q_mm_patchify",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val payload = unhex(repeat(md5(col("text").cast("binary")), 16))
+      val blobs = docs.select(col("doc_id"),
+        concat(synthBmp(lit(16L), lit(16L), lit(1L), lit(Array[Byte]())),
+          payload).as("blob"))
+      patchify(blobs, "doc_id", "blob", width = 16, height = 16,
+        patch = 8, payloadOff = 55)
+        .select(col("doc_id"), col("px_patch").as("patch"),
+          col("p_sum"), col("p_max"))
+    },
+    Some("""
+      SELECT doc_id,
+             (i // 16 // 8) * 2 + (i % 16) // 8 AS patch,
+             CAST(sum(b) AS BIGINT) AS p_sum,
+             CAST(max(b) AS BIGINT) AS p_max
+      FROM (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(text), (i % 16) * 2 + 1, 2))::BIGINT AS b
+        FROM (SELECT doc_id, text, unnest(range(256)) AS i FROM documents))
+      GROUP BY doc_id, patch"""))
+
   // ----------------------------------------- 1b'. PCM frame energy / VAD
 
   /** Frame-level PCM energy + silence-span census over WAV blobs — the
@@ -773,6 +828,6 @@ object Multimodal {
       WHERE length(frame) = 64"""))
 
   val all: Seq[QueryDef] = Seq(pipeline, frameSample, bmpHeader, wavHeader,
-    pngChunks, tiffIfd, audioEnergy, blobDedup, blobNearDup, interleave,
-    captionRetrieval)
+    pngChunks, tiffIfd, audioEnergy, patchGrid, blobDedup, blobNearDup,
+    interleave, captionRetrieval)
 }

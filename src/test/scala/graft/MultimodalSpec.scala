@@ -109,6 +109,18 @@ class MultimodalSpec extends GraftSpecBase {
     }
   }
 
+  test("patchify: 4x4 image with 2x2 patches assigns quadrants exactly") {
+    // payload bytes 0..15 laid out row-major; quadrant sums are known
+    val df = sp.range(1).select(col("id").as("doc_id"),
+      unhex(lit("000102030405060708090A0B0C0D0E0F")).as("blob"))
+    val r = ops.patchify(df, "doc_id", "blob", width = 4, height = 4,
+        patch = 2, payloadOff = 1)
+      .collect().map(x => x.getLong(1) -> (x.getLong(2), x.getLong(3))).toMap
+    // patch 0 = {0,1,4,5}, 1 = {2,3,6,7}, 2 = {8,9,12,13}, 3 = {10,11,14,15}
+    assert(r == Map(0L -> ((10L, 5L)), 1L -> ((18L, 7L)),
+      2L -> ((42L, 13L)), 3L -> ((50L, 15L))), r.toString)
+  }
+
   test("audioFrameEnergy: hand-built frames census silent runs exactly") {
     // doc 0: silent(0x80*8) | loud(0x00*8) | silent | silent  -> runs 1,2
     // doc 1: all-silent 16 samples -> 2 frames, run 2
