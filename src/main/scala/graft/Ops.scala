@@ -399,6 +399,41 @@ object ops {
   def piiFlags(docs: DataFrame, textCol: String = "text"): DataFrame =
     operators.TextAnalysis.piiFlags(docs, textCol)
 
+  /** Fuzzy record linkage, candidate stage: block-keyed equi-join (shared
+    * `blockLen`-char prefix) + Levenshtein ≤ maxDist filter — never
+    * all-pairs; the catalog side broadcasts in real workloads. See
+    * [[graft.operators.Linkage.fuzzyJoin]]. */
+  def fuzzyJoin(dirty: DataFrame, clean: DataFrame, dirtyCol: String,
+      cleanCol: String, blockLen: Int = 4, maxDist: Int = 2): DataFrame =
+    operators.Linkage.fuzzyJoin(dirty, clean, dirtyCol, cleanCol,
+      blockLen, maxDist)
+
+  /** Deterministic best match per dirty mention over a fuzzyJoin
+    * candidate set: argmin(distance, match key) + ambiguity count — see
+    * [[graft.operators.Linkage.bestMatch]]. */
+  def bestMatch(cands: DataFrame, idCol: String, matchCol: String,
+      distCol: String = "dist"): DataFrame =
+    operators.Linkage.bestMatch(cands, idCol, matchCol, distCol)
+
+  /** Robust (median/MAD) outlier census per key over an integer value
+    * column: |v − median| > 3·MAD in exact ×2/×4 integer space — the
+    * heavy-tail-safe anomaly monitor. Returns (key, n, med_x2, mad_x4,
+    * n_outliers) — see [[graft.operators.Events.madOutlierCensus]]. */
+  def madOutlierCensus(df: DataFrame, keyCol: String,
+      intCol: String): DataFrame =
+    operators.Events.madOutlierCensus(df, keyCol, intCol)
+
+  /** Frozen min-label propagation from a seed set over an edge list
+    * (undirected; labels never change once assigned, so fixed rounds are
+    * deterministic) — the semi-supervised seed-domain classifier. Returns
+    * (node, label) for every reached node — see
+    * [[graft.operators.Graphs.labelPropagate]]. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      rounds: Int): DataFrame =
+    operators.Graphs.labelPropagate(edges, srcCol, dstCol, seeds,
+      nodeCol, labelCol, rounds)
+
   /** Cross-document boilerplate removal: chunks whose document frequency
     * exceeds maxDf (headers/footers/banners) are cut from every document,
     * which is reassembled in order from its surviving chunks — see

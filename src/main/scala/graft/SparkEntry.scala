@@ -40,6 +40,7 @@ object SparkEntry {
       operators.Profiling.all ++
       operators.Multimodal.all ++
       operators.Graphs.all ++
+      operators.Linkage.all ++
       operators.ArrowBatch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

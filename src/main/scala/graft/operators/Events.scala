@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -343,7 +344,79 @@ object Events {
         GROUP BY event_type, user_id, burst_id)
       GROUP BY event_type"""))
 
+  /** Robust anomaly detection: per-type median/MAD outlier census — the
+    * monitoring primitive that survives the skewed, heavy-tailed value
+    * distributions where mean/stddev z-scores drown (one fat purchase
+    * shifts a mean; it cannot shift a median). Flag = |v − median| >
+    * 3·MAD, the standard robust-z cut.
+    *
+    * Exactness discipline: values go to int64 cents ([[graft.Exact]]),
+    * and because an interpolated median of integers is always a multiple
+    * of ½, the median is carried as `med_x2 = 2·percentile` and the MAD
+    * as `mad_x4 = 2·percentile(2·|v−med|)` — integers end to end, so the
+    * DuckDB replay (quantile_cont spells Spark's percentile) is bit-exact
+    * with no float tolerance. The outlier cut |v−med| > 3·MAD multiplies
+    * through to 2·dev_x2 > 3·mad_x4.
+    *
+    * Scale shape: two grouped exact-percentile aggregates over the event
+    * stream plus two broadcast joins of the |event_types|-row stats frame
+    * — the stream shuffles on event_type only. (At 100 TB swap the exact
+    * percentile for the mergeable KLL sketch family
+    * ([[graft.functions.KllQuantile]]) — same plan shape, bounded state.) */
+  /** Library form: per-`keyCol` robust outlier census over an integer
+    * value column. Output: (key, n, med_x2, mad_x4, n_outliers) — the
+    * median carried ×2 and the MAD ×4 so interpolated medians of
+    * integers stay integers (see [[madOutliers]]). */
+  def madOutlierCensus(df: DataFrame, keyCol: String,
+      intCol: String): DataFrame = {
+    val e = df.select(col(keyCol), col(intCol).cast("long").as("vc"))
+    val med = e.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      expr("CAST(2 * percentile(vc, 0.5D) AS BIGINT)").as("med_x2"))
+    val dev = e.join(broadcast(med), keyCol)
+      .withColumn("dev_x2", abs(lit(2L) * col("vc") - col("med_x2")))
+    val mad = dev.groupBy(col(keyCol)).agg(
+      expr("CAST(2 * percentile(dev_x2, 0.5D) AS BIGINT)").as("mad_x4"))
+    dev.join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol))
+      .agg(min(col("n")).as("n"), min(col("med_x2")).as("med_x2"),
+        min(col("mad_x4")).as("mad_x4"),
+        sum(when(lit(2L) * col("dev_x2") > lit(3L) * col("mad_x4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  val madOutliers = QueryDef(
+    "q_events_mad_outliers",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .select(col("event_type"), graft.Exact.cents(col("value")).as("vc"))
+      madOutlierCensus(e, "event_type", "vc")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events),
+      med AS (
+        SELECT event_type, count(*) AS n,
+               CAST(2 * quantile_cont(vc, 0.5) AS BIGINT) AS med_x2
+        FROM e GROUP BY event_type),
+      dev AS (
+        SELECT e.event_type, med.n, med.med_x2,
+               abs(2 * vc - med_x2) AS dev_x2
+        FROM e JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(dev_x2, 0.5) AS BIGINT) AS mad_x4
+        FROM dev GROUP BY event_type)
+      SELECT dev.event_type, CAST(min(dev.n) AS BIGINT) AS n,
+             CAST(min(dev.med_x2) AS BIGINT) AS med_x2,
+             CAST(min(mad.mad_x4) AS BIGINT) AS mad_x4,
+             CAST(sum(CASE WHEN 2 * dev_x2 > 3 * mad_x4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY dev.event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
-      retention, gapfill, peakHour, burstCollapse)
+      retention, gapfill, peakHour, burstCollapse, madOutliers)
 }

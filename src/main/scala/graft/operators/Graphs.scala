@@ -366,5 +366,114 @@ object Graphs {
       SELECT node, count(*) AS n_tri FROM pn GROUP BY node
       ORDER BY n_tri DESC, node LIMIT 15"""))
 
-  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore)
+  /** Frozen-label propagation from a seed set: each round, every still-
+    * unlabeled node adjacent to a labeled one adopts the MINIMUM neighbor
+    * label, and labels never change once assigned (the "frozen" LPA
+    * variant — monotone, so a fixed round count is deterministic with no
+    * oscillation, and min-tie-breaking needs no RNG). This is the
+    * semi-supervised classifier a curation pipeline runs over the crawl
+    * link graph: a few thousand hand-labeled seed domains (spam /
+    * quality / topic) spread along hyperlinks to score the whole corpus.
+    *
+    * Scale shape per round: ONE equi-join of the (static, persisted)
+    * undirected edge list against the current label table on the src key
+    * + one min-aggregate on dst + one anti-join to keep frozen labels
+    * frozen — shuffle ∝ |E| per round, nothing driver-side. The label
+    * table is localCheckpoint'd between rounds (it is referenced twice
+    * per round: contribution join + anti-join), the same
+    * lineage-truncation discipline as [[kCore]]. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.select(col(srcCol).as("lp_src"), col(dstCol).as("lp_dst"))
+    val und = e.unionAll(
+      e.select(col("lp_dst").as("lp_src"), col("lp_src").as("lp_dst")))
+      .persist() // static; reused every round
+    var l = seeds.select(col(nodeCol).as("node"), col(labelCol).as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val newly = und.join(l, col("lp_src") === col("node"))
+        .groupBy(col("lp_dst")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("lp_dst", "node")
+        .join(l.select(col("node")), Seq("node"), "left_anti")
+      l = l.unionAll(newly.select(col("node"), col("label")))
+        .localCheckpoint()
+    }
+    l
+  }
+
+  /** Label spreading over the document link graph: 5% of docs are seeds
+    * (doc_id % 20 = 0) labeled doc_id % 3; three frozen min-label rounds
+    * over the undirected md5-link graph; output is the label census with
+    * -1 for still-unreached nodes. The oracle unrolls the identical three
+    * rounds in DuckDB — every label must match. */
+  val labelProp = QueryDef(
+    "q_graph_label_prop",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val links = docs.crossJoin(broadcast(n)).select(col("doc_id"),
+        expr("CAST(conv(substr(md5(text), 20, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst1"),
+        expr("CAST(conv(substr(md5(text), 24, 4), 16, 10) AS BIGINT) " +
+          "% n_docs").as("dst2"))
+      val edges = links.select(col("doc_id").as("src"),
+          col("dst1").as("dst"))
+        .unionAll(links.select(col("doc_id").as("src"),
+          col("dst2").as("dst")))
+      val seeds = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("node"), (col("doc_id") % 3).as("label"))
+      val labeled = labelPropagate(edges, "src", "dst",
+        seeds, "node", "label", rounds = 3)
+      docs.select(col("doc_id").as("node"))
+        .join(labeled, Seq("node"), "left")
+        .groupBy(coalesce(col("label"), lit(-1L)).as("label"))
+        .agg(count(lit(1)).as("n_nodes"))
+    },
+    Some("""
+      WITH lk AS (
+        SELECT doc_id AS src,
+               ('0x' || substr(md5(text), 20, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst1,
+               ('0x' || substr(md5(text), 24, 4))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst2
+        FROM documents),
+      e0 AS (
+        SELECT src, dst1 AS dst FROM lk
+        UNION ALL
+        SELECT src, dst2 FROM lk),
+      e AS (
+        SELECT src, dst FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM e0),
+      l0 AS (
+        SELECT doc_id AS node, CAST(doc_id % 3 AS BIGINT) AS label
+        FROM documents WHERE doc_id % 20 = 0),
+      l1 AS (
+        SELECT node, label FROM l0
+        UNION ALL
+        SELECT e.dst AS node, min(l.label) AS label
+        FROM e JOIN l0 l ON e.src = l.node
+        WHERE e.dst NOT IN (SELECT node FROM l0)
+        GROUP BY e.dst),
+      l2 AS (
+        SELECT node, label FROM l1
+        UNION ALL
+        SELECT e.dst AS node, min(l.label) AS label
+        FROM e JOIN l1 l ON e.src = l.node
+        WHERE e.dst NOT IN (SELECT node FROM l1)
+        GROUP BY e.dst),
+      l3 AS (
+        SELECT node, label FROM l2
+        UNION ALL
+        SELECT e.dst AS node, min(l.label) AS label
+        FROM e JOIN l2 l ON e.src = l.node
+        WHERE e.dst NOT IN (SELECT node FROM l2)
+        GROUP BY e.dst)
+      SELECT coalesce(l.label, -1) AS label, count(*) AS n_nodes
+      FROM documents d LEFT JOIN l3 l ON d.doc_id = l.node
+      GROUP BY coalesce(l.label, -1)"""))
+
+  val all: Seq[QueryDef] = Seq(pagerank, triangles, kcore, labelProp)
 }

@@ -520,6 +520,79 @@ object Similarity {
       QUALIFY rn <= 10"""
     })
 
+  /** Hard-negative mining for contrastive training (DPR/CLIP recipe): for
+    * each anchor, retrieve its nearest neighbors, SKIP rank 1 (the
+    * presumed positive — in production the known caption/passage pair;
+    * here the nearest neighbor stands in), and keep ranks 2–6 as the hard
+    * negatives: the in-batch candidates similar enough to be maximally
+    * informative gradients. Retrieval is the same multi-probe LSH bucket
+    * equi-join as [[lshAnn]] — the anchor side broadcasts, candidates
+    * shuffle once on bucket id, never all-pairs — so mining cost per
+    * anchor is a bucket's worth of exact re-ranks, the shape that holds
+    * when the negative pool is the full 100 TB corpus. */
+  val hardNegatives = QueryDef(
+    "q_sim_hard_negatives",
+    (spark, dir) => {
+      val (q, c) = split(spark, dir)
+      def bucket(t: Int, mask: Long) = {
+        val slice = if (t == 0) expr("sig % 64") else expr("sig div 64")
+        (lit(t * 64L) + slice.cast("long").bitwiseXOR(lit(mask)))
+          .cast("long")
+      }
+      val cands = c.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ec"),
+        expr(s"sign_proj(embedding, 12)").as("sig"))
+        .select(col("cand_id"), col("ec"),
+          explode(array(bucket(0, 0L), bucket(1, 0L))).as("bucket"))
+      val probeKeys =
+        for { t <- 0 to 1; m <- Dedup.probeMasks } yield bucket(t, m)
+      val anchors = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("eq"),
+        expr(s"sign_proj(embedding, 12)").as("sig"))
+        .select(col("query_id"), col("eq"),
+          explode(array(probeKeys: _*)).as("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand_id"))
+      broadcast(anchors).join(cands, "bucket")
+        .dropDuplicates("query_id", "cand_id")
+        .withColumn("cos", expr("cosine_sim(eq, ec)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn").between(2, 6))
+        .select(col("query_id"), col("cand_id"), col("cos"), col("rn"))
+    },
+    Some {
+      val duckProbeKeys = (for { t <- 0 to 1; m <- Dedup.probeMasks } yield {
+        val slice = if (t == 0) "sig % 64" else "sig // 64"
+        s"${t * 64} + xor($slice, $m)"
+      }).mkString(", ")
+      s"""
+      WITH cands AS (
+        SELECT cand_id, ec, unnest([0 + sig % 64, 64 + sig // 64]) AS bucket
+        FROM (SELECT vec_id AS cand_id, embedding AS ec,
+                     ${duckSig("embedding", 12)} AS sig
+              FROM embeddings WHERE vec_id >= 8)),
+      qsig AS (
+        SELECT vec_id AS query_id, embedding AS eq,
+               ${duckSig("embedding", 12)} AS sig
+        FROM embeddings WHERE vec_id < 8),
+      probes AS (
+        SELECT query_id, eq, unnest([$duckProbeKeys]) AS bucket
+        FROM qsig),
+      pairs AS (
+        SELECT DISTINCT p.query_id, c.cand_id
+        FROM probes p JOIN cands c ON p.bucket = c.bucket)
+      SELECT query_id, cand_id, cos, rn FROM (
+        SELECT pr.query_id, pr.cand_id,
+               ${Dedup.duckCosine("q.embedding", "e.embedding")} AS cos,
+               CAST(row_number() OVER (PARTITION BY pr.query_id
+                 ORDER BY ${Dedup.duckCosine("q.embedding", "e.embedding")}
+                          DESC, pr.cand_id) AS BIGINT) AS rn
+        FROM pairs pr
+        JOIN embeddings q ON q.vec_id = pr.query_id
+        JOIN embeddings e ON e.vec_id = pr.cand_id)
+      WHERE rn BETWEEN 2 AND 6"""
+    })
+
   val all: Seq[QueryDef] = Seq(bruteForceTopK, lshAnn, ivfAnn, dotTopK,
-    planTopK, quantizedTopK, pqAnn, matryoshka)
+    planTopK, quantizedTopK, pqAnn, matryoshka, hardNegatives)
 }
