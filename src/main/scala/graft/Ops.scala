@@ -434,6 +434,35 @@ object ops {
     operators.Graphs.labelPropagate(edges, srcCol, dstCol, seeds,
       nodeCol, labelCol, rounds)
 
+  /** Deterministic weight-proportional top-k sample (integer-arithmetic
+    * PPS draw, bit-exact replayable): priority = md5-hash DIV weight, keep
+    * the k smallest — see [[graft.operators.Sampling.prioritySample]]. */
+  def prioritySample(df: DataFrame, contentCol: String, weightCol: String,
+      tiebreakCol: String, k: Int): DataFrame =
+    operators.Sampling.prioritySample(df, contentCol, weightCol,
+      tiebreakCol, k)
+
+  /** Multi-touch linear attribution in exact integer cents (remainder to
+    * the last touch, so credits conserve value bit-for-bit), paired on
+    * (user, lookback-sized time bucket) so probe work is bounded by
+    * per-window activity — see
+    * [[graft.operators.Events.linearAttribution]]. */
+  def linearAttribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackDays: Int): DataFrame =
+    operators.Events.linearAttribution(events, convType, touchTypes,
+      lookbackDays)
+
+  /** Point-in-time (temporal) join: each fact row picks the dimension
+    * version valid at its own timestamp (`[from, to)` half-open) — the
+    * consumer side of [[scd2Merge]]. Equi-join on the key; the interval
+    * check rides as a post-condition — see
+    * [[graft.operators.Mutations.pitJoin]]. */
+  def pitJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, tsCol: String, fromCol: String,
+      toCol: String): DataFrame =
+    operators.Mutations.pitJoin(fact, dim, factKey, dimKey, tsCol,
+      fromCol, toCol)
+
   /** Cross-document boilerplate removal: chunks whose document frequency
     * exceeds maxDf (headers/footers/banners) are cut from every document,
     * which is reassembled in order from its surviving chunks — see

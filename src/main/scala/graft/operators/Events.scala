@@ -416,7 +416,93 @@ object Events {
       FROM dev JOIN mad USING (event_type)
       GROUP BY dev.event_type"""))
 
+  /** Multi-touch linear attribution: each conversion's value is split
+    * evenly (in exact integer cents) across every qualifying touch by the
+    * same user inside the lookback window, with the division remainder
+    * credited to the LAST touch — so per-conversion credits sum to the
+    * conversion value EXACTLY, and the corpus-level invariant
+    * Σcredit = Σvalue(attributed conversions) is auditable bit-for-bit.
+    * (The streaming twin, [[graft.streaming.EventStreams.clickAttribution]],
+    * is last-touch only; this is the batch multi-touch generalization.)
+    *
+    * Scale shape: the pairing key is (user_id, time-bucket) with bucket
+    * width = the lookback window and the conversion side exploded to its
+    * own and the previous bucket — the [[graft.ops.rangeBucketJoin]]
+    * discipline — so a candidate touch is always in one of the two probed
+    * buckets (coverage is exact for lookback ≤ bucket width) and hash-join
+    * probe work is bounded by PER-WINDOW activity, not by a user's whole
+    * history (a years-long user on a plain user_id key would make every
+    * probe walk every historical touch). The exact interval filter then
+    * rides the join; one window partitioned by conversion id splits the
+    * credit. */
+  def linearAttribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackDays: Int): DataFrame = {
+    val bucketSecs = lookbackDays * 86400L
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c) / lit(bucketSecs)).cast("long")
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"), graft.Exact.cents(col("value")).as("vc"))
+      .withColumn("tb", explode(array(bucketOf(col("conv_ts")),
+        bucketOf(col("conv_ts")) - 1)))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+      .withColumn("tb", bucketOf(col("touch_ts")))
+    val joined = conv.join(touch, Seq("user_id", "tb"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val w = Window.partitionBy(col("conv_id"))
+    val wLast = w.orderBy(col("touch_ts").desc, col("touch_id"))
+    joined
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("rn_last", row_number().over(wLast))
+      .withColumn("credit_cents",
+        expr("vc DIV n_touches") +
+          when(col("rn_last") === 1, expr("vc % n_touches")).otherwise(0L))
+  }
+
+  /** Attribution census per touch channel: credited cents, touches, and
+    * distinct conversions reached — plus the exactness invariant that the
+    * per-channel credits re-aggregate to the attributed conversion total
+    * (pinned in LinkageSpec; the oracle replays the same split). */
+  val attribution = QueryDef(
+    "q_events_attribution",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+      linearAttribution(e, "purchase", Seq("view", "click"),
+        lookbackDays = 7)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"),
+          sum(col("credit_cents")).as("credit_cents"))
+    },
+    Some("""
+      WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+               ts AS touch_ts
+        FROM events WHERE event_type IN ('view', 'click')),
+      joined AS (
+        SELECT c.conv_id, c.vc, t.touch_id, t.touch_type,
+               count(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+               row_number() OVER (PARTITION BY c.conv_id
+                 ORDER BY t.touch_ts DESC, t.touch_id) AS rn_last
+        FROM conv c JOIN touch t ON c.user_id = t.user_id
+        WHERE t.touch_ts < c.conv_ts
+          AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY)
+      SELECT touch_type, count(*) AS n_touches,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+             CAST(sum(vc // n_touches +
+               CASE WHEN rn_last = 1 THEN vc % n_touches ELSE 0 END)
+               AS BIGINT) AS credit_cents
+      FROM joined GROUP BY touch_type"""))
+
   val all: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
-      retention, gapfill, peakHour, burstCollapse, madOutliers)
+      retention, gapfill, peakHour, burstCollapse, madOutliers,
+      attribution)
 }

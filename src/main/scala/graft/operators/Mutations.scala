@@ -228,5 +228,76 @@ object Mutations {
              CAST(coalesce(sum(l_orderkey), 0) AS BIGINT)
       FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)"""))
 
-  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2, mvRefresh, purge)
+  /** Library API: point-in-time (temporal) join — every fact row picks the
+    * dimension version whose validity interval `[fromCol, toCol)` covers
+    * the fact timestamp. The consumer side of [[scd2Merge]]: the merge
+    * writes the history, this reads it "as of" each fact's own clock,
+    * which is what makes an SCD2 table useful at all (joining on
+    * is_current silently rewrites history under old facts).
+    *
+    * Scale shape: an EQUI-join on the dimension key — the interval check
+    * rides along as a join post-condition, so the planner still hashes /
+    * broadcasts on the key and never degrades to a range join. Version
+    * fan-out per key is the dimension's change count (tiny by
+    * construction: SCD2 dims grow by versions, not by facts), so the
+    * dimension side stays broadcast-sized at any fact scale. */
+  def pitJoin(fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame, factKey: String, dimKey: String,
+      tsCol: String, fromCol: String, toCol: String)
+      : org.apache.spark.sql.DataFrame =
+    fact.join(broadcast(dim),
+      fact(factKey) === dim(dimKey) &&
+        fact(tsCol) >= dim(fromCol) && fact(tsCol) < dim(toCol))
+
+  /** Point-in-time revenue census over a two-version customer-segment
+    * history: each customer's segment flips to its lowercase form at an
+    * md5-derived switch date, and every order is attributed to the segment
+    * that was true ON ITS ORDER DATE. The deterministic history makes the
+    * whole temporal join replayable in DuckDB. */
+  val pitJoinQ = QueryDef(
+    "q_scd2_pit_join",
+    (spark, dir) => {
+      val cust = Tables(spark, dir, "customer")
+      val switch = expr("TIMESTAMP '1996-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, CAST(conv(substr(md5(CAST(c_custkey AS " +
+        "STRING)), 1, 6), 16, 10) % 1500 AS INT), 0, 0, 0)")
+      val lo = expr("TIMESTAMP '1990-01-01 00:00:00'")
+      val hi = expr("TIMESTAMP '2099-01-01 00:00:00'")
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment")
+            .as("segment"), lo.as("valid_from"), switch.as("valid_to"))
+        .unionAll(cust.select(col("c_custkey"),
+          lower(col("c_mktsegment")).as("segment"),
+          switch.as("valid_from"), hi.as("valid_to")))
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          graft.Exact.cents(col("o_totalprice")).as("pc"))
+      pitJoin(orders, dim, "o_custkey", "c_custkey",
+          "o_orderdate", "valid_from", "valid_to")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("rev_cents"))
+    },
+    Some("""
+      WITH sw AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1996-01-01' + INTERVAL (('0x' ||
+                 substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT
+                 % 1500) DAY AS switch_ts
+        FROM customer),
+      dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01' AS valid_from, switch_ts AS valid_to
+        FROM sw
+        UNION ALL
+        SELECT c_custkey, lower(c_mktsegment), switch_ts,
+               TIMESTAMP '2099-01-01'
+        FROM sw)
+      SELECT d.segment, count(*) AS n_orders,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev_cents
+      FROM orders o JOIN dim d
+        ON o.o_custkey = d.c_custkey
+       AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+      GROUP BY d.segment"""))
+
+  val all: Seq[QueryDef] = Seq(mergeUpsert, scd2, mvRefresh, purge, pitJoinQ)
 }

@@ -837,8 +837,51 @@ object Sampling {
              CAST(sum(doc_id) AS BIGINT) AS id_sum
       FROM assigned GROUP BY 1"""))
 
+  /** Library API: deterministic weight-proportional sample of `k` rows —
+    * the PPS (probability-proportional-to-size) selection step of a
+    * curation mix, made replayable. Each row draws a content-keyed
+    * 48-bit uniform hash and its priority is `hash DIV weight` (integer
+    * division): doubling a row's weight halves its priority, so the k
+    * smallest priorities select rows with probability ≈ ∝ weight — the
+    * integer-arithmetic analogue of the exponential-key A-ES sample,
+    * with zero RNG and a bit-exact DuckDB replay.
+    *
+    * Scale shape: a pure map stage (hash + one integer division) feeding
+    * ONE top-k — TakeOrderedAndProject keeps k rows per partition and
+    * merges on the driver side of the exchange, so nothing resembling a
+    * global sort materializes however big the corpus is. */
+  def prioritySample(df: org.apache.spark.sql.DataFrame,
+      contentCol: String, weightCol: String, tiebreakCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1)
+    df.withColumn("priority",
+        expr(s"CAST(conv(substr(md5($contentCol), 1, 12), 16, 10) AS " +
+          s"BIGINT) DIV CAST($weightCol AS BIGINT)"))
+      .orderBy(col("priority"), col(tiebreakCol))
+      .limit(k)
+  }
+
+  /** Weighted priority sample of 60 documents, weight = byte length —
+    * long documents are proportionally likelier, and the whole draw
+    * replays bit-exact in DuckDB (same md5 priorities, same top-k). */
+  val prioritySampleQ = QueryDef(
+    "q_sample_priority",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+        .withColumn("w", length(col("text")).cast("long"))
+      prioritySample(docs, "text", "w", "doc_id", k = 60)
+        .select(col("doc_id"), col("w"), col("priority"))
+    },
+    Some("""
+      SELECT doc_id, w, priority FROM (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+               ('0x' || substr(md5(text), 1, 12))::BIGINT
+                 // CAST(length(text) AS BIGINT) AS priority
+        FROM documents)
+      ORDER BY priority, doc_id LIMIT 60"""))
+
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
       unimax, epochShards, dsir, oversample, leakageSplit, tokenBudget,
-      curriculum)
+      curriculum, prioritySampleQ)
 }

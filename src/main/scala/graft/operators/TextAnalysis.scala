@@ -755,8 +755,82 @@ object TextAnalysis {
                AS n_hapax
       FROM ranked"""))
 
+  /** Document-level PMI collocation census: which token pairs co-occur in
+    * the same document far more often than their independent document
+    * frequencies predict — the corpus-analysis primitive behind phrase
+    * mining, topic drift monitors, and contamination forensics (an eval
+    * set's hallmark term pair spiking in training data is a red flag).
+    *
+    * PMI = log(N·c_uv / (c_u·c_v)) is quantized to the repo's integer
+    * ⌊log2⌋ space: pmi_bits = bitlen(N·c_uv) − bitlen(c_u·c_v) (bitlen =
+    * length(bin·), the [[LmScore]] discipline), and the EXACT counts
+    * (c_uv, c_u, c_v) ride along so nothing is lost to quantization — all
+    * integers, bit-exact in DuckDB.
+    *
+    * Scale shape: the pair space is the quadratic hazard, and it is capped
+    * twice — tokens enter only inside a document-frequency band (floor
+    * kills hapax noise, ceiling kills stopword pairs: a token in half the
+    * corpus pairs with everything), and pairs form per document from the
+    * df-banded DISTINCT token set via one self-equi-join on doc_id. Cost
+    * is Σ_doc |banded(doc)|², bounded by the band — never corpus². At
+    * 100 TB the band is enforced by one vocab-bounded broadcast. */
+  val pmiPairs = QueryDef(
+    "q_text_pmi",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val docTok = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 4).distinct()
+      val df = docTok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("c_tok"))
+        .filter(col("c_tok").between(20, 2000))
+      val banded = docTok.join(broadcast(df), "tok")
+      val a = banded.select(col("doc_id"), col("tok").as("tok_a"),
+        col("c_tok").as("c_a"))
+      val b = banded.select(col("doc_id"), col("tok").as("tok_b"),
+        col("c_tok").as("c_b"))
+      a.join(b, "doc_id").filter(col("tok_a") < col("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b"), col("c_a"), col("c_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_bits",
+          (length(bin(col("n_docs") * col("c_ab"))) -
+            length(bin(col("c_a") * col("c_b")))).cast("long"))
+        .filter(col("c_ab") >= 10)
+        .orderBy(col("pmi_bits").desc, col("c_ab").desc,
+          col("tok_a"), col("tok_b"))
+        .limit(25)
+        .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"),
+          col("c_b"), col("pmi_bits"))
+    },
+    Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE length(tok) >= 4),
+      df AS (
+        SELECT tok, count(*) AS c_tok FROM dt GROUP BY tok
+        HAVING count(*) BETWEEN 20 AND 2000),
+      banded AS (SELECT dt.doc_id, dt.tok, df.c_tok
+                 FROM dt JOIN df USING (tok)),
+      pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, a.c_tok AS c_a,
+               b.c_tok AS c_b, count(*) AS c_ab
+        FROM banded a JOIN banded b ON a.doc_id = b.doc_id
+        WHERE a.tok < b.tok
+        GROUP BY 1, 2, 3, 4)
+      SELECT tok_a, tok_b, c_ab, CAST(c_a AS BIGINT) AS c_a,
+             CAST(c_b AS BIGINT) AS c_b,
+             CAST(length(bin((SELECT count(DISTINCT doc_id) FROM documents)
+                 * c_ab)) - length(bin(c_a * c_b)) AS BIGINT) AS pmi_bits
+      FROM pairs
+      WHERE c_ab >= 10
+      ORDER BY pmi_bits DESC, c_ab DESC, tok_a, tok_b LIMIT 25"""))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
       freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
-      diversity, boilerplate, pii, vocabCoverage)
+      diversity, boilerplate, pii, vocabCoverage, pmiPairs)
 }

@@ -115,7 +115,18 @@ object ScaleSmoke {
     // perceptron training: per round one map + one 8-wide aggregate with
     // an 8-long driver pull (k-means discipline) — corpus-linear however
     // many rounds
-    "q_text_perceptron")
+    "q_text_perceptron",
+    // round 7c: MAD outlier census is two grouped exact percentiles +
+    // two broadcast stats joins (replication deepens groups, never widens
+    // them); frozen label propagation is one |E|-shuffle join + one dst
+    // min-aggregate + one anti-join per round over the replica-scaled
+    // link graph; attribution pairs on (user, lookback bucket), so the
+    // 31-day-shifted replicas of a user can never meet in a probe and
+    // the join stays corpus-linear; fuzzy linkage runs fact-sized dirty
+    // mentions against the replica-collapsed DISTINCT catalog (blocked
+    // equi-join — replication multiplies the dirty side only)
+    "q_events_mad_outliers", "q_graph_label_prop",
+    "q_events_attribution", "op_fuzzy_link_rep")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
@@ -143,6 +154,25 @@ object ScaleSmoke {
           .select(docs.columns.map(col): _*)
         graft.ops.leakageSafeSplit(deduped)
           .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      },
+      // fuzzy record linkage at scale: dirty mentions are per-doc
+      // corrupted 24-char prefixes of the REPLICATED documents fact (the
+      // corpus-sized side), the catalog is the DISTINCT prefix set (the
+      // replicas collapse — dimension-sized, broadcastable); cost is the
+      // blocked equi-join + per-block levenshtein, linear in the corpus
+      "op_fuzzy_link_rep" -> { (spark, dir) =>
+        val base = Tables(spark, dir, "documents")
+          .select(col("doc_id"), expr("substr(text, 1, 24)").as("name"))
+          .filter(length(col("name")) >= 6)
+        val catalog = base.select(col("name").as("clean_name")).distinct()
+        val dirty = base.withColumn("pos",
+            expr("CAST(5 + conv(substr(md5(name), 1, 6), 16, 10) " +
+              "% (length(name) - 4) AS INT)"))
+          .select(col("doc_id").as("dirty_id"),
+            expr("concat(substr(name, 1, pos - 1), substr(name, pos + 1))")
+              .as("dirty_name"))
+        graft.ops.fuzzyJoin(dirty, catalog, "dirty_name", "clean_name")
+          .agg(count(lit(1)).as("n_matches"))
       },
       // blob near-dup as the pipeline runs it at scale: exact blob dedup
       // collapses replicas first, then the histogram-signature candidate

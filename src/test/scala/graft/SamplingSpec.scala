@@ -218,4 +218,26 @@ class SamplingSpec extends GraftSpecBase {
     assert(lawMin > offMax,
       s"target-like docs ($lawMin) must outrank off-vocab docs ($offMax)")
   }
+
+  test("prioritySample: weight dominates, deterministic, exact k") {
+    // 50 unit-weight rows + one row whose weight (2^40) crushes its
+    // priority to hash >> 40 < 2^8 — it MUST be drawn at any k, while the
+    // unit rows keep their raw 48-bit hashes as priorities
+    val rows = (1 to 50).map(i => (i.toLong, s"content $i", 1L)) :+
+      ((99L, "the heavy row", 1L << 40))
+    val df = rows.toDF("id", "text", "w")
+    val s1 = operators.Sampling.prioritySample(df, "text", "w", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1.contains(99L), s"heavy row must be sampled: $s1")
+    assert(s1.size == 10)
+    // deterministic: same input -> identical draw
+    val s2 = operators.Sampling.prioritySample(df, "text", "w", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // exact duplicates share a priority (content-keyed) and both can draw
+    val dup = Seq((1L, "same", 1L), (2L, "same", 1L)).toDF("id", "text", "w")
+    val d = operators.Sampling.prioritySample(dup, "text", "w", "id", 2)
+      .select("priority").collect().map(_.getLong(0))
+    assert(d(0) == d(1), "content-keyed: identical text -> same priority")
+  }
 }

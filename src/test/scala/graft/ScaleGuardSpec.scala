@@ -148,6 +148,11 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   DISTINCT-day table —
                                                     //   bounded by the
                                                     //   calendar (≤31 rows)
+      "q_text_pmi",                                 // 1-row n_docs frame
+                                                    //   broadcast onto the
+                                                    //   df-banded pair AGG
+                                                    //   (bounded: one row
+                                                    //   per surviving pair)
       "q_graph_triangles",                          // 1-row n_docs frame
                                                     //   (kcore checkpoints
                                                     //   its edge base, so
