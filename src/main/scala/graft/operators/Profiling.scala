@@ -191,7 +191,77 @@ object Profiling {
       SELECT p.flag AS l_returnflag, p.n_periods, e.est_distinct_parts
       FROM p JOIN e USING (flag)"""))
 
+  /** Library API: distribution-drift report between two time epochs of a
+    * stream — the monitor a training pipeline runs to catch a source
+    * silently changing under it (a scraper update shifting document
+    * lengths, a payment change shifting order values). Rows split into
+    * epoch A (`ts < splitTs`) and B; each key's integer-value distribution
+    * is histogrammed into ⌊log2⌋ buckets (bitlen of the value — fixed,
+    * data-independent edges that resolve heavy tails where equal-width
+    * bins collapse); drift per key is the total-variation distance between
+    * the two normalized histograms, in exact integer per-mille:
+    * tv = 500·Σ_b |cA_b·N_B − cB_b·N_A| / (N_A·N_B), so a flat rename of
+    * every value to a new bucket reads 1000, identical shapes read 0, and
+    * the whole report replays bit-exact in DuckDB (no float ratios).
+    *
+    * Scale shape: ONE grouped count over (key, bucket) with conditional
+    * epoch counts (a single map-combine aggregate — the epochs never
+    * join), then per-key totals over the ≤~64-buckets-per-key frame via a
+    * key-partitioned window. Nothing grows with row count after the first
+    * aggregate. */
+  def driftReport(df: DataFrame, keyCol: String, intCol: String,
+      tsCol: String, splitTs: String): DataFrame = {
+    val cut = to_timestamp(lit(splitTs))
+    val t1 = df
+      .withColumn("bkt",
+        length(bin(greatest(col(intCol).cast("long"), lit(0L)))).cast("long"))
+      .groupBy(col(keyCol), col("bkt"))
+      .agg(sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    t1.withColumn("na", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
+      .groupBy(col(keyCol))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        // greatest(...,1): a key entirely absent from one epoch has no
+        // distribution to compare — it reports 0 rather than crashing on
+        // the zero denominator (and its n_a/n_b columns carry the signal)
+        expr("500 * sum(abs(ca * nb - cb * na)) " +
+          "DIV greatest(min(na) * min(nb), 1L)").as("tv_permille"))
+  }
+
+  /** Per-event-type value drift, first half-month vs second: the census
+    * each epoch's pipeline run publishes so a drifting source trips an
+    * alert before it trips the loss curve. */
+  val drift = QueryDef(
+    "q_profile_drift",
+    (spark, dir) => {
+      val e = Tables(spark, dir, "events")
+        .withColumn("vc", graft.Exact.cents(col("value")))
+      driftReport(e, "event_type", "vc", "ts", "2024-01-16 00:00:00")
+    },
+    Some("""
+      WITH t1 AS (
+        SELECT event_type,
+               length(bin(greatest(CAST(round(value * 100, 0) AS BIGINT),
+                 0))) AS bkt,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                 AS ca,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                 AS cb
+        FROM events GROUP BY 1, 2),
+      t2 AS (
+        SELECT event_type, ca, cb,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM t1)
+      SELECT event_type, CAST(min(na) AS BIGINT) AS n_a,
+             CAST(min(nb) AS BIGINT) AS n_b,
+             CAST(500 * sum(abs(ca * nb - cb * na))
+               // greatest(min(na) * min(nb), 1) AS BIGINT) AS tv_permille
+      FROM t2 GROUP BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(profileLineitem, profileLineitemExact, profileHistogram, constraints,
-      sketchRollup)
+      sketchRollup, drift)
 }

@@ -880,8 +880,77 @@ object Sampling {
         FROM documents)
       ORDER BY priority, doc_id LIMIT 60"""))
 
+  /** The sampling-side pipeline closure — the mix BUILDER a training run
+    * actually executes, end to end: quality gate → exact dedup (keep min
+    * id) → UniMax sqrt-temperature language budgets computed ON THE
+    * DEDUPED corpus → quota selection → leakage-safe hash split, reported
+    * as the (split, lang) doc/token census. Stage ORDER is the lever
+    * (same as q_docs_pipeline on the cleaning side): dedup precedes the
+    * budget census so duplicated languages can't inflate their own
+    * budgets, and the split key is the content hash so surviving exact
+    * duplicates can never straddle train/test. Every stage is an existing
+    * library op ([[withHashSplit]], [[quotaSelect]]); the whole
+    * composition replays bit-exact in DuckDB. */
+  val mixPipeline = QueryDef(
+    "q_mix_pipeline",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val quality = docs.filter(length(col("text")) >= 200)
+      val keep = quality
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = quality.join(keep.select(col("doc_id")), "doc_id")
+      val counts = deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_orig"))
+        .withColumn("mx_s", floor(sqrt(col("n_orig"))).cast("long"))
+      val tot = counts.agg(sum(col("mx_s")).as("mx_ss"),
+        sum(col("n_orig")).as("mx_tot"))
+      val budgets = counts.crossJoin(broadcast(tot))
+        .withColumn("budget",
+          least(col("n_orig"),
+            expr("((mx_tot * 6) div 10) * mx_s div mx_ss")))
+        .select(col("lang"), col("budget"))
+      val selected = quotaSelect(deduped, "lang", "text", "doc_id", budgets)
+      withHashSplit(selected, "text")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("tok_sum"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(text) >= 200),
+      keep AS (
+        SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+      counts AS (
+        SELECT lang, count(*) AS n_orig,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS s
+        FROM d GROUP BY lang),
+      tot AS (SELECT CAST(sum(s) AS BIGINT) AS ss,
+                     CAST(sum(n_orig) AS BIGINT) AS tot FROM counts),
+      budgets AS (
+        SELECT lang, least(n_orig, ((tot * 6) // 10) * s // ss) AS budget
+        FROM counts, tot),
+      ranked AS (
+        SELECT lang, text,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM d),
+      kept AS (
+        SELECT r.lang, r.text
+        FROM ranked r JOIN budgets b ON r.lang = b.lang AND r.rn <= b.budget)
+      SELECT CASE
+               WHEN substring(md5(text), 1, 1) IN
+                 ('0','1','2','3','4','5','6','7','8','9','a','b')
+                 THEN 'train'
+               WHEN substring(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+               ELSE 'test' END AS split,
+             lang, count(*) AS n_docs,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tok_sum
+      FROM kept GROUP BY 1, 2"""))
+
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
       unimax, epochShards, dsir, oversample, leakageSplit, tokenBudget,
-      curriculum, prioritySampleQ)
+      curriculum, prioritySampleQ, mixPipeline)
 }

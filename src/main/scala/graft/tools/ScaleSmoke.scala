@@ -126,7 +126,12 @@ object ScaleSmoke {
     // mentions against the replica-collapsed DISTINCT catalog (blocked
     // equi-join — replication multiplies the dirty side only)
     "q_events_mad_outliers", "q_graph_label_prop",
-    "q_events_attribution", "op_fuzzy_link_rep")
+    "q_events_attribution", "op_fuzzy_link_rep",
+    // drift report: one map-combine (key, log2-bucket) aggregate — the
+    // window/TV math runs on the bucket-bounded frame; mix pipeline:
+    // dedup-first ordering collapses the replicas before the budget
+    // census and quota ranking, same stage-order lever as q_docs_pipeline
+    "q_profile_drift", "q_mix_pipeline")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

@@ -62,4 +62,26 @@ class TemporalOpsSpec extends GraftSpecBase {
       fact, dim, "fk", "key", "ts", "valid_from", "valid_to").count()
     assert(n == 3L)
   }
+
+  test("driftReport: 0 for identical shapes, 1000 for disjoint, 0 guard") {
+    val cut = "2026-01-10 00:00:00"
+    def ev(key: String, t: String, v: Long) = (key, ts(t), v)
+    // identical value multisets in both epochs -> tv = 0
+    val same = Seq(
+      ev("a", "2026-01-05 00:00:00", 10), ev("a", "2026-01-05 00:00:00", 300),
+      ev("a", "2026-01-15 00:00:00", 10), ev("a", "2026-01-15 00:00:00", 300),
+      // every epoch-B value in a different log2 bucket -> tv = 1000
+      ev("b", "2026-01-05 00:00:00", 7), ev("b", "2026-01-05 00:00:00", 6),
+      ev("b", "2026-01-15 00:00:00", 900), ev("b", "2026-01-15 00:00:00", 901),
+      // key entirely missing from epoch B -> guarded 0, n_b carries it
+      ev("c", "2026-01-05 00:00:00", 5)
+    ).toDF("k", "ts", "vc")
+    val r = operators.Profiling.driftReport(same, "k", "vc", "ts", cut)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("n_a"), x.getAs[Long]("n_b"),
+          x.getAs[Long]("tv_permille"))).toMap
+    assert(r("a") == ((2L, 2L, 0L)), r.toString)
+    assert(r("b") == ((2L, 2L, 1000L)), r.toString)
+    assert(r("c") == ((1L, 0L, 0L)), r.toString)
+  }
 }
