@@ -501,8 +501,50 @@ object Events {
                AS BIGINT) AS credit_cents
       FROM joined GROUP BY touch_type"""))
 
+  /** First-order Markov transition census over per-user event streams:
+    * P(next type | type) as exact integer per-mille, from one lag window
+    * per user. The behavioral-model primitive behind session simulators,
+    * anomaly detectors (a transition whose probability collapses
+    * week-over-week), and bot heuristics (transition entropy too low).
+    *
+    * Scale shape: one window partitioned by user (bounded by per-user
+    * activity) + one (prev, next) count aggregate over the
+    * |types|²-bounded transition frame; the row-total for the per-mille
+    * rides a window over that tiny frame. */
+  val transitions = QueryDef(
+    "q_events_transitions",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val t = Tables(spark, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("c"))
+      val wRow = Window.partitionBy(col("event_type"))
+      t.withColumn("row_total", sum(col("c")).over(wRow))
+        .withColumn("p_permille", expr("1000 * c DIV row_total"))
+        .select(col("event_type"), col("next_type"), col("c"),
+          col("row_total"), col("p_permille"))
+    },
+    Some("""
+      WITH nxt AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+        FROM events),
+      t AS (
+        SELECT event_type, next_type, count(*) AS c
+        FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, next_type, c,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+               AS row_total,
+             CAST(1000 * c // sum(c) OVER (PARTITION BY event_type)
+               AS BIGINT) AS p_permille
+      FROM t"""))
+
   val all: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionize, funnel, dedupBatch, sessionWindow,
       retention, gapfill, peakHour, burstCollapse, madOutliers,
-      attribution)
+      attribution, transitions)
 }

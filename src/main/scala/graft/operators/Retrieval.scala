@@ -274,5 +274,64 @@ object Retrieval {
       FROM best WHERE rn = 1
       ORDER BY score DESC, doc_id LIMIT 10"""))
 
-  val all: Seq[QueryDef] = Seq(invertedIndex, tfidf, bm25, ragChunks)
+  /** Library API: market-basket co-occurrence — for every item, the top-k
+    * items that share a basket with it, with support (`c_ab`) and
+    * confidence (`1000·c_ab DIV c_a`, exact integer per-mille of the
+    * association rule a→b). The related-items primitive behind
+    * co-visitation recommenders and "related documents" panels.
+    *
+    * Scale shape: DISTINCT (basket, item) → ONE self-equi-join on the
+    * basket key — fan-out is |basket|² and baskets are small by nature
+    * (an order has a handful of parts; a session a handful of pages), so
+    * the pair stage is corpus-linear with a per-basket constant — then a
+    * pair-count aggregate and a per-item top-k window (WindowGroupLimit
+    * pushes the rank ahead of the shuffle). Never item×item. */
+  def basketPairs(df: org.apache.spark.sql.DataFrame, basketCol: String,
+      itemCol: String, topK: Int, minSupport: Long = 2L)
+      : org.apache.spark.sql.DataFrame = {
+    val bi = df.select(col(basketCol).as("bp_b"), col(itemCol).as("bp_i"))
+      .distinct()
+    val counts = bi.groupBy(col("bp_i")).agg(count(lit(1)).as("c_a"))
+    val pairs = bi.join(
+        bi.select(col("bp_b"), col("bp_i").as("bp_j")), "bp_b")
+      .filter(col("bp_i") =!= col("bp_j"))
+      .groupBy(col("bp_i"), col("bp_j")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val w = Window.partitionBy(col("bp_i"))
+      .orderBy(col("c_ab").desc, col("bp_j"))
+    pairs.join(broadcast(counts), "bp_i")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .withColumn("conf_permille", expr("1000 * c_ab DIV c_a"))
+      .select(col("bp_i").as("item"), col("bp_j").as("co_item"),
+        col("c_ab"), col("c_a"), col("conf_permille"), col("rn"))
+  }
+
+  /** Top-3 co-purchased parts per part over the order baskets. */
+  val marketBasket = QueryDef(
+    "q_retr_market_basket",
+    (spark, dir) => {
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      basketPairs(li, "l_orderkey", "l_partkey", topK = 3)
+    },
+    Some("""
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      counts AS (SELECT i, count(*) AS c_a FROM bi GROUP BY i),
+      pairs AS (
+        SELECT a.i AS item, b.i AS co_item, count(*) AS c_ab
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i <> b.i
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT item, co_item, c_ab, CAST(c_a AS BIGINT) AS c_a,
+             CAST(1000 * c_ab // c_a AS BIGINT) AS conf_permille,
+             CAST(rn AS BIGINT) AS rn
+      FROM (SELECT p.*, c.c_a,
+                   row_number() OVER (PARTITION BY p.item
+                     ORDER BY p.c_ab DESC, p.co_item) AS rn
+            FROM pairs p JOIN counts c ON p.item = c.i)
+      WHERE rn <= 3"""))
+
+  val all: Seq[QueryDef] =
+    Seq(invertedIndex, tfidf, bm25, ragChunks, marketBasket)
 }

@@ -131,7 +131,12 @@ object ScaleSmoke {
     // window/TV math runs on the bucket-bounded frame; mix pipeline:
     // dedup-first ordering collapses the replicas before the budget
     // census and quota ranking, same stage-order lever as q_docs_pipeline
-    "q_profile_drift", "q_mix_pipeline")
+    "q_profile_drift", "q_mix_pipeline",
+    // market basket: distinct (basket, item) + one self-equi-join on the
+    // basket key (per-basket fan-out is bounded by basket size, ≤13 parts
+    // per order in the fixture) + pair aggregate + per-item top-k;
+    // transitions: one per-user lag window + a |types|²-bounded aggregate
+    "q_retr_market_basket", "q_events_transitions")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
