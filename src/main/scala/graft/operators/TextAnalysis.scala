@@ -829,8 +829,112 @@ object TextAnalysis {
       WHERE c_ab >= 10
       ORDER BY pmi_bits DESC, c_ab DESC, tok_a, tok_b LIMIT 25"""))
 
+  /** Per-document NOVELTY score: the fraction (exact per-mille) of a
+    * document's distinct word bigrams that no earlier document (by
+    * ingestion order = doc_id) contains — the "does this doc add anything"
+    * signal a curation loop uses to stop ingesting a source whose marginal
+    * novelty has collapsed, and the deduped-corpus complement to pairwise
+    * near-dup: a doc can be 0-novel without any single near-duplicate.
+    *
+    * Scale shape: one bigram explode → min(doc_id) per gram (the gram's
+    * FIRST bearer — a map-combine aggregate, gram-vocabulary-bounded out)
+    * → join back on the gram → per-doc ratio. No pairwise anything: the
+    * "compare against all earlier docs" semantics collapses into the
+    * first-bearer aggregate. */
+  val novelty = QueryDef(
+    "q_text_novelty",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      // size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
+      // than returning empty, so a single-token doc would index gram 0
+      val grams = docs
+        .filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> concat(element_at(split(text, ' '), i), ' ',
+                         element_at(split(text, ' '), i + 1)))"""))
+          .as("gram"))
+        .distinct()
+      val firstBearer = grams.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstBearer, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_permille",
+          expr("1000 * n_novel DIV n_grams"))
+        .orderBy(col("novelty_permille"), col("doc_id"))
+        .limit(100)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] AS gram
+        FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+      fb AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+      SELECT doc_id, n_grams, n_novel,
+             CAST(1000 * n_novel // n_grams AS BIGINT) AS novelty_permille
+      FROM (
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN fb.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel
+        FROM grams g JOIN fb USING (gram)
+        GROUP BY g.doc_id)
+      ORDER BY novelty_permille, doc_id LIMIT 100"""))
+
+  /** Cross-epoch vocabulary churn: tokens BORN (first seen) and RETIRED
+    * (last seen) in each half of the corpus by ingestion order — the
+    * vocabulary-level companion to [[graft.operators.Profiling.driftReport]]
+    * (value drift can be flat while the vocabulary silently rotates).
+    * One explode → one (token) aggregate carrying min/max bearer and
+    * per-epoch counts; churn falls out of the vocab-bounded frame. */
+  val vocabChurn = QueryDef(
+    "q_text_vocab_churn",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.agg(max(col("doc_id")).as("max_id"))
+      val tok = docs.crossJoin(broadcast(n))
+        .select(col("lang"), (col("doc_id") * 2 <= col("max_id"))
+          .as("early"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) >= 3)
+      tok.groupBy(col("lang"), col("w"))
+        .agg(max(when(col("early"), 1L).otherwise(0L)).as("in_a"),
+          max(when(!col("early"), 1L).otherwise(0L)).as("in_b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("in_a") === 1L && col("in_b") === 0L, 1L)
+            .otherwise(0L)).as("n_retired"),
+          sum(when(col("in_a") === 0L && col("in_b") === 1L, 1L)
+            .otherwise(0L)).as("n_born"),
+          sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+            .otherwise(0L)).as("n_stable"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT lang,
+               doc_id * 2 <= (SELECT max(doc_id) FROM documents) AS early,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tt AS (
+        SELECT lang, w,
+               max(CASE WHEN early THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN NOT early THEN 1 ELSE 0 END) AS in_b
+        FROM tok WHERE length(w) >= 3 GROUP BY lang, w)
+      SELECT lang, count(*) AS n_types,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retired,
+             CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_born,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stable
+      FROM tt GROUP BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
       freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
-      diversity, boilerplate, pii, vocabCoverage, pmiPairs)
+      diversity, boilerplate, pii, vocabCoverage, pmiPairs, novelty,
+      vocabChurn)
 }

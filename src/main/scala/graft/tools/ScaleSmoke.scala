@@ -136,7 +136,11 @@ object ScaleSmoke {
     // basket key (per-basket fan-out is bounded by basket size, ≤13 parts
     // per order in the fixture) + pair aggregate + per-item top-k;
     // transitions: one per-user lag window + a |types|²-bounded aggregate
-    "q_retr_market_basket", "q_events_transitions")
+    "q_retr_market_basket", "q_events_transitions",
+    // novelty: bigram explode + gram-vocab-bounded first-bearer aggregate
+    // + join-back (replication deepens gram counts, never widens the
+    // vocabulary); vocab churn: one explode + one (lang, token) aggregate
+    "q_text_novelty", "q_text_vocab_churn")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the

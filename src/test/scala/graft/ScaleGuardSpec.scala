@@ -148,6 +148,10 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   DISTINCT-day table —
                                                     //   bounded by the
                                                     //   calendar (≤31 rows)
+      "q_text_vocab_churn",                         // 1-row max_id frame
+                                                    //   broadcast onto the
+                                                    //   doc scan to split
+                                                    //   the epochs
       "q_text_pmi",                                 // 1-row n_docs frame
                                                     //   broadcast onto the
                                                     //   df-banded pair AGG
