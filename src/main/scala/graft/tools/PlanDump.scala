@@ -74,7 +74,14 @@ object PlanDump {
     // EQUI-joins for the wedge + closing stages — never an all-pairs
     // shape) and the PCM frame-energy census (bounded explode + per-doc
     // aggregate + per-doc island window)
-    "q_graph_triangles", "q_mm_audio_energy")
+    "q_graph_triangles", "q_mm_audio_energy",
+    // round 7d: attribution (the signature pins the (user, time-bucket)
+    // EQUI-join — never a plain user-key interval probe), the blocked
+    // fuzzy-linkage best match, market basket (basket self-equi-join +
+    // WindowGroupLimit top-k), the composed mix-builder pipeline, and
+    // per-doc novelty (first-bearer aggregate + join-back, no pairs)
+    "q_events_attribution", "q_link_best_match", "q_retr_market_basket",
+    "q_mix_pipeline", "q_text_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

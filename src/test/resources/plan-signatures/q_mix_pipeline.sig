@@ -1,0 +1,21 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+          Project
+            Filter
+              InMemoryTableScan
