@@ -463,6 +463,21 @@ object ops {
     operators.Mutations.pitJoin(fact, dim, factKey, dimKey, tsCol,
       fromCol, toCol)
 
+  /** Per-key distribution-drift report between two time epochs: exact
+    * integer per-mille total-variation distance over ⌊log2⌋ value
+    * buckets — see [[graft.operators.Profiling.driftReport]]. */
+  def driftReport(df: DataFrame, keyCol: String, intCol: String,
+      tsCol: String, splitTs: String): DataFrame =
+    operators.Profiling.driftReport(df, keyCol, intCol, tsCol, splitTs)
+
+  /** Market-basket co-occurrence: top-k co-basket items per item with
+    * support and exact per-mille confidence — see
+    * [[graft.operators.Retrieval.basketPairs]]. */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      topK: Int, minSupport: Long = 2L): DataFrame =
+    operators.Retrieval.basketPairs(df, basketCol, itemCol, topK,
+      minSupport)
+
   /** Cross-document boilerplate removal: chunks whose document frequency
     * exceeds maxDf (headers/footers/banners) are cut from every document,
     * which is reassembled in order from its surviving chunks — see
