@@ -463,6 +463,14 @@ object ops {
     operators.Mutations.pitJoin(fact, dim, factKey, dimKey, tsCol,
       fromCol, toCol)
 
+  /** Per-group rank calibration: score → group-relative rank position in
+    * exact integer per-mille, so one global threshold applies a different
+    * absolute cutoff per source — see
+    * [[graft.operators.Sampling.rankCalibrate]]. */
+  def rankCalibrate(df: DataFrame, groupCol: String, scoreCol: String,
+      tiebreakCol: String): DataFrame =
+    operators.Sampling.rankCalibrate(df, groupCol, scoreCol, tiebreakCol)
+
   /** Per-key distribution-drift report between two time epochs: exact
     * integer per-mille total-variation distance over ⌊log2⌋ value
     * buckets — see [[graft.operators.Profiling.driftReport]]. */

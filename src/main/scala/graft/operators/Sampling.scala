@@ -949,8 +949,56 @@ object Sampling {
              CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tok_sum
       FROM kept GROUP BY 1, 2"""))
 
+  /** Library API: per-group rank calibration — each row's score becomes
+    * its GROUP-relative rank position in exact integer per-mille
+    * (0 = group best, 1000 = group worst), so one global threshold
+    * ("keep the top 10%") applies a DIFFERENT absolute cutoff per source.
+    * The RefinedWeb-style discipline: raw quality scores aren't comparable
+    * across sources (a mediocre encyclopedia page outscores an excellent
+    * forum post), so selection must be rank-relative per source. One
+    * window per group; ties break on the tiebreak column so the permille
+    * is total-ordered and replayable. */
+  def rankCalibrate(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      scoreCol: String, tiebreakCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tiebreakCol))
+    df.withColumn("rank_permille",
+      expr(s"1000 * (row_number() OVER (PARTITION BY $groupCol " +
+        s"ORDER BY $scoreCol DESC, $tiebreakCol) - 1) DIV " +
+        s"greatest(count(1) OVER (PARTITION BY $groupCol) - 1, 1)"))
+  }
+
+  /** Top-10%-per-source selection via rank calibration, with the
+    * per-source ABSOLUTE thresholds surfaced (they differ — the point):
+    * census of selected docs + the score floor each source ended up
+    * paying. */
+  val calibrate = QueryDef(
+    "q_sample_calibrate",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      rankCalibrate(docs, "source", "n_chars", "doc_id")
+        .filter(col("rank_permille") < 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          min(col("n_chars")).as("score_floor"),
+          max(col("n_chars")).as("score_ceil"),
+          sum(col("doc_id")).as("id_checksum"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars, doc_id,
+               1000 * (row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) - 1)
+                 // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+                 AS rank_permille
+        FROM documents)
+      SELECT source, count(*) AS n_selected,
+             min(n_chars) AS score_floor, max(n_chars) AS score_ceil,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      FROM r WHERE rank_permille < 100 GROUP BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(hashSplit, stratified, scrub, packSequences, mixWeights,
       unimax, epochShards, dsir, oversample, leakageSplit, tokenBudget,
-      curriculum, prioritySampleQ, mixPipeline)
+      curriculum, prioritySampleQ, mixPipeline, calibrate)
 }

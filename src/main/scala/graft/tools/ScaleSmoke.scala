@@ -140,7 +140,10 @@ object ScaleSmoke {
     // novelty: bigram explode + gram-vocab-bounded first-bearer aggregate
     // + join-back (replication deepens gram counts, never widens the
     // vocabulary); vocab churn: one explode + one (lang, token) aggregate
-    "q_text_novelty", "q_text_vocab_churn")
+    "q_text_novelty", "q_text_vocab_churn",
+    // rank calibration: one window per source (group-bounded sort) + a
+    // |sources|-bounded census
+    "q_sample_calibrate")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
