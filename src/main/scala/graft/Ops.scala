@@ -399,14 +399,17 @@ object ops {
   def piiFlags(docs: DataFrame, textCol: String = "text"): DataFrame =
     operators.TextAnalysis.piiFlags(docs, textCol)
 
-  /** Fuzzy record linkage, candidate stage: block-keyed equi-join (shared
-    * `blockLen`-char prefix) + Levenshtein ≤ maxDist filter — never
-    * all-pairs; the catalog side broadcasts in real workloads. See
-    * [[graft.operators.Linkage.fuzzyJoin]]. */
+  /** Fuzzy record linkage, candidate stage: multi-key SEGMENT blocking
+    * (PassJoin partition signature — maxDist+1 segments per record,
+    * pigeonhole ⇒ 100% recall for ANY edit pattern, prefix edits
+    * included) + Levenshtein ≤ maxDist filter — never all-pairs; the
+    * catalog side broadcasts in real workloads. Mentions should be
+    * ≥ ~10 chars (shorter strings degrade to 1-char segments → big
+    * blocks). See [[graft.operators.Linkage.fuzzyJoin]]. */
   def fuzzyJoin(dirty: DataFrame, clean: DataFrame, dirtyCol: String,
-      cleanCol: String, blockLen: Int = 4, maxDist: Int = 2): DataFrame =
+      cleanCol: String, maxDist: Int = 2): DataFrame =
     operators.Linkage.fuzzyJoin(dirty, clean, dirtyCol, cleanCol,
-      blockLen, maxDist)
+      maxDist)
 
   /** Deterministic best match per dirty mention over a fuzzyJoin
     * candidate set: argmin(distance, match key) + ambiguity count — see

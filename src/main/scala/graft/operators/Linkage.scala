@@ -14,35 +14,86 @@ import org.apache.spark.sql.functions._
   * first-class and scale-shaped.
   *
   * The scale discipline is the same as every near-dup family in
-  * [[Dedup]]: never all-pairs. Candidate generation is a BLOCK-KEYED
-  * EQUI-JOIN (records only meet inside a block), and the expensive
-  * edit-distance kernel runs on block-mates only. Blocking here is a
-  * shared 4-char prefix — sound by construction for the fixture's
-  * corruption model (deletions only at position ≥ 5; production systems
-  * use multi-key blocking — q-gram or phonetic keys — to cover edits in
-  * the prefix, which is the same explode→equi-join shape with k keys per
-  * record). At 100 TB: the catalog side is dimension-sized and
-  * broadcasts; the dirty stream never shuffles at all.
+  * [[Dedup]]: never all-pairs. Candidate generation is a MULTI-KEY
+  * BLOCKED EQUI-JOIN (explode each record into several deterministic
+  * block keys → equi-join → distinct pair — the same shape the MinHash
+  * band join in [[Dedup]] uses), and the expensive edit-distance kernel
+  * runs on key-mates only.
+  *
+  * Blocking scheme: edit-distance SEGMENT keys (the PassJoin partition
+  * signature). Each clean string of length L is split into
+  * m = maxDist + 1 contiguous segments; by pigeonhole, any string within
+  * maxDist edits leaves at least one segment untouched, so that segment
+  * appears VERBATIM in the dirty string at a start position shifted by at
+  * most maxDist. The dirty side therefore enumerates, for every segment
+  * index, every plausible clean length (±maxDist) and every shift
+  * (±maxDist), and emits the corresponding substrings as its keys —
+  * (2·maxDist+1)² · (maxDist+1) raw keys per record, ~30 after the
+  * per-record DISTINCT. Join on (segment index, segment text) → 100%
+  * recall FOR ANY EDIT PATTERN, prefix edits included (the round-7
+  * 4-char-prefix block was blind to edits inside the prefix and, worse,
+  * had BOUNDED key cardinality — TPC-H names start with ~90 color words,
+  * so blocks grew linearly with the catalog and Σ|block|² quadratically).
+  * Segment keys span ~L/(maxDist+1) characters (≈ two vocabulary words),
+  * so their cardinality GROWS with catalog diversity and block sizes stay
+  * bounded. Strings shorter than ~3·(maxDist+1) chars degrade to 1-char
+  * segments (big blocks); keep mentions ≥ ~10 chars or pre-filter.
+  *
+  * At 100 TB: the catalog side is dimension-sized and broadcasts; the
+  * dirty stream never shuffles at all.
   *
   * Determinism: the "dirty" mentions are derived from the catalog itself
-  * by deleting one character at an md5-derived position, so the DuckDB
+  * by deleting one character at an md5-derived position (names must be
+  * ≥ 5 chars — `length(name) − 4` is the modulus, so shorter names would
+  * divide by zero; TPC-H part names are ≥ 15 chars), so the DuckDB
   * oracle rebuilds the identical corruption and the match set is exact —
   * no RNG, no float scores. Best-match ties break on (distance, name).
   */
 object Linkage {
 
-  /** Candidate generation + edit-distance filter: block-keyed equi-join of
-    * `dirty` mentions against the `clean` catalog, keeping pairs within
-    * `maxDist` Levenshtein edits. Never all-pairs: records meet only when
-    * their first `blockLen` characters agree, so cost is Σ|block|² over
-    * blocks, not |dirty|·|clean| — and the catalog side of the join is
-    * dimension-sized (broadcastable) in every real linkage workload. */
+  /** Candidate generation + edit-distance filter: multi-key segment
+    * blocking (scaladoc above) + `levenshtein ≤ maxDist`. Never
+    * all-pairs: a pair is generated only when a (segment index, segment
+    * text) key collides, and recall is 100% by the pigeonhole argument —
+    * so the output is EXACTLY the set of (dirty, clean) pairs within
+    * `maxDist` edits, independent of the blocking. Cost is Σ|block|²
+    * over segment-key blocks, not |dirty|·|clean|. */
   def fuzzyJoin(dirty: DataFrame, clean: DataFrame, dirtyCol: String,
-      cleanCol: String, blockLen: Int = 4, maxDist: Int = 2): DataFrame = {
-    require(blockLen >= 1 && maxDist >= 0)
-    dirty.join(clean,
-        substring(col(dirtyCol), 1, blockLen) ===
-          substring(col(cleanCol), 1, blockLen))
+      cleanCol: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val m = maxDist + 1
+    // clean side: m segments per record — (seg_i, seg) keys
+    val cKeys = clean
+      .withColumn("seg_i", explode(sequence(lit(0), lit(maxDist))))
+      .withColumn("seg_p",
+        expr(s"(seg_i * length($cleanCol)) div $m + 1"))
+      .withColumn("seg_l",
+        expr(s"((seg_i + 1) * length($cleanCol)) div $m" +
+          s" - (seg_i * length($cleanCol)) div $m"))
+      .filter(col("seg_l") >= 1)
+      .withColumn("seg", expr(s"substr($cleanCol, seg_p, seg_l)"))
+      .drop("seg_p", "seg_l")
+    // dirty side: for every segment index × candidate clean length
+    // (±maxDist) × shift (±maxDist), the substring where an untouched
+    // clean segment could sit — then DISTINCT per record
+    val dKeys = dirty
+      .withColumn("seg_i", explode(sequence(lit(0), lit(maxDist))))
+      .withColumn("dl",
+        explode(sequence(lit(-maxDist), lit(maxDist))))
+      .withColumn("lc", expr(s"length($dirtyCol) + dl"))
+      .withColumn("sh",
+        explode(sequence(lit(-maxDist), lit(maxDist))))
+      .withColumn("seg_p", expr(s"(seg_i * lc) div $m + 1 + sh"))
+      .withColumn("seg_l",
+        expr(s"((seg_i + 1) * lc) div $m - (seg_i * lc) div $m"))
+      .filter(col("seg_l") >= 1 && col("seg_p") >= 1 &&
+        col("seg_p") + col("seg_l") - 1 <= length(col(dirtyCol)))
+      .withColumn("seg", expr(s"substr($dirtyCol, seg_p, seg_l)"))
+      .drop("dl", "lc", "sh", "seg_p", "seg_l")
+      .distinct()
+    dKeys.join(cKeys, Seq("seg_i", "seg"))
+      .drop("seg_i", "seg")
+      .distinct()
       .withColumn("dist", levenshtein(col(dirtyCol), col(cleanCol)))
       .filter(col("dist") <= lit(maxDist))
   }
@@ -64,12 +115,50 @@ object Linkage {
       .drop("rn")
   }
 
+  // ---- shared oracle blocking (DuckDB mirror of fuzzyJoin) ----
+  // Both engines compute the identical candidate superset (100% recall by
+  // construction) and apply the identical levenshtein filter, so the
+  // final rows are exact regardless of engine. `//` is DuckDB integer
+  // floor division ⇔ Spark `div`.
+  private def duckFuzzy(maxDist: Int): String = {
+    val m = maxDist + 1
+    s"""
+      ckeys AS (
+        SELECT clean_name, gi.i AS seg_i,
+               substr(clean_name,
+                      (gi.i * length(clean_name)) // $m + 1,
+                      ((gi.i + 1) * length(clean_name)) // $m
+                        - (gi.i * length(clean_name)) // $m) AS seg
+        FROM catalog, generate_series(0, $maxDist) AS gi(i)
+        WHERE ((gi.i + 1) * length(clean_name)) // $m
+                - (gi.i * length(clean_name)) // $m >= 1),
+      dkeys AS (
+        SELECT DISTINCT dirty_id, dirty_name, seg_i,
+               substr(dirty_name, seg_p, seg_l) AS seg
+        FROM (
+          SELECT d.dirty_id, d.dirty_name, gi.i AS seg_i,
+                 (gi.i * d.lc) // $m + 1 + gs.sh AS seg_p,
+                 ((gi.i + 1) * d.lc) // $m
+                   - (gi.i * d.lc) // $m AS seg_l
+          FROM (SELECT dirty_id, dirty_name,
+                       length(dirty_name) + gd.dl AS lc
+                FROM dirty,
+                     generate_series(-$maxDist, $maxDist) AS gd(dl)) d,
+               generate_series(0, $maxDist) AS gi(i),
+               generate_series(-$maxDist, $maxDist) AS gs(sh))
+        WHERE seg_l >= 1 AND seg_p >= 1
+          AND seg_p + seg_l - 1 <= length(dirty_name)),
+      cand AS (
+        SELECT DISTINCT k.dirty_id, k.dirty_name, c.clean_name
+        FROM dkeys k JOIN ckeys c
+          ON k.seg_i = c.seg_i AND k.seg = c.seg)"""
+  }
+
   // ---- fixture corruption (shared by both queries + their oracles) ----
-  // One character deleted at pos = 5 + md5(name‖key) % (len−4): always at
-  // position ≥ 5, so the 4-char block prefix survives by construction and
-  // candidate recall is provably 100%. Spark and DuckDB spell the same
-  // integer-from-md5 (memory idiom: conv(substr(md5,…),16,10) ⇔
-  // ('0x'‖substr(md5,…))::BIGINT).
+  // One character deleted at pos = 5 + md5(name‖key) % (len−4): requires
+  // names ≥ 5 chars (modulus len−4 > 0; TPC-H names are ≥ 15). Spark and
+  // DuckDB spell the same integer-from-md5 (memory idiom:
+  // conv(substr(md5,…),16,10) ⇔ ('0x'‖substr(md5,…))::BIGINT).
   private val sparkDirty = """
     SELECT p_partkey AS dirty_id,
            concat(substr(p_name, 1, pos - 1), substr(p_name, pos + 1))
@@ -90,9 +179,32 @@ object Linkage {
                    % (length(p_name) - 4) AS INT) AS pos
           FROM part)"""
 
-  /** All block-mate candidates within 2 edits: every corrupted part name
-    * against the distinct-name catalog. Recall is 100% by construction
-    * (the true name is always a candidate at distance 1). */
+  // PREFIX-edit corruption: the deleted character sits INSIDE the first
+  // four characters (pos = 1 + md5 % 4) — exactly the case the round-7
+  // 4-char-prefix blocking was blind to; segment blocking must still
+  // reach 100% recall.
+  private val sparkDirtyPrefix = """
+    SELECT p_partkey AS dirty_id,
+           concat(substr(p_name, 1, pos - 1), substr(p_name, pos + 1))
+             AS dirty_name
+    FROM (SELECT p_partkey, p_name,
+                 CAST(1 + conv(substr(md5(concat(p_name, CAST(p_partkey
+                     AS STRING))), 1, 6), 16, 10) % 4 AS INT) AS pos
+          FROM part)"""
+
+  private val duckDirtyPrefix = """
+    SELECT p_partkey AS dirty_id,
+           substr(p_name, 1, pos - 1) || substr(p_name, pos + 1)
+             AS dirty_name
+    FROM (SELECT p_partkey, p_name,
+                 CAST(1 + ('0x' || substr(md5(p_name ||
+                     CAST(p_partkey AS VARCHAR)), 1, 6))::BIGINT
+                   % 4 AS INT) AS pos
+          FROM part)"""
+
+  /** All segment-block candidates within 2 edits: every corrupted part
+    * name against the distinct-name catalog. Recall is 100% by the
+    * pigeonhole argument — the output is exactly the ≤2-edit pair set. */
   val fuzzyMatch = QueryDef(
     "q_link_fuzzy_match",
     (spark, dir) => {
@@ -106,12 +218,11 @@ object Linkage {
     },
     Some(s"""
       WITH dirty AS ($duckDirty),
-      catalog AS (SELECT DISTINCT p_name AS clean_name FROM part)
-      SELECT d.dirty_id, c.clean_name,
-             CAST(levenshtein(d.dirty_name, c.clean_name) AS INT) AS dist
-      FROM dirty d JOIN catalog c
-        ON substr(d.dirty_name, 1, 4) = substr(c.clean_name, 1, 4)
-      WHERE levenshtein(d.dirty_name, c.clean_name) <= 2"""))
+      catalog AS (SELECT DISTINCT p_name AS clean_name FROM part),
+      ${duckFuzzy(2)}
+      SELECT dirty_id, clean_name,
+             CAST(levenshtein(dirty_name, clean_name) AS INT) AS dist
+      FROM cand WHERE levenshtein(dirty_name, clean_name) <= 2"""))
 
   /** Deterministic best match per mention — argmin(distance, name) with
     * the ambiguity count carried for triage. */
@@ -131,20 +242,56 @@ object Linkage {
     Some(s"""
       WITH dirty AS ($duckDirty),
       catalog AS (SELECT DISTINCT p_name AS clean_name FROM part),
-      cand AS (
-        SELECT d.dirty_id, c.clean_name,
-               CAST(levenshtein(d.dirty_name, c.clean_name) AS INT) AS dist
-        FROM dirty d JOIN catalog c
-          ON substr(d.dirty_name, 1, 4) = substr(c.clean_name, 1, 4)
-        WHERE levenshtein(d.dirty_name, c.clean_name) <= 2)
+      ${duckFuzzy(2)},
+      scored AS (
+        SELECT dirty_id, clean_name,
+               CAST(levenshtein(dirty_name, clean_name) AS INT) AS dist
+        FROM cand WHERE levenshtein(dirty_name, clean_name) <= 2)
       SELECT dirty_id, clean_name AS best_name, dist,
              CAST(n_cands AS BIGINT) AS n_cands
       FROM (SELECT dirty_id, clean_name, dist,
                    row_number() OVER (PARTITION BY dirty_id
                                       ORDER BY dist, clean_name) AS rn,
                    count(*) OVER (PARTITION BY dirty_id) AS n_cands
-            FROM cand)
+            FROM scored)
       WHERE rn = 1"""))
 
-  val all: Seq[QueryDef] = Seq(fuzzyMatch, bestMatchQ)
+  /** Prefix-edit recall: the corruption deletes a character inside the
+    * first FOUR characters — the blind spot of single-prefix blocking —
+    * and best-match must still recover every true name at distance 1.
+    * Output is the per-distance census of best matches (a compact,
+    * comparator-safe shape whose counts pin the 100% recall). */
+  val prefixEditQ = QueryDef(
+    "q_link_prefix_edit",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val dirty = spark.sql(sparkDirtyPrefix)
+      val catalog = Tables(spark, dir, "part")
+        .select(col("p_name").as("clean_name")).distinct()
+      val cands = fuzzyJoin(dirty, catalog, "dirty_name", "clean_name")
+      bestMatch(cands, "dirty_id", "clean_name")
+        .groupBy(col("dist").cast("int").as("dist"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("clean_name")).as("n_names"))
+    },
+    Some(s"""
+      WITH dirty AS ($duckDirtyPrefix),
+      catalog AS (SELECT DISTINCT p_name AS clean_name FROM part),
+      ${duckFuzzy(2)},
+      scored AS (
+        SELECT dirty_id, clean_name,
+               CAST(levenshtein(dirty_name, clean_name) AS INT) AS dist
+        FROM cand WHERE levenshtein(dirty_name, clean_name) <= 2),
+      best AS (
+        SELECT dirty_id, clean_name, dist
+        FROM (SELECT dirty_id, clean_name, dist,
+                     row_number() OVER (PARTITION BY dirty_id
+                                        ORDER BY dist, clean_name) AS rn
+              FROM scored)
+        WHERE rn = 1)
+      SELECT dist, count(*) AS n_mentions,
+             count(DISTINCT clean_name) AS n_names
+      FROM best GROUP BY dist"""))
+
+  val all: Seq[QueryDef] = Seq(fuzzyMatch, bestMatchQ, prefixEditQ)
 }

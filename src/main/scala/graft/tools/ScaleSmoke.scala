@@ -208,6 +208,9 @@ object ScaleSmoke {
   private def runner(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     extraRunners.getOrElse(name, SparkEntry.queries(name))
 
+  /** [[ScaleProbe]] hook: resolve a gate entry by name. */
+  private[tools] def runnerFor(name: String) = runner(name)
+
   /** Gate exemptions beyond parityShape, each with the reason on record:
     * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and
     * q_dedup_minhash_lsh in its bucket PAIR volume — but the replica corpus

@@ -11,7 +11,7 @@ class LinkageSpec extends GraftSpecBase {
   private val sp = TestSpark.spark
   import sp.implicits._
 
-  test("fuzzyJoin: matches inside the block, never across blocks") {
+  test("fuzzyJoin: exact <=maxDist pair set, prefix edits included") {
     val clean = Seq("green widget", "great widget", "blue bolt")
       .toDF("clean_name")
     val dirty = Seq((1L, "green widgt"), (2L, "blu bolt"), (3L, "zzz"))
@@ -20,13 +20,14 @@ class LinkageSpec extends GraftSpecBase {
       .select("dirty_id", "clean_name", "dist")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
       .toSet
-    // "green widgt" blocks only with "green widget" ("gree" prefix;
-    // "great widget" starts "grea" so it is never even a candidate)
-    assert(m == Set((1L, "green widget", 1)), m.toString)
-    // "blu bolt" shares no 4-prefix with "blue bolt" ("blu " vs "blue")
-    // -> blocking (deliberately) misses it: prefix blocking is only sound
-    // for edits past the block key, which the ops scaladoc states.
-    assert(!m.exists(_._1 == 2L), m.toString)
+    // segment blocking has 100% recall for ANY <=2-edit pattern, so the
+    // output is EXACTLY the <=2-edit pair set: "green widgt" is 1 edit
+    // from "green widget" (3 from "great widget" -> filtered), and the
+    // PREFIX deletion "blu bolt" ~ "blue bolt" — the case single-prefix
+    // blocking was blind to — is recovered at distance 1.
+    assert(m == Set((1L, "green widget", 1), (2L, "blue bolt", 1)),
+      m.toString)
+    // "zzz" is >2 edits from everything -> no candidate survives
     assert(!m.exists(_._1 == 3L), m.toString)
   }
 
