@@ -129,7 +129,10 @@ object ops {
     * budget caps summed tokens per group (the unit pre-training mixtures
     * are specified in); maximal hash-order prefix ≤ budget — see
     * [[graft.operators.Sampling.tokenQuotaSelect]]. `budgets` carries
-    * (groupCol, budget). */
+    * (groupCol, budget). Caching contract: the ≤|G|·256-row boundary
+    * census is persist()ed (read by both union branches); release with
+    * `spark.catalog.clearCache()` after the consuming action, same as
+    * [[dsirWeights]]. */
   def tokenQuotaSelect(df: DataFrame, groupCol: String, contentCol: String,
       tiebreakCol: String, tokensCol: String,
       budgets: DataFrame): DataFrame =
@@ -352,7 +355,12 @@ object ops {
     * units, floor-division damping — bit-reproducible on any engine):
     * the link-centrality quality prior pretraining pipelines run over
     * crawl graphs — see [[graft.operators.Graphs.pageRankInt]]. Returns
-    * (node, rank_u). */
+    * (node, rank_u). Caching contract: the degree-annotated edge list
+    * and node table are persist()ed (reused every round); release with
+    * `spark.catalog.clearCache()`/unpersist after the consuming action,
+    * same as [[dsirWeights]]. Lineage contract: the carried contribution
+    * table is localCheckpoint-truncated every 8th round, so planning
+    * stays bounded at any `iters`. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPct: Int = 85): DataFrame =
     operators.Graphs.pageRankInt(edges, srcCol, dstCol, iters, dampingPct)
@@ -360,8 +368,14 @@ object ops {
   /** Per-node triangle counts over an undirected edge list via
     * degree-oriented wedge joins (each node's out-adjacency bounded to
     * O(√m), so hub nodes can't blow up the wedge stage) — the local
-    * clustering signal link-spam/community filters consume. Returns
-    * (node, n_tri) — see [[graft.operators.Graphs.triangleCounts]]. */
+    * clustering signal link-spam/community filters consume. Node ids
+    * MUST lie in [0, 1e9) (the (degree, id) total order packs into one
+    * long); out-of-domain ids raise an error — zip 64-bit hash ids to
+    * dense longs first. Persists the deduped + oriented edge lists
+    * internally (reused three times); release via `unpersist`/
+    * `spark.catalog.clearCache()` after the consuming action, same
+    * caching contract as [[dsirWeights]]. Returns (node, n_tri) — see
+    * [[graft.operators.Graphs.triangleCounts]]. */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
     operators.Graphs.triangleCounts(edges, srcCol, dstCol)
@@ -430,7 +444,11 @@ object ops {
     * (undirected; labels never change once assigned, so fixed rounds are
     * deterministic) — the semi-supervised seed-domain classifier. Returns
     * (node, label) for every reached node — see
-    * [[graft.operators.Graphs.labelPropagate]]. */
+    * [[graft.operators.Graphs.labelPropagate]]. Caching contract: the
+    * undirected edge list is persist()ed (reused every round) and the
+    * label table localCheckpoint'd per round; release cached tables with
+    * `spark.catalog.clearCache()` after the consuming action, same as
+    * [[dsirWeights]]. */
   def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, nodeCol: String, labelCol: String,
       rounds: Int): DataFrame =
@@ -439,7 +457,9 @@ object ops {
 
   /** Deterministic weight-proportional top-k sample (integer-arithmetic
     * PPS draw, bit-exact replayable): priority = md5-hash DIV weight, keep
-    * the k smallest — see [[graft.operators.Sampling.prioritySample]]. */
+    * the k smallest. Weights must be ≥ 1 — zero/negative weights raise an
+    * error (a zero weight would NULL the integer DIV and deterministically
+    * win the top-k) — see [[graft.operators.Sampling.prioritySample]]. */
   def prioritySample(df: DataFrame, contentCol: String, weightCol: String,
       tiebreakCol: String, k: Int): DataFrame =
     operators.Sampling.prioritySample(df, contentCol, weightCol,

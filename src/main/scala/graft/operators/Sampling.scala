@@ -854,9 +854,17 @@ object Sampling {
       contentCol: String, weightCol: String, tiebreakCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     require(k >= 1)
+    // weights must be >= 1: weight 0 makes the integer DIV return NULL
+    // in Spark (non-ANSI) but error in an ANSI oracle, and NULL
+    // priorities sort NULLS FIRST here vs NULLS LAST in DuckDB — a
+    // degenerate weight would deterministically win the top-k AND
+    // diverge cross-engine, so it fails loudly instead
     df.withColumn("priority",
-        expr(s"CAST(conv(substr(md5($contentCol), 1, 12), 16, 10) AS " +
-          s"BIGINT) DIV CAST($weightCol AS BIGINT)"))
+        expr(s"CASE WHEN CAST($weightCol AS BIGINT) >= 1 THEN " +
+          s"CAST(conv(substr(md5($contentCol), 1, 12), 16, 10) AS " +
+          s"BIGINT) DIV CAST($weightCol AS BIGINT) ELSE " +
+          s"raise_error(concat('prioritySample: weight must be >= 1, " +
+          s"got ', CAST($weightCol AS STRING))) END"))
       .orderBy(col("priority"), col(tiebreakCol))
       .limit(k)
   }

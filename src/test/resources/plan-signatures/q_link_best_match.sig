@@ -4,17 +4,32 @@ Project
       Window
         Sort
           Exchange
-            Project
-              BroadcastHashJoin [broadcast,plain]
-                HashAggregate
-                  Exchange
-                    HashAggregate
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+            HashAggregate
+              HashAggregate
                 Project
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                  BroadcastHashJoin [broadcast,plain]
+                    HashAggregate
+                      Exchange
+                        HashAggregate
+                          Project
+                            Filter
+                              Generate
+                                Project
+                                  Filter
+                                    Generate
+                                      Generate
+                                        Project
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                    Project
+                      Filter
+                        Generate
+                          HashAggregate
+                            Exchange
+                              HashAggregate
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 

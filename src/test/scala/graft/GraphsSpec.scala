@@ -71,6 +71,35 @@ class GraphsSpec extends GraftSpecBase {
     assert(ops.kCore(edges, "src", "dst", k = 4, rounds = 3).count() == 0)
   }
 
+  test("pageRankInt: 30 iterations stay planning-bounded and exact") {
+    // directed 5-cycle: every node has in/out degree 1, so 1e6 micro-rank
+    // is a FIXED POINT (cs = 1e6 DIV 1; rank = 150000 + 85·1e6 DIV 100 =
+    // 1e6) — 30 rounds must return exactly 1e6 everywhere. The point of
+    // the case is the lineage contract: without the every-8th-round
+    // localCheckpoint the carried table's plan grows 30 joins deep and
+    // analysis time balloons; the wall-clock bound pins that planning
+    // stays bounded at iteration counts far past the shipped defaults.
+    val cyc = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val r = ops.pageRankInt(cyc, "src", "dst", iters = 30)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r == (0L to 4L).map(_ -> 1000000L).toMap, r.toString)
+    assert(secs < 120, f"30-iteration pageRank took $secs%.1fs")
+    sp.catalog.clearCache()
+  }
+
+  test("triangleCounts: out-of-domain node ids fail loudly") {
+    val bad = Seq((1L, 1000000000L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      ops.triangleCounts(bad, "src", "dst").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("node id outside")), ex.toString)
+  }
+
   test("pageRankInt: rank mass stays bounded by the closed-form ceiling") {
     // with damping d, unnormalized ranks satisfy
     // sum(r) <= N*base + d*sum(prev)/100 -> bounded by N*1e6 for any graph

@@ -240,4 +240,19 @@ class SamplingSpec extends GraftSpecBase {
       .select("priority").collect().map(_.getLong(0))
     assert(d(0) == d(1), "content-keyed: identical text -> same priority")
   }
+
+  test("prioritySample: zero/negative weights fail loudly") {
+    // weight 0 would DIV to NULL (non-ANSI Spark) and NULLS-FIRST its row
+    // straight into the top-k while DuckDB sorts it last — degenerate
+    // weights must error, not silently reorder the draw
+    val bad = Seq((1L, "fine", 1L), (2L, "degenerate", 0L))
+      .toDF("id", "text", "w")
+    val ex = intercept[Exception] {
+      operators.Sampling.prioritySample(bad, "text", "w", "id", 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("weight must be >= 1")), ex.toString)
+  }
 }
