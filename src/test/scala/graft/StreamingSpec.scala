@@ -481,27 +481,46 @@ class StreamingSpec extends GraftSpecBase {
   }
 
   test("foreachBatch SCD2 MERGE sink: exactly-once across checkpoint restart") {
-    // the streaming→mutation closure: a change stream upserts into an SCD2
-    // history via ops.scd2Merge inside foreachBatch. The sink keys its
-    // commit on batchId (exactly-once against microbatch replay), the
-    // query runs against a checkpointLocation and is STOPPED and RESTARTED
-    // mid-stream; the final history must equal the batch twin — the same
-    // change-sets folded through scd2Merge directly.
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2").toString
-    val seed = Seq((100L, "O", 1000L), (200L, "O", 2000L))
-    def toHist(rows: Seq[(Long, String, Long, Long, Boolean)]) =
-      rows.toDF("k", "st", "pc", "version", "is_current")
-    var hist = seed.map(r => (r._1, r._2, r._3, 1L, true))
-    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    // the streaming→mutation closure, end to end through REAL storage: a
+    // change stream upserts into an SCD2 history PARQUET WAREHOUSE via
+    // ops.scd2Merge inside foreachBatch (copy-on-write: each batch writes
+    // history version v<batchId>, then atomically advances a LATEST
+    // pointer file — the Delta/Iceberg commit protocol in miniature). A
+    // crash is INJECTED after the v1 data write but before the pointer
+    // commit, killing the query mid-batch; the restarted query (same
+    // checkpointLocation) must genuinely RE-OFFER batchId 1, whose replay
+    // re-merges from the last committed pointer — so the end state equals
+    // the batch twin despite the partial write. No driver-side state
+    // anywhere: history lives only in parquet + the pointer file.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ckpt = Files.createTempDirectory("graft-scd2").toString
+    val wh = Files.createTempDirectory("graft-scd2-wh").toString
+    val ptr = Paths.get(wh, "LATEST")
+    val seed = Seq((100L, "O", 1000L, 1L, true), (200L, "O", 2000L, 1L, true))
+    def seedDf = seed.toDF("k", "st", "pc", "version", "is_current")
+    def lastCommitted: Long =
+      if (Files.exists(ptr))
+        new String(Files.readAllBytes(ptr)).trim.toLong
+      else -1L
+    def histAt(b: Long) =
+      if (b < 0) seedDf else sp.read.parquet(s"$wh/v$b")
+    @volatile var crashOnce = false
+    val offers = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
     def mergeBatch(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        batchId: Long): Unit = this.synchronized {
-      if (committed.add(batchId) && !df.isEmpty) {
-        hist = graft.ops.scd2Merge(toHist(hist),
-            df.toDF("k", "st", "pc"), "k")
-          .collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-            r.getLong(3), r.getBoolean(4))).toSeq
+        batchId: Long): Unit = {
+      offers.merge(batchId, 1, (a, b) => a + b)
+      val last = lastCommitted
+      if (batchId <= last) return // committed batch re-offered: no-op
+      graft.ops.scd2Merge(histAt(last), df.toDF("k", "st", "pc"), "k")
+        .write.mode("overwrite").parquet(s"$wh/v$batchId")
+      if (crashOnce) { // dies AFTER the data write, BEFORE the commit
+        crashOnce = false
+        throw new RuntimeException("injected crash before pointer commit")
       }
+      val tmp = Paths.get(wh, s".LATEST.$batchId")
+      Files.write(tmp, batchId.toString.getBytes)
+      Files.move(tmp, ptr, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
     val ms = MemoryStream[(Long, String, Long)]  // (k, st, pc)
     def start() = ms.toDF().toDF("k", "st", "pc")
@@ -510,30 +529,50 @@ class StreamingSpec extends GraftSpecBase {
       .foreachBatch(mergeBatch _).start()
     val batchA = Seq((100L, "F", 1100L), (300L, "O", 3000L))
     val batchB = Seq((100L, "P", 1200L), (200L, "F", 2200L))
+    val batchC = Seq((300L, "F", 3300L))
+    // batch 0 commits cleanly, then the query is stopped (planned restart)
     val q1 = start()
     try { ms.addData(batchA: _*); q1.processAllAvailable() } finally q1.stop()
-    val q2 = start()  // restart from the checkpoint, sink state carried
-    try { ms.addData(batchB: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(lastCommitted == 0L)
+    // batch 1 crashes mid-commit: v1 parquet exists, pointer still at 0
+    crashOnce = true
+    val q2 = start()
+    ms.addData(batchB: _*)
+    intercept[Exception] { q2.processAllAvailable(); q2.awaitTermination() }
+    assert(!q2.isActive, "injected crash must kill the query")
+    assert(lastCommitted == 0L, "crashed batch must not commit")
+    // restart from the checkpoint: batchId 1 is genuinely re-offered and
+    // its replay re-merges from v0 (overwriting the orphan v1), commits,
+    // then batch 2 proceeds on top
+    val q3 = start()
+    try {
+      q3.processAllAvailable()
+      assert(lastCommitted == 1L, "replayed batch must commit")
+      ms.addData(batchC: _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(lastCommitted == 2L)
+    assert(offers.get(1L) == 2, s"batch 1 must run twice (crash + replay): $offers")
 
     // batch twin: the same change-sets folded through scd2Merge directly
-    var twin = toHist(seed.map(r => (r._1, r._2, r._3, 1L, true)))
-    Seq(batchA, batchB).foreach { b =>
+    var twin = seedDf
+    Seq(batchA, batchB, batchC).foreach { b =>
       twin = graft.ops.scd2Merge(twin, b.toDF("k", "st", "pc"), "k")
     }
-    val got = hist.toSet
-    val want = twin.collect()
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4))).toSet
-    assert(got == want, s"streaming history != batch twin:\n$got\n$want")
+    val got = toSet(sp.read.parquet(s"$wh/v$lastCommitted"))
+    val want = toSet(twin)
+    assert(got == want, s"warehouse history != batch twin:\n$got\n$want")
     // shape sanity: k=100 has 3 versions, exactly one current (the latest)
     val k100 = got.filter(_._1 == 100L)
     assert(k100.map(_._4) == Set(1L, 2L, 3L))
     assert(k100.count(_._5) == 1 && k100.find(_._5).get._2 == "P")
-    // replayed microbatch (failure re-offer) must be a no-op
-    val before = hist
-    mergeBatch(Seq((100L, "X", 9L)).toDF("k", "st", "pc"),
-      committed.iterator().next())
-    assert(hist == before, "replayed batchId must not re-merge")
+    // k=300 inserted in batch 0, updated in batch 2 -> versions 1, 2
+    val k300 = got.filter(_._1 == 300L)
+    assert(k300.map(_._4) == Set(1L, 2L))
+    assert(k300.find(_._5).get._2 == "F")
   }
 
   test("streaming curation composes with the Gopher quality gate") {
