@@ -107,6 +107,43 @@ object Multimodal {
     leDecode(blob, 29, 2).as("bpp"),
     leDecode(blob, 35, 4).as("img_bytes"))
 
+  /** The per-document md5-parameterized blob each `q_mm_*` query (and the
+    * committed round-trip fixture) synthesizes — ONE definition so the
+    * fixture bytes and the in-query bytes can never drift. */
+  def docBmpBlob(t: Column): Column = synthBmp(
+    mdInt(t, 1, 3) % 512 + 1,
+    mdInt(t, 4, 3) % 512 + 1,
+    when(mdInt(t, 7, 1) % 3 === 0, 1L)
+      .when(mdInt(t, 7, 1) % 3 === 1, 3L).otherwise(4L),
+    substring(t.cast("binary"), 1, 8))
+
+  def docWavBlob(t: Column): Column = synthWav(
+    mdInt(t, 9, 1) % 2 + 1,
+    when(mdInt(t, 8, 1) % 3 === 0, 8000L)
+      .when(mdInt(t, 8, 1) % 3 === 1, 16000L).otherwise(44100L),
+    (mdInt(t, 10, 1) % 2 + 1) * 8,
+    mdInt(t, 11, 5) % 100000 + 1)
+
+  def docPngBlob(t: Column): Column =
+    synthPng(mdInt(t, 16, 2) % 64 + 1, mdInt(t, 18, 2))
+
+  def docTiffBlob(t: Column): Column = synthTiff(
+    mdInt(t, 1, 3) % 2048 + 1,
+    mdInt(t, 4, 3) % 2048 + 1,
+    (mdInt(t, 7, 1) % 2 + 1) * 8,
+    mdInt(t, 9, 1) % 16)
+
+  /** All four container blobs per document — the committed round-trip
+    * fixture's frame ([[graft.tools.MmFixtureGen]] writes it, the
+    * MultimodalFixtureSpec proves the parquet-round-tripped bytes parse
+    * identically to fresh in-memory synthesis). */
+  def blobFixture(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"), docBmpBlob(t).as("bmp"),
+      docWavBlob(t).as("wav"), docPngBlob(t).as("png"),
+      docTiffBlob(t).as("tiff"))
+  }
+
   /** Synthesize one BMP per document (dims md5-derived: width/height in
     * 1..512, channels in {1,3,4}), then parse the header back from the
     * assembled bytes. The oracle recomputes the dims straight from
@@ -115,14 +152,7 @@ object Multimodal {
     "q_mm_bmp_header",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val t = col("text")
-      val blobs = docs.select(col("doc_id"),
-        synthBmp(
-          mdInt(t, 1, 3) % 512 + 1,
-          mdInt(t, 4, 3) % 512 + 1,
-          when(mdInt(t, 7, 1) % 3 === 0, 1L)
-            .when(mdInt(t, 7, 1) % 3 === 1, 3L).otherwise(4L),
-          substring(t.cast("binary"), 1, 8)).as("blob"))
+      val blobs = docs.select(col("doc_id"), docBmpBlob(col("text")).as("blob"))
       blobs.select(col("doc_id"), bmpMeta(col("blob")).as("m"))
         .select(col("doc_id"),
           col("m.magic_ok").cast("int").as("magic_ok"),
@@ -181,14 +211,7 @@ object Multimodal {
     "q_mm_wav_header",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val t = col("text")
-      val blobs = docs.select(col("doc_id"),
-        synthWav(
-          mdInt(t, 9, 1) % 2 + 1,
-          when(mdInt(t, 8, 1) % 3 === 0, 8000L)
-            .when(mdInt(t, 8, 1) % 3 === 1, 16000L).otherwise(44100L),
-          (mdInt(t, 10, 1) % 2 + 1) * 8,
-          mdInt(t, 11, 5) % 100000 + 1).as("blob"))
+      val blobs = docs.select(col("doc_id"), docWavBlob(col("text")).as("blob"))
       blobs.select(col("doc_id"), wavMeta(col("blob")).as("m"))
         .select(col("doc_id"),
           col("m.riff_ok").cast("int").as("riff_ok"),
@@ -291,6 +314,11 @@ object Multimodal {
     val nSamp = (octet_length(col(blobCol)) - 44).cast("long")
     val fullSamples = (nSamp.cast("long") / frameLen).cast("long") * frameLen
     val samples = blobs
+      // guard: Spark's sequence(0, -1) DESCENDS ([0,-1]) instead of
+      // returning empty, so a payload shorter than one frame would emit
+      // phantom sample rows that read header bytes — docs with zero full
+      // frames drop out instead (matching the oracle's empty range())
+      .filter(fullSamples > 0)
       .select(col(idCol), col(blobCol).as("au_blob"),
         explode(sequence(lit(0L), fullSamples - 1)).as("au_i"))
       .select(col(idCol), (col("au_i") / frameLen).cast("long").as("au_f"),
@@ -465,13 +493,7 @@ object Multimodal {
     "q_mm_tiff_ifd",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val t = col("text")
-      val blobs = docs.select(col("doc_id"),
-        synthTiff(
-          mdInt(t, 1, 3) % 2048 + 1,
-          mdInt(t, 4, 3) % 2048 + 1,
-          (mdInt(t, 7, 1) % 2 + 1) * 8,
-          mdInt(t, 9, 1) % 16).as("blob"))
+      val blobs = docs.select(col("doc_id"), docTiffBlob(col("text")).as("blob"))
       blobs.select(col("doc_id"), tiffMeta(col("blob")).as("m"))
         .select(col("doc_id"),
           col("m.ii_ok").cast("int").as("ii_ok"),
@@ -498,9 +520,7 @@ object Multimodal {
     "q_mm_png_chunks",
     (spark, dir) => {
       val docs = Tables(spark, dir, "documents")
-      val t = col("text")
-      val blobs = docs.select(col("doc_id"),
-        synthPng(mdInt(t, 16, 2) % 64 + 1, mdInt(t, 18, 2)).as("blob"))
+      val blobs = docs.select(col("doc_id"), docPngBlob(col("text")).as("blob"))
       blobs.select(col("doc_id"), length(col("blob")).as("blob_len"),
           pngChunkWalk(col("blob")).as("m"))
         .select(col("doc_id"),
@@ -519,6 +539,82 @@ object Multimodal {
              'IEND' AS t3, CAST(0 AS BIGINT) AS l3,
              1 AS len_ok
       FROM documents"""))
+
+  // --------------------------------------- 1e. corrupt-container try-parse
+
+  /** Classify a BMP payload before trusting its header: a real ingest
+    * pipeline meets truncated downloads and mislabeled bytes, and a
+    * fixed-offset read off a short blob must not fabricate metadata.
+    * Returns 'truncated' (shorter than the 54-byte header), 'bad_magic'
+    * (no 'BM'), else 'ok'. */
+  def bmpStatus(blob: Column): Column =
+    when(octet_length(blob) < 54, lit("truncated"))
+      .when(hex(substring(blob, 1, 2)) =!= "424D", lit("bad_magic"))
+      .otherwise(lit("ok"))
+
+  /** WAV sibling of [[bmpStatus]]: 44-byte canonical header + the three
+    * RIFF/WAVE/data magics. */
+  def wavStatus(blob: Column): Column =
+    when(octet_length(blob) < 44, lit("truncated"))
+      .when(hex(substring(blob, 1, 4)) =!= "52494646" ||
+        hex(substring(blob, 9, 4)) =!= "57415645" ||
+        hex(substring(blob, 37, 4)) =!= "64617461", lit("bad_magic"))
+      .otherwise(lit("ok"))
+
+  /** Corrupt-container census: every third document's BMP+WAV blobs are
+    * TRUNCATED below their header size (md5-derived cut), another third
+    * get their first byte zeroed (dead magic), the rest stay intact — the
+    * try-parse must route each to its status and only 'ok' rows may emit
+    * parsed fields (the null path, surfaced as -1 for the comparator).
+    * The corruption is real byte surgery on the assembled container; the
+    * oracle predicts every row from md5 arithmetic alone, so a guard that
+    * reads a header field off a short or mislabeled blob mismatches. */
+  val corrupt = QueryDef(
+    "q_mm_corrupt",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val t = col("text")
+      val kind = mdInt(t, 13, 1) % 3
+      val base = docs.select(col("doc_id"), kind.as("kind"),
+        docBmpBlob(t).as("bmp0"), docWavBlob(t).as("wav0"),
+        (mdInt(t, 14, 2) % 54).as("bmp_cut"),
+        (mdInt(t, 16, 2) % 44).as("wav_cut"))
+      val zero = unhex(lit("00"))
+      val mangled = base.select(col("doc_id"),
+        when(col("kind") === 0,
+            expr("substring(bmp0, 1, CAST(bmp_cut AS INT))"))
+          .when(col("kind") === 1,
+            concat(zero, expr("substring(bmp0, 2, octet_length(bmp0))")))
+          .otherwise(col("bmp0")).as("bmp"),
+        when(col("kind") === 0,
+            expr("substring(wav0, 1, CAST(wav_cut AS INT))"))
+          .when(col("kind") === 1,
+            concat(zero, expr("substring(wav0, 2, octet_length(wav0))")))
+          .otherwise(col("wav0")).as("wav"))
+      mangled.select(col("doc_id"),
+        bmpStatus(col("bmp")).as("bmp_status"),
+        wavStatus(col("wav")).as("wav_status"),
+        when(bmpStatus(col("bmp")) === "ok", leDecode(col("bmp"), 19, 4))
+          .otherwise(lit(-1L)).as("width"),
+        when(wavStatus(col("wav")) === "ok", leDecode(col("wav"), 25, 4))
+          .otherwise(lit(-1L)).as("sample_rate"))
+    },
+    Some("""
+      SELECT doc_id,
+             CASE kind WHEN 0 THEN 'truncated' WHEN 1 THEN 'bad_magic'
+               ELSE 'ok' END AS bmp_status,
+             CASE kind WHEN 0 THEN 'truncated' WHEN 1 THEN 'bad_magic'
+               ELSE 'ok' END AS wav_status,
+             CASE WHEN kind = 2 THEN width ELSE -1 END AS width,
+             CASE WHEN kind = 2 THEN sample_rate ELSE -1 END AS sample_rate
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(text), 13, 1))::BIGINT % 3 AS kind,
+                   ('0x' || substr(md5(text), 1, 3))::BIGINT % 512 + 1
+                     AS width,
+                   CASE ('0x' || substr(md5(text), 8, 1))::BIGINT % 3
+                     WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+                     AS sample_rate
+            FROM documents)"""))
 
   // ------------------------------------------------------------ 2. blob dedup
 
@@ -540,7 +636,11 @@ object Multimodal {
     * near-dup blocking key for binary payloads. */
   def blobHistogramSig(df: DataFrame, idCol: String, blobCol: String,
       maxBytes: Int = 256, quant: Int = 2): DataFrame = {
-    df.select(col(idCol), explode(
+    // guard: an empty blob would make sequence(1, 0) DESCEND ([1,0])
+    // and then map_from_entries die on a null bucket key — zero-byte
+    // blobs have nothing to block on and produce no signature row
+    df.filter(length(col(blobCol)) > 0)
+      .select(col(idCol), explode(
         sequence(lit(1), least(length(col(blobCol)), lit(maxBytes))))
         .as("bh_i"), col(blobCol))
       .select(col(idCol),
@@ -829,5 +929,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] = Seq(pipeline, frameSample, bmpHeader, wavHeader,
     pngChunks, tiffIfd, audioEnergy, patchGrid, blobDedup, blobNearDup,
-    interleave, captionRetrieval)
+    interleave, captionRetrieval, corrupt)
 }

@@ -10,8 +10,9 @@ Project
                   Project
                     Generate
                       Project
-                        ColumnarToRow
-                          Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
     HashAggregate
       HashAggregate
         HashAggregate

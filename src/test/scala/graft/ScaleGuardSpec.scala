@@ -157,16 +157,17 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   df-banded pair AGG
                                                     //   (bounded: one row
                                                     //   per surviving pair)
-      "q_graph_triangles",                          // 1-row n_docs frame
-                                                    //   (kcore checkpoints
-                                                    //   its edge base, so
-                                                    //   its cross join never
+                                                    // (q_graph_triangles'
+                                                    //   1-row n_docs cross
+                                                    //   join sits behind the
+                                                    //   round-8 persist of
+                                                    //   the oriented edges —
+                                                    //   like kcore's
+                                                    //   checkpoint, it never
                                                     //   reaches the final
-                                                    //   inspected plan)
-                                                    //   broadcast onto the
-                                                    //   doc scan to derive
-                                                    //   the md5 link targets
-                                                    //   (same stats pattern
+                                                    //   inspected plan, so
+                                                    //   no whitelist row;
+                                                    //   same stats pattern
                                                     //   as tfidf/nb; the
                                                     //   wedge joins
                                                     //   themselves are
