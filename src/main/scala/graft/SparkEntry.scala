@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Expressions.all ++
       operators.Subqueries.all ++
       operators.GoldenSql.all ++
+      operators.GoldenSqlt.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
