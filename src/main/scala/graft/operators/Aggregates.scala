@@ -277,19 +277,39 @@ object Aggregates {
   /** Custom KLL-style quantile sketch UDAF (graft.functions.KllQuantile)
     * beside the built-in GK sketch above — mergeable partial/merge/final
     * with O(k·log n) state per group and DETERMINISTIC compaction (no
-    * random coin), so the registry row reproduces run-to-run. Approximate
-    * → rows-only; rank-error ≤3% vs exact is pinned in KllSpec. */
+    * random coin), so the row reproduces run-to-run. The sketch VALUES are
+    * compaction-dependent, so the registry row emits the DERIVED facts the
+    * sketch promises instead: the TRUE RANK of each returned quantile sits
+    * within ±3% of its target (the rank-error guarantee, measured by
+    * joining the sketch output back against the raw rows in exact integer
+    * arithmetic: |100·cnt≤q − p·n| ≤ 3n) — the oracle checks rank_ok=1 per
+    * group, so the guarantee itself is a driver-checked fact. Raw sketch
+    * values stay pinned in KllSpec. */
   val aggKllQuantile = QueryDef(
     "q_agg_kll_quantile",
     (spark, dir) => {
-      Tables(spark, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = Tables(spark, dir, "lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(
           expr("kll_quantile(l_extendedprice, 0.5D)").as("kp50"),
-          expr("kll_quantile(l_extendedprice, 0.95D)").as("kp95"),
-          count(lit(1)).as("n"))
+          expr("kll_quantile(l_extendedprice, 0.95D)").as("kp95"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("kp50"), 1L)
+            .otherwise(0L)).as("c50"),
+          sum(when(col("l_extendedprice") <= col("kp95"), 1L)
+            .otherwise(0L)).as("c95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("c50") * 100 - col("n") * 50) <= col("n") * 3)
+            .cast("int").as("rank50_ok"),
+          (abs(col("c95") * 100 - col("n") * 95) <= col("n") * 3)
+            .cast("int").as("rank95_ok"))
     },
-    None)
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             1 AS rank50_ok, 1 AS rank95_ok
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Aggregation over genuinely-null inputs: count(col) skips nulls,
     * sum of an all-null slice is NULL, avg ignores nulls. */
@@ -428,13 +448,14 @@ object Aggregates {
   /** Approximate distinct via Apache-DataSketches-compatible HLL (Spark
     * 3.5+ `hll_sketch_agg`) — the OTHER mergeable-sketch distinct path:
     * where the bitmap family is exact but domain-bounded (int keys), HLL is
-    * fixed 2^lgK bytes for ANY key type and cardinality. Engine-specific
-    * binary → rows-only at the driver gate; HllSpec pins the ±5% accuracy
-    * envelope and union-agg mergeability (per-shard sketches roll up
-    * without touching raw data). Caveat pinned there too: DataSketches'
-    * HIP estimator is insertion-order dependent, so estimates are NOT
-    * bit-stable across partitionings — when the pipeline needs a
-    * deterministic, cross-engine-replayable sketch, that is what
+    * fixed 2^lgK bytes for ANY key type and cardinality. The estimate is
+    * engine-specific (HIP is insertion-order dependent — NOT bit-stable
+    * across partitionings), so the registry row emits the DERIVED fact
+    * instead: the estimate lands inside the ±5% envelope of the exact
+    * count, which the oracle checks as envelope=1 per group — the driver
+    * gate now sees the sketch's accuracy claim directly. Raw estimates +
+    * union-agg mergeability stay pinned in HllSpec; when the pipeline
+    * needs a deterministic, cross-engine-replayable sketch, that is what
     * `kmv_distinct_det` (q_agg_kmv_sketch) is for. */
   val aggHllDistinct = QueryDef(
     "q_agg_hll_distinct",
@@ -443,11 +464,16 @@ object Aggregates {
         .createOrReplaceTempView("lineitem")
       spark.sql("""
         SELECT l_returnflag,
-               CAST(hll_sketch_estimate(hll_sketch_agg(l_orderkey))
-                    AS BIGINT) AS est_orders
+               count(DISTINCT l_orderkey) AS exact_orders,
+               CAST(abs(CAST(hll_sketch_estimate(hll_sketch_agg(l_orderkey))
+                             AS BIGINT) - count(DISTINCT l_orderkey)) * 100
+                    <= count(DISTINCT l_orderkey) * 5 AS INT) AS within_5pct
         FROM lineitem GROUP BY l_returnflag""")
     },
-    None)
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+             1 AS within_5pct
+      FROM lineitem GROUP BY l_returnflag"""))
 
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,

@@ -96,19 +96,30 @@ object Caching {
       SELECT ex.flag AS l_returnflag, est.approx_orders, ex.exact_orders
       FROM est JOIN ex USING (flag)"""))
 
-  /** Built-in HLL++ sketch (approx_count_distinct) beside the exact count —
-    * approximate → rows-only driver check; the ±5% bound and determinism are
-    * asserted in KmvSpec. */
+  /** Built-in HLL++ sketch (approx_count_distinct) beside the exact count.
+    * The raw estimate is engine-internal (register layout + bias tables),
+    * so instead of exposing it the row emits the DERIVED fact the sketch
+    * promises — the estimate (rsd 0.01, so the ±5% envelope carries 5σ
+    * headroom at any SF) sits inside the ±5% envelope of the exact
+    * count — making the envelope itself a driver-checked claim (the
+    * oracle expects envelope=1 everywhere); the raw estimate's value and
+    * determinism stay pinned in KmvSpec. */
   val approxDistinct = QueryDef(
     "q_agg_approx_distinct",
     (spark, dir) => {
       Tables(spark, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_linestatus"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+            col("exact_orders") * 5).cast("int").as("within_5pct"))
     },
-    None)
+    Some("""
+      SELECT l_linestatus, count(DISTINCT l_orderkey) AS exact_orders,
+             1 AS within_5pct
+      FROM lineitem GROUP BY l_linestatus"""))
 
   val all: Seq[QueryDef] = Seq(cachedScan, arrowAlias, kmvSketch, approxDistinct)
 }

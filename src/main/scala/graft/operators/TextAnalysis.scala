@@ -183,25 +183,43 @@ object TextAnalysis {
     * partial/merge/final aggregate ships ≤k counters per language, and the
     * per-language top-10 unpacks from the sketch map — the frequency
     * profile a tokenizer-vocabulary pass runs at 100 TB without a
-    * full-width groupBy on the token. Approximate → rows-only for the
-    * driver; the heavy-hitter guarantees are pinned in FreqSketchSpec. */
+    * full-width groupBy on the token. The counter VALUES are merge-order
+    * dependent, so the registry row emits the DERIVED facts Space-Saving
+    * guarantees instead: the top-10 exists (n_top) and every counter
+    * respects true ≤ est ≤ true + N/k (n_violations, checked by joining
+    * the sketch's survivors back to exact token counts) — the oracle
+    * checks 10/0 per language, so the guarantee is a driver-checked fact.
+    * Raw counters and the exact top-10 stay pinned in FreqSketchSpec and
+    * the oracle-exact twin q_text_freq_tokens_exact. */
   val freqTokens = QueryDef(
     "q_text_freq_tokens",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      Tables(spark, dir, "documents")
-        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      val tokens = Tables(spark, dir, "documents")
+        .select(col("lang"), explode(toks(col("text"))).as("token"))
+      val top = tokens
         .groupBy(col("lang"))
-        .agg(expr("freq_sketch(tok, 32)").as("sketch"))
-        .select(col("lang"), explode(col("sketch")).as(Seq("token", "est")))
+        .agg(expr("freq_sketch(token, 32)").as("sketch"),
+          count(lit(1)).as("n_tok"))
+        .select(col("lang"), col("n_tok"),
+          explode(col("sketch")).as(Seq("token", "est")))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang"))
             .orderBy(col("est").desc, col("token"))))
         .filter(col("rk") <= 10)
-        .select(col("lang"), col("token"), col("est"),
-          col("rk").cast("long").as("rk"))
+      val exact = tokens.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      top.join(exact, Seq("lang", "token"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_top"),
+          sum(when(col("est") < col("cnt") ||
+            (col("est") - col("cnt")) * 32 > col("n_tok"), 1L)
+            .otherwise(0L)).as("n_violations"))
     },
-    None)
+    Some("""
+      SELECT lang, CAST(10 AS BIGINT) AS n_top,
+             CAST(0 AS BIGINT) AS n_violations
+      FROM (SELECT DISTINCT lang FROM documents)"""))
 
   /** Exact twin of [[freqTokens]]: true per-language top-10 token counts,
     * DuckDB-oracle-checked — pins the semantics the Space-Saving sketch

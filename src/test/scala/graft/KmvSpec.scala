@@ -65,7 +65,12 @@ class KmvSpec extends GraftSpecBase {
   }
 
   test("approx_count_distinct (HLL++) within 5% and deterministic") {
-    val run = () => SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
+    // raw estimates (the registry row q_agg_approx_distinct now emits the
+    // derived envelope fact for the driver gate; the raw values live here)
+    val run = () => Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val first = run()
@@ -73,6 +78,10 @@ class KmvSpec extends GraftSpecBase {
       assert(math.abs(a - e).toDouble / math.max(e, 1L) < 0.05, s"$a vs $e")
     }
     assert(run().sameElements(first), "sketch must be deterministic")
+    // and the registry row's derived envelope flag is 1 everywhere
+    val env = SparkEntry.queries("q_agg_approx_distinct")(spark, sfDir)
+      .collect().map(_.getInt(2))
+    assert(env.nonEmpty && env.forall(_ == 1))
   }
 
   test("kmv_distinct survives shuffle (partial/merge path)") {

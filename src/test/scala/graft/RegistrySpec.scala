@@ -44,28 +44,15 @@ class RegistrySpec extends GraftSpecBase {
     assert(spark.sql("SELECT simhash64(array('x')) AS h").count() == 1)
   }
 
-  test("oracle coverage: every SQL-expressible query carries an oracle") {
+  test("oracle coverage: EVERY registry query carries a driver oracle") {
+    // round 8 closed the last four: the order-dependent sketches
+    // (HLL++/DataSketches-HLL/KLL/Space-Saving) now emit their DERIVED
+    // guarantee facts (±5% envelope, ±3% rank error, overcount ≤ N/k) as
+    // oracle-checked columns, with raw sketch values pinned in
+    // KmvSpec/HllSpec/KllSpec/FreqSketchSpec and the oracle-exact twins
+    // (q_agg_kmv_sketch, q_agg_bitmap_distinct, q_text_freq_tokens_exact)
+    // beside them — zero rows invisible to the hard gate.
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    // only inherently randomized / engine-internal sketches are exempt, each
-    // with an oracle-checked exact twin or a bound spec:
-    // q_agg_approx_distinct  — Spark's built-in HLL++ (engine-internal
-    //                          binary registers; ±5% + determinism in KmvSpec)
-    // q_agg_kll_quantile     — KLL compaction state (rank-error bound KllSpec)
-    // q_text_freq_tokens     — Space-Saving counters; exact twin
-    //                          q_text_freq_tokens_exact is oracle-checked
-    // q_agg_hll_distinct     — Apache DataSketches HLL (engine-specific
-    //                          binary, HIP order-dependence; ±5% envelope +
-    //                          union mergeability in HllSpec; the exact
-    //                          bitmap twin q_agg_bitmap_distinct and the
-    //                          deterministic q_agg_kmv_sketch are both
-    //                          oracle-checked)
-    // (the KMV family — q_agg_kmv_sketch, q_profile_lineitem,
-    // q_profile_sketch_rollup, q_text_kmv_overlap — switched to the
-    // deterministic md5-derived 48-bit hash in r6 and is now
-    // DuckDB-oracle-checked end to end, estimates included)
-    assert(noOracle.toSet ==
-      Set("q_agg_approx_distinct", "q_agg_kll_quantile",
-        "q_text_freq_tokens", "q_agg_hll_distinct"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
   }
 }
