@@ -280,22 +280,44 @@ object Retrieval {
     * association rule a→b). The related-items primitive behind
     * co-visitation recommenders and "related documents" panels.
     *
-    * Scale shape: DISTINCT (basket, item) → ONE self-equi-join on the
-    * basket key — fan-out is |basket|² and baskets are small by nature
-    * (an order has a handful of parts; a session a handful of pages), so
-    * the pair stage is corpus-linear with a per-basket constant — then a
-    * pair-count aggregate and a per-item top-k window (WindowGroupLimit
-    * pushes the rank ahead of the shuffle). Never item×item. */
+    * Scale shape: ONE basket-keyed collect_set aggregate (distinct items
+    * per basket fall out of the set), then pairs enumerate IN-ROW from
+    * each basket's own item array (fan-out |basket|², and baskets are
+    * small by nature — an order has a handful of parts; a session a
+    * handful of pages), then a pair-count aggregate and a per-item top-k
+    * window (WindowGroupLimit pushes the rank ahead of the shuffle).
+    * Never item×item — and never a basket-keyed SELF-JOIN either: round
+    * 7 shuffled the distinct (basket, item) corpus twice (distinct +
+    * join) and was the 3.1x gate-drift entry; in-row enumeration pays
+    * one corpus shuffle total. The basket frame is persist()ed (item
+    * counts and pairs both read it); released by the runner's per-query
+    * clearCache. */
   def basketPairs(df: org.apache.spark.sql.DataFrame, basketCol: String,
       itemCol: String, topK: Int, minSupport: Long = 2L)
       : org.apache.spark.sql.DataFrame = {
-    val bi = df.select(col(basketCol).as("bp_b"), col(itemCol).as("bp_i"))
-      .distinct()
-    val counts = bi.groupBy(col("bp_i")).agg(count(lit(1)).as("c_a"))
-    val pairs = bi.join(
-        bi.select(col("bp_b"), col("bp_i").as("bp_j")), "bp_b")
-      .filter(col("bp_i") =!= col("bp_j"))
-      .groupBy(col("bp_i"), col("bp_j")).agg(count(lit(1)).as("c_ab"))
+    // identical basket CONTENTS collapse to one row + multiplicity before
+    // any fan-out (sort_array canonicalizes the set for grouping): a
+    // duplicated corpus — repeated sessions, replicated orders — pays the
+    // |basket|² enumeration once per DISTINCT basket, with weights
+    // carrying the true counts; a corpus without duplicates pays one
+    // extra basket-sized aggregate. Exact, not approximate.
+    val contents = df
+      .select(col(basketCol).as("bp_b"), col(itemCol).as("bp_i"))
+      .groupBy(col("bp_b"))
+      .agg(sort_array(collect_set(col("bp_i"))).as("bp_items"))
+      .groupBy(col("bp_items"))
+      .agg(count(lit(1)).as("bp_w"))
+      .persist()
+    val counts = contents
+      .select(explode(col("bp_items")).as("bp_i"), col("bp_w"))
+      .groupBy(col("bp_i")).agg(sum(col("bp_w")).as("c_a"))
+    val pairs = contents
+      .select(col("bp_w"), explode(expr(
+        """flatten(transform(bp_items,
+             a -> transform(filter(bp_items, x -> x != a),
+                  x -> struct(a AS bp_i, x AS bp_j))))""")).as("p"))
+      .select(col("p.bp_i"), col("p.bp_j"), col("bp_w"))
+      .groupBy(col("bp_i"), col("bp_j")).agg(sum(col("bp_w")).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
     val w = Window.partitionBy(col("bp_i"))
       .orderBy(col("c_ab").desc, col("bp_j"))

@@ -658,11 +658,21 @@ object TextAnalysis {
     val nChunksExpr =
       s"CAST((size(split($textCol, ' ')) + ${chunkTokens - 1}) " +
         s"DIV $chunkTokens AS INT)"
-    val chunks = docs.select(col(idCol),
-      posexplode(expr(
-        s"""transform(sequence(0, $nChunksExpr - 1),
-            i -> array_join(slice(split($textCol, ' '),
-                 i * $chunkTokens + 1, $chunkTokens), ' '))"""))
+    // split() is hoisted into a column BEFORE the chunking lambda: a
+    // split inside the transform body re-tokenizes the document once per
+    // CHUNK (loop-invariant expressions aren't hoisted out of
+    // higher-order functions → O(len²/chunk) map work, the round-7 3.4x
+    // gate drift on q_docs_pipeline_clean); bp_ws is referenced several
+    // times, which keeps CollapseProject from inlining the split back in
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("bp_ws"))
+      .select(col(idCol),
+        posexplode(expr(
+          s"""transform(
+              sequence(0, CAST((size(bp_ws) + ${chunkTokens - 1})
+                               DIV $chunkTokens AS INT) - 1),
+              i -> array_join(slice(bp_ws,
+                   i * $chunkTokens + 1, $chunkTokens), ' '))"""))
         .as(Seq("bp_idx", "bp_chunk")))
     val dfTab = chunks.groupBy(col("bp_chunk"))
       .agg(countDistinct(col(idCol)).as("bp_df"))
@@ -865,21 +875,42 @@ object TextAnalysis {
       val docs = Tables(spark, dir, "documents")
       // size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
       // than returning empty, so a single-token doc would index gram 0
-      val grams = docs
+      // per-doc gram dedup happens MAP-SIDE (array_distinct inside the
+      // row) — round 7 shuffled every (doc_id, gram) pair through a
+      // corpus-sized DISTINCT and then joined corpus×vocab back, the 3.6x
+      // gate drift; now the only corpus-sized stage is a pure map, the
+      // first-bearer aggregate ships ≤vocab rows per partition (map-side
+      // partial min), and the one join left is docs-sized on the doc id.
+      // zip_with over two slices, NOT transform(i -> element_at(split…)):
+      // a split() inside a lambda re-tokenizes the document once PER
+      // ELEMENT (loop-invariant expressions aren't hoisted out of
+      // higher-order functions), turning the map stage O(len²) — the
+      // slice spelling keeps split() at projection level where
+      // subexpression elimination runs it once per row (measured 8x on
+      // the map stage at 100x)
+      val dedupGrams = expr(
+        """array_distinct(zip_with(
+             slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+             slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+             (a, b) -> concat(a, ' ', b)))""")
+      val withGrams = docs
         .filter(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 1),
-             i -> concat(element_at(split(text, ' '), i), ' ',
-                         element_at(split(text, ' '), i + 1)))"""))
-          .as("gram"))
-        .distinct()
-      val firstBearer = grams.groupBy(col("gram"))
+        .select(col("doc_id"), dedupGrams.as("grams"))
+        // persisted: the gram-array build is the expensive map stage and
+        // BOTH consumers (first-bearer explode, per-doc size) need it;
+        // released by the runner's per-query clearCache
+        .persist()
+      val firstBearer = withGrams
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .groupBy(col("gram"))
         .agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstBearer, "gram")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+      val perDoc = withGrams
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      val novelPerDoc = firstBearer
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novelPerDoc, col("doc_id") === col("first_doc"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty_permille",
           expr("1000 * n_novel DIV n_grams"))
         .orderBy(col("novelty_permille"), col("doc_id"))

@@ -15,9 +15,10 @@ HashAggregate
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           Generate
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                         Project
                           Filter
                             HashAggregate
@@ -29,8 +30,9 @@ HashAggregate
                                         Project
                                           Filter
                                             Generate
-                                              ColumnarToRow
-                                                Scan parquet 
+                                              Project
+                                                ColumnarToRow
+                                                  Scan parquet 
               Project
                 Filter
                   ColumnarToRow

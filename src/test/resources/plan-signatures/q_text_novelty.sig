@@ -1,23 +1,16 @@
 TakeOrderedAndProject
   Project
-    HashAggregate
-      Exchange
+    Project
+      BroadcastHashJoin [broadcast,plain]
         HashAggregate
-          Project
-            BroadcastHashJoin [broadcast,plain]
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    Filter
+          Exchange
+            HashAggregate
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
                       Generate
                         Filter
-                          ColumnarToRow
-                            Scan parquet 
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    Filter
-                      Generate
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                          InMemoryTableScan
+        Project
+          InMemoryTableScan
