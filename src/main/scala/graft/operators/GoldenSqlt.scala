@@ -131,6 +131,120 @@ object GoldenSqlt {
                   CAST(1.1234567891234 AS DECIMAL(21,13))))
             AS t(id, a, b)""")
 
+  /** operators.sql:1-80 — unary sign chains, fractional division, mod
+    * null propagation, length family, ceil/
+    * floor on decimals and at the 2^50 integer range, and cot.
+    * Excluded: `5 div 2` (DuckDB spells it `//`), pmod (absent in
+    * DuckDB), width_bucket (absent), abs('-2.19') (DuckDB does not
+    * coerce strings in abs), and mod(7, 0) (NULL in DuckDB and legacy
+    * Spark, but this engine runs ANSI mode where it raises — the ANSI
+    * divide-by-zero battery is q_golden_try_arith's ground). */
+  val operators = QueryDef.sqlSame(
+    "q_golden_sqlt_operators",
+    """SELECT - - 3 AS neg_neg, - + 20 AS neg_pos, + + 100 AS pos_pos,
+              -(-10) AS paren_neg,
+              5 / 2 AS div_frac,
+              5 / NULL AS div_null, NULL / 5 AS null_div,
+              mod(7, 2) AS mod_a, mod(0, 2) AS mod_b,
+              mod(7, NULL) AS mod_null,
+              (-7) % 3 AS neg_mod,
+              bit_length('abc') AS bitlen,
+              octet_length(CAST('abc' AS BINARY)) AS octlen,
+              length('abc') AS charlen,
+              CAST(abs(-3.13) AS STRING) AS abs_dec,
+              1 > 0.00001 AS cmp_small,
+              CAST(ceiling(-0.10) AS BIGINT) AS ceil_neg,
+              CAST(ceil(0.01) AS BIGINT) AS ceil_small,
+              CAST(floor(0.01) AS BIGINT) AS floor_small,
+              CAST(ceil(1234567890123456) AS BIGINT) AS ceil_big,
+              round(cot(1), 10) AS cot_one,
+              cot(NULL) AS cot_null""")
+
+  /** null-handling.sql:1-35 — the t1 battery: null arithmetic, CASE
+    * three-valued logic (`not (null AND false)` is true, `null OR true`
+    * is true), simple-CASE null-never-matches. */
+  val nullHandling = QueryDef.sqlSame(
+    "q_golden_sqlt_null_rows",
+    """SELECT a, b + c AS add_bc, b * 0 AS mul_zero,
+              CASE b WHEN c THEN 1 ELSE 0 END AS case_b_c,
+              CASE WHEN b <> 0 THEN 1 ELSE 0 END AS b_ne0,
+              CASE WHEN b <> 0 AND c <> 0 THEN 1 ELSE 0 END AS b_and_c,
+              CASE WHEN NOT (b <> 0 AND c <> 0) THEN 1 ELSE 0 END
+                AS not_and,
+              CASE WHEN b <> 0 OR c <> 0 THEN 1 ELSE 0 END AS b_or_c,
+              CASE WHEN NOT (b <> 0 OR c <> 0) THEN 1 ELSE 0 END
+                AS not_or
+       FROM (VALUES (1,0,0),(2,0,1),(3,1,0),(4,1,1),
+                    (5,NULL,0),(6,NULL,1),(7,NULL,NULL)) AS t1(a,b,c)""")
+
+  /** null-handling.sql:37-47 — null aggregation + WHERE-clause
+    * three-valued logic: count(col) skips nulls, DISTINCT keeps one
+    * null, and a NULL predicate excludes the row from every branch of
+    * `b<10` / `not b>10` / AND / OR (spelled as conditional sums, the
+    * WHERE-equivalent the hash compare can see). */
+  val nullAgg = QueryDef.sqlSame(
+    "q_golden_sqlt_null_agg",
+    """WITH t1 AS (SELECT * FROM (VALUES (1,0,0),(2,0,1),(3,1,0),(4,1,1),
+                     (5,NULL,0),(6,NULL,1),(7,NULL,NULL)) AS v(a,b,c))
+       SELECT count(*) AS n_rows, count(b) AS n_b,
+              CAST(sum(b) AS BIGINT) AS sum_b, avg(b) AS avg_b,
+              min(b) AS min_b, max(b) AS max_b,
+              (SELECT count(*) FROM (SELECT DISTINCT b FROM t1) d)
+                AS n_distinct_rows,
+              count(DISTINCT b) AS n_distinct_vals,
+              CAST(sum(CASE WHEN b < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_lt,
+              CAST(sum(CASE WHEN NOT b > 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_not_gt,
+              CAST(sum(CASE WHEN b < 10 OR c = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_or,
+              CAST(sum(CASE WHEN b < 10 AND c = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_and,
+              CAST(sum(CASE WHEN NOT (b < 10 AND c = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_not_and
+       FROM t1""")
+
+  /** group-by.sql:6-70 — the testData battery: grouping with null keys
+    * (one group per null key value), complex group expressions, literal/
+    * global aggregates, and the empty-input row. Null group keys are
+    * surfaced via coalesce(-999) so the compare sees a concrete value. */
+  val groupBy = QueryDef.sqlSame(
+    "q_golden_sqlt_group_by",
+    """WITH testData AS (SELECT * FROM (VALUES
+         (1,1),(1,2),(2,1),(2,2),(3,1),(3,2),
+         (CAST(NULL AS INT),1),(3,CAST(NULL AS INT)),
+         (CAST(NULL AS INT),CAST(NULL AS INT))) AS v(a,b))
+       SELECT 'by_a' AS tag, CAST(coalesce(a, -999) AS BIGINT) AS k,
+              count(b) AS cnt
+       FROM testData GROUP BY a
+       UNION ALL
+       SELECT 'by_a_plus_b', CAST(coalesce(a + b, -999) AS BIGINT),
+              count(b)
+       FROM testData GROUP BY a + b
+       UNION ALL
+       SELECT 'global', CAST(42 AS BIGINT), count(a) FROM testData
+       UNION ALL
+       SELECT 'empty', CAST(0 AS BIGINT), count(1)
+       FROM testData WHERE 1 = 0""")
+
+  /** predicate-functions.sql:1-40 — numeric↔string comparison coercion
+    * (the string side coerces to the numeric type on both engines; the
+    * numeric sides are spelled fractional because under ANSI Spark a
+    * string compared to an INT must parse as an integer — '1.0' raises —
+    * while against a fractional type both engines parse it as DOUBLE).
+    * Excluded: `1.5 = '1.51'` (Spark coerces the string to DOUBLE →
+    * false; DuckDB compares equal → true) and the to_date forms
+    * (function absent in DuckDB). */
+  val predicates = QueryDef.sqlSame(
+    "q_golden_sqlt_predicates",
+    """SELECT 1.0 = '1' AS eq_num_str,
+              2.0 > '1.0' AS gt_str, 2.0 > '2.2' AS gt_str_false,
+              '1.5' > 0.5 AS str_gt,
+              1.0 >= '1' AS ge_eq, 2.0 >= '2.0' AS ge_str,
+              2.0 < '2.2' AS lt_str, 2.0 < '1.0' AS lt_false,
+              0.5 <= '1.5' AS le_str, 2.0 <= '2.0' AS le_eq""")
+
   val all: Seq[QueryDef] = Seq(castIntLimits, castTrim, datetimeArith,
-    datetimeProleptic, decimalConst, decimalRows)
+    datetimeProleptic, decimalConst, decimalRows, operators, nullHandling,
+    nullAgg, groupBy, predicates)
 }
