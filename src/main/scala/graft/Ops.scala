@@ -413,6 +413,23 @@ object ops {
   def piiFlags(docs: DataFrame, textCol: String = "text"): DataFrame =
     operators.TextAnalysis.piiFlags(docs, textCol)
 
+  /** PII redaction: rewrite emails/phones/IPs/16-digit runs to
+    * placeholder tokens (recall-biased — Luhn-invalid decoys are scrubbed
+    * too, unlike [[piiFlags]]'s precision-gated counter). Pure map stage;
+    * returns the frame + (redacted, was_redacted) — see
+    * [[graft.operators.TextAnalysis.redactPii]]. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    operators.TextAnalysis.redactPii(docs, textCol)
+
+  /** Document stitching candidates: shard B continues shard A when A's
+    * `overlap`-char tail equals B's head — exact equi-join on the
+    * boundary-slice md5, never all-pairs; confirm candidates on the raw
+    * slices downstream. Returns (a_id, b_id) — see
+    * [[graft.operators.TextAnalysis.stitchPairs]]. */
+  def stitchPairs(docs: DataFrame, idCol: String, textCol: String,
+      overlap: Int = 32): DataFrame =
+    operators.TextAnalysis.stitchPairs(docs, idCol, textCol, overlap)
+
   /** Fuzzy record linkage, candidate stage: multi-key SEGMENT blocking
     * (PassJoin partition signature — maxDist+1 segments per record,
     * pigeonhole ⇒ 100% recall for ANY edit pattern, prefix edits

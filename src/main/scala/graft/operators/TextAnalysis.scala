@@ -636,6 +636,164 @@ object TextAnalysis {
                AS BIGINT) AS n_docs_flagged
       FROM t GROUP BY source"""))
 
+  /** Library API: PII REDACTION — [[piiFlags]]'s sibling that rewrites the
+    * text instead of counting: emails → [EMAIL], NNN-NNN-NNNN phones →
+    * [PHONE], dotted-quad IPs → [IP], any 16-digit run → [NUM16].
+    * Deliberately CONSERVATIVE where the flags are precise: the flag
+    * counter Luhn-gates card numbers (an analyst wants precision), the
+    * redactor scrubs every 16-digit run including Luhn-invalid decoys (a
+    * leak reviewer wants recall — a regex replace can't carry the Luhn
+    * arithmetic and must not leave near-miss numbers behind). Pure map
+    * stage — four regexp_replace passes per row, no shuffle, safe at any
+    * scale. Returns the frame + (redacted, was_redacted). */
+  def redactPii(docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val steps = Seq(
+      "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+" -> "[EMAIL]",
+      "\\\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\\\b" -> "[PHONE]",
+      "\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
+        -> "[IP]",
+      "\\\\b[0-9]{16}\\\\b" -> "[NUM16]")
+    val redacted = steps.foldLeft(s"$textCol")((acc, s) =>
+      s"regexp_replace($acc, '${s._1}', '${s._2}')")
+    docs
+      .withColumn("redacted", expr(redacted))
+      .withColumn("was_redacted", col("redacted") =!= col(textCol))
+  }
+
+  /** Redaction over the same deterministically PII-salted corpus as
+    * [[pii]] (plus an IP class): per-source census of changed docs and an
+    * md5-prefix checksum over every redacted text — the oracle replays the
+    * identical regexp_replace chain (global flag spelled 'g' in DuckDB,
+    * Spark's default), so one character of residual PII or one
+    * over-redaction mismatches the checksum. */
+  val redact = QueryDef(
+    "q_text_redact",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val cls = expr(
+        "CAST(conv(substr(md5(text), 29, 1), 16, 10) AS BIGINT) % 5")
+      val salted = docs.withColumn("salted",
+        concat(col("text"), lit(" "),
+          when(cls === 0, concat(lit("user"), col("doc_id"),
+            lit("@example.com")))
+            .when(cls === 1, lit("555-867-5309"))
+            .when(cls === 2, lit("4111111111111112"))
+            .when(cls === 3, lit("10.0.0.1"))
+            .otherwise(lit("clean"))))
+      redactPii(salted, "salted")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("was_redacted"), 1L).otherwise(0L))
+            .as("n_redacted"),
+          sum(expr(
+            "CAST(conv(substr(md5(redacted), 1, 7), 16, 10) AS BIGINT)"))
+            .as("corpus_checksum"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               text || ' ' ||
+               CASE ('0x' || substr(md5(text), 29, 1))::BIGINT % 5
+                 WHEN 0 THEN 'user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+                 WHEN 1 THEN '555-867-5309'
+                 WHEN 2 THEN '4111111111111112'
+                 WHEN 3 THEN '10.0.0.1'
+                 ELSE 'clean' END AS salted
+        FROM documents),
+      r AS (
+        SELECT source,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 salted,
+                 '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '[EMAIL]', 'g'),
+                 '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                 '[IP]', 'g'),
+                 '\b[0-9]{16}\b', '[NUM16]', 'g') AS redacted,
+               salted
+        FROM t)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN redacted <> salted THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_redacted,
+             CAST(sum(('0x' || substr(md5(redacted), 1, 7))::BIGINT)
+               AS BIGINT) AS corpus_checksum
+      FROM r GROUP BY source"""))
+
+  /** Library API: document STITCHING — crawl and OCR pipelines shard long
+    * pages into fixed-size records, and the reassembly signal is byte
+    * overlap: shard B continues shard A when A's tail equals B's head.
+    * Candidate generation is an exact equi-join on the md5 of the
+    * `overlap`-char boundary slice (one keyed shuffle per side — never
+    * all-pairs; boundary-hash collisions across unrelated docs surface as
+    * candidates and are confirmed by the caller on the raw slices, the
+    * same candidate→confirm discipline as the near-dup families).
+    * Returns (a_id, b_id) candidate continuation pairs. */
+  def stitchPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, overlap: Int = 32): org.apache.spark.sql.DataFrame = {
+    val tails = docs.select(col(idCol).as("st_a"),
+      md5(expr(s"substring($textCol, length($textCol) - ${overlap - 1}, " +
+        s"$overlap)").cast("binary")).as("st_h"))
+      .filter(expr(s"length($textCol) >= $overlap"))
+    val heads = docs.select(col(idCol).as("st_b"),
+      md5(expr(s"substring($textCol, 1, $overlap)").cast("binary"))
+        .as("st_h"))
+      .filter(expr(s"length($textCol) >= $overlap"))
+    tails.join(heads, "st_h")
+      .filter(col("st_a") =!= col("st_b"))
+      .select(col("st_a").as("a_id"), col("st_b").as("b_id"))
+  }
+
+  /** Stitching over a deterministically SHARDED corpus: every fourth doc
+    * gets a synthesized continuation shard (head = the doc's 32-char
+    * tail), ids offset by 10^9; the census pins that every synthesized
+    * continuation is recovered (plus any true tail/head collisions the
+    * word-salad fixture happens to contain — the oracle replays them
+    * identically). */
+  val stitch = QueryDef(
+    "q_text_stitch",
+    (spark, dir) => {
+      val docs = Tables(spark, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+      val shards = docs
+        .filter(expr(
+          "CAST(conv(substr(md5(text), 28, 1), 16, 10) AS BIGINT) % 4 = 0"))
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(expr("substring(text, length(text) - 31, 32)"),
+            lit(" continuation shard "),
+            col("doc_id").cast("string")).as("text"))
+      val corpus = base.unionAll(shards)
+      stitchPairs(corpus, "doc_id", "text")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("b_id") - col("a_id") === 1000000000L, 1L)
+            .otherwise(0L)).as("n_true_continuations"),
+          sum(col("a_id") + col("b_id")).as("pair_checksum"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000,
+               substring(text, length(text) - 31, 32)
+                 || ' continuation shard ' || CAST(doc_id AS VARCHAR)
+        FROM documents
+        WHERE ('0x' || substr(md5(text), 28, 1))::BIGINT % 4 = 0),
+      tails AS (
+        SELECT doc_id AS a_id,
+               md5(substring(text, length(text) - 31, 32)) AS h
+        FROM corpus WHERE length(text) >= 32),
+      heads AS (
+        SELECT doc_id AS b_id, md5(substring(text, 1, 32)) AS h
+        FROM corpus WHERE length(text) >= 32),
+      p AS (
+        SELECT a_id, b_id FROM tails JOIN heads USING (h)
+        WHERE a_id <> b_id)
+      SELECT count(*) AS n_pairs,
+             CAST(sum(CASE WHEN b_id - a_id = 1000000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true_continuations,
+             CAST(sum(a_id + b_id) AS BIGINT) AS pair_checksum
+      FROM p"""))
+
   /** Library API: cross-document boilerplate removal (the CCNet/jusText
     * cleanup stage) — headers, footers, nav bars, cookie banners repeat
     * across pages, so any chunk whose DOCUMENT FREQUENCY exceeds `maxDf`
@@ -985,5 +1143,5 @@ object TextAnalysis {
     Seq(tokenCount, quality, langId, fingerprint, freqTokens,
       freqTokensExact, gopherBattery, kmvOverlap, kmvOverlapExact,
       diversity, boilerplate, pii, vocabCoverage, pmiPairs, novelty,
-      vocabChurn)
+      vocabChurn, redact, stitch)
 }
