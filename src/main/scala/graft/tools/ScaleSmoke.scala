@@ -143,7 +143,13 @@ object ScaleSmoke {
     "q_text_novelty", "q_text_vocab_churn",
     // rank calibration: one window per source (group-bounded sort) + a
     // |sources|-bounded census
-    "q_sample_calibrate")
+    "q_sample_calibrate",
+    // round 8: PII redaction is a pure four-regex map stage (must be
+    // exactly linear); stitching is two boundary-hash equi-joins (tails
+    // vs heads), corpus-linear with collision-bounded output (segment-
+    // blocked linkage at scale is op_fuzzy_link_rep below — the q_link_*
+    // registry rows run on the dim-sized part catalog)
+    "q_text_redact", "q_text_stitch")
 
   /** Scale-only runners that aren't registry queries: operators whose
     * registry fixture is a dim-sized table, re-run here against the
