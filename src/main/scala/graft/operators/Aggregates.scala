@@ -462,13 +462,17 @@ object Aggregates {
     (spark, dir) => {
       Tables(spark, dir, "lineitem")
         .createOrReplaceTempView("lineitem")
+      // sketch over pre-distinct pairs (set-semantic, estimate-identical)
+      // — avoids the mixed distinct/sketch Expand rewrite over the raw
+      // corpus, the same pre-aggregate lever as q_agg_kmv_sketch
       spark.sql("""
         SELECT l_returnflag,
-               count(DISTINCT l_orderkey) AS exact_orders,
+               count(l_orderkey) AS exact_orders,
                CAST(abs(CAST(hll_sketch_estimate(hll_sketch_agg(l_orderkey))
-                             AS BIGINT) - count(DISTINCT l_orderkey)) * 100
-                    <= count(DISTINCT l_orderkey) * 5 AS INT) AS within_5pct
-        FROM lineitem GROUP BY l_returnflag""")
+                             AS BIGINT) - count(l_orderkey)) * 100
+                    <= count(l_orderkey) * 5 AS INT) AS within_5pct
+        FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+        GROUP BY l_returnflag""")
     },
     Some("""
       SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,

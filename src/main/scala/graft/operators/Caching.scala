@@ -107,11 +107,19 @@ object Caching {
   val approxDistinct = QueryDef(
     "q_agg_approx_distinct",
     (spark, dir) => {
+      // HLL++ is set-semantic, so sketching pre-distinct (status, order)
+      // pairs is estimate-identical to sketching raw lineitem — and it
+      // replaces the planner's mixed distinct/sketch Expand rewrite
+      // (object-hash agg over the raw corpus; 5.5s at sf0.1 with the
+      // rsd-0.01 registers) with two narrow hash aggregates (0.4s), the
+      // same pre-aggregate lever as q_agg_kmv_sketch above
       Tables(spark, dir, "lineitem")
+        .groupBy(col("l_linestatus"), col("l_orderkey"))
+        .agg(Map.empty[String, String])
         .groupBy(col("l_linestatus"))
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          count(col("l_orderkey")).as("exact_orders"))
         .select(col("l_linestatus"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders")) * 100 <=
             col("exact_orders") * 5).cast("int").as("within_5pct"))

@@ -244,7 +244,63 @@ object GoldenSqlt {
               2.0 < '2.2' AS lt_str, 2.0 < '1.0' AS lt_false,
               0.5 <= '1.5' AS le_str, 2.0 <= '2.0' AS le_eq""")
 
+  /** having.sql:1-31 — the hav battery: HAVING over an aggregate, over a
+    * grouping EXPRESSION (`GROUP BY v + 1 HAVING v + 1 = 2`), global-
+    * aggregate HAVING with no GROUP BY, and the SPARK-31663 family where
+    * HAVING references a grouping COLUMN that a SELECT alias shadows —
+    * under GROUPING SETS, CUBE and ROLLUP (where the null subtotal rows
+    * must NOT pass `b > 10`). Both engines resolve the HAVING reference
+    * to the grouping column, not the alias. */
+  val having = QueryDef.sqlSame(
+    "q_golden_sqlt_having",
+    """WITH hav AS (SELECT * FROM (VALUES
+         ('one', 1), ('two', 2), ('three', 3), ('one', 5)) AS v(k, v))
+       SELECT 'agg' AS tag, k, CAST(sum(v) AS BIGINT) AS s
+       FROM hav GROUP BY k HAVING sum(v) > 2
+       UNION ALL
+       SELECT 'group_expr', CAST(v + 1 AS STRING), count(k)
+       FROM hav GROUP BY v + 1 HAVING v + 1 = 2
+       UNION ALL
+       SELECT 'global', 'min', CAST(min(v) AS BIGINT)
+       FROM hav HAVING count(1) > 0
+       UNION ALL
+       SELECT 'shadowed_gsets', 'b', CAST(sum(a) AS BIGINT)
+       FROM (VALUES (1, 10), (2, 20)) AS t(a, b)
+       GROUP BY GROUPING SETS ((b), (a, b)) HAVING b > 10
+       UNION ALL
+       SELECT 'shadowed_cube', 'b', CAST(sum(a) AS BIGINT)
+       FROM (VALUES (1, 10), (2, 20)) AS t(a, b)
+       GROUP BY CUBE(a, b) HAVING b > 10
+       UNION ALL
+       SELECT 'shadowed_rollup', 'b', CAST(sum(a) AS BIGINT)
+       FROM (VALUES (1, 10), (2, 20)) AS t(a, b)
+       GROUP BY ROLLUP(a, b) HAVING b > 10""")
+
+  /** union.sql:1-23 — UNION ALL with type coercion across branches
+    * (INT ∪ DECIMAL widens to the decimal) and the SPARK-18622 shape
+    * where one branch is a GLOBAL AGGREGATE (`SELECT SUM(1), ...`) — the
+    * union must not push the other branches' projection into the
+    * aggregate. Excluded: the original's INT ∪ STRING column (legacy
+    * Spark widened to STRING; under ANSI Spark coerces the string to the
+    * NUMERIC side and raises on 'a' — genuinely divergent from DuckDB's
+    * widen-to-VARCHAR). */
+  val union = QueryDef.sqlSame(
+    "q_golden_sqlt_union",
+    """WITH t1 AS (SELECT * FROM (VALUES (1, 10), (2, 20)) AS v(c1, c2)),
+       t2 AS (SELECT * FROM (VALUES (1.5, 1), (2.5, 4)) AS v(c1, c2))
+       SELECT 'coerced' AS tag, CAST(c1 AS STRING) AS c1,
+              CAST(c2 AS STRING) AS c2
+       FROM (SELECT * FROM t1
+             UNION ALL SELECT * FROM t2
+             UNION ALL SELECT * FROM t2)
+       UNION ALL
+       SELECT 'agg_branch', CAST(a AS STRING), CAST(b AS STRING)
+       FROM (SELECT 0 AS a, 0 AS b
+             UNION ALL
+             SELECT CAST(SUM(1) AS INT) AS a, 0 AS b
+             UNION ALL SELECT 0 AS a, 0 AS b) T""")
+
   val all: Seq[QueryDef] = Seq(castIntLimits, castTrim, datetimeArith,
     datetimeProleptic, decimalConst, decimalRows, operators, nullHandling,
-    nullAgg, groupBy, predicates)
+    nullAgg, groupBy, predicates, having, union)
 }

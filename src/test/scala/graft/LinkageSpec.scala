@@ -31,6 +31,28 @@ class LinkageSpec extends GraftSpecBase {
     assert(!m.exists(_._1 == 3L), m.toString)
   }
 
+  test("fuzzyJoin: recall holds for substitutions, insertions, and mixes") {
+    // the registry corruption model is deletion-only; the pigeonhole
+    // recall argument covers ANY edit pattern — pin it on all three edit
+    // kinds plus a two-edit mix, at several positions incl. the prefix
+    val clean = Seq("industrial strength widget").toDF("clean_name")
+    val dirty = Seq(
+      (1L, "Xndustrial strength widget"),  // substitution at pos 1
+      (2L, "industrial strenXth widget"),  // substitution mid
+      (3L, "inndustrial strength widget"), // insertion in prefix
+      (4L, "industrial strength widgets"), // insertion at end
+      (5L, "indstrial strength widge"),    // deletion + deletion (2 edits)
+      (6L, "Xndustrial strength widgeX"))  // substitution both ends
+      .toDF("dirty_id", "dirty_name")
+    val got = ops.fuzzyJoin(dirty, clean, "dirty_name", "clean_name")
+      .select("dirty_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L, 6L), got.toString)
+    // maxDist=1 drops the two-edit variants, keeps the one-edit ones
+    val tight = ops.fuzzyJoin(dirty, clean, "dirty_name", "clean_name",
+      maxDist = 1).select("dirty_id").collect().map(_.getLong(0)).toSet
+    assert(tight == Set(1L, 2L, 3L, 4L), tight.toString)
+  }
+
   test("bestMatch: argmin(dist, name) with ambiguity count") {
     val clean = Seq("card alpha", "card alphb", "card gamma")
       .toDF("clean_name")
