@@ -88,6 +88,38 @@ final class KllBuffer(val k: Int) {
   }
 }
 
+object KllBuffer {
+  /** wire format shared by kll_quantile's shuffle buffers and the
+    * MATERIALIZED kll_state column: count, nLevels, then each level's
+    * length + doubles. */
+  def toBytes(buf: KllBuffer): Array[Byte] = {
+    val n = buf.levels.map(_.length).sum
+    val bb = ByteBuffer.allocate(8 + 4 + buf.levels.length * 4 + n * 8)
+    bb.putLong(buf.count)
+    bb.putInt(buf.levels.length)
+    buf.levels.foreach { lv =>
+      bb.putInt(lv.length)
+      lv.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte], k: Int): KllBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new KllBuffer(k)
+    val count = bb.getLong
+    val nLevels = bb.getInt
+    // rebuild level structure verbatim (no re-adding: weights must stay)
+    while (buf.levels.length < nLevels) buf.levels += new ArrayBuffer[Double](k)
+    (0 until nLevels).foreach { i =>
+      val m = bb.getInt
+      (0 until m).foreach(_ => buf.levels(i) += bb.getDouble)
+    }
+    buf.count = count
+    buf
+  }
+}
+
 /** kll_quantile(col, q[, k]) — approximate quantile via a mergeable
   * KLL-style sketch with deterministic compaction. Genuine
   * partial/merge/final aggregation: each partition keeps O(k·log n)
@@ -138,32 +170,10 @@ case class KllQuantile(
 
   override def eval(buf: KllBuffer): Any = buf.quantile(q)
 
-  override def serialize(buf: KllBuffer): Array[Byte] = {
-    val n = buf.levels.map(_.length).sum
-    val bb = ByteBuffer.allocate(8 + 4 + buf.levels.length * 4 + n * 8)
-    bb.putLong(buf.count)
-    bb.putInt(buf.levels.length)
-    buf.levels.foreach { lv =>
-      bb.putInt(lv.length)
-      lv.foreach(bb.putDouble)
-    }
-    bb.array()
-  }
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = createAggregationBuffer()
-    val count = bb.getLong
-    val nLevels = bb.getInt
-    // rebuild level structure verbatim (no re-adding: weights must stay)
-    while (buf.levels.length < nLevels) buf.levels += new ArrayBuffer[Double](k)
-    (0 until nLevels).foreach { i =>
-      val m = bb.getInt
-      (0 until m).foreach(_ => buf.levels(i) += bb.getDouble)
-    }
-    buf.count = count
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes, k)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantile =
     copy(mutableAggBufferOffset = newOffset)
@@ -171,5 +181,115 @@ case class KllQuantile(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KllQuantile =
+    copy(child = newChildren.head)
+}
+
+/** kll_state(col[, k]) — the MATERIALIZED form of [[KllQuantile]]'s
+  * buffer: a per-group binary KLL sketch column (O(k·log n) doubles) a
+  * rollup table can store per period and re-aggregate to ANY coarser
+  * window via [[KllMerge]] without rescanning raw data — the quantile
+  * member of the materialized-sketch-table family beside `kmv_state`
+  * (cardinality) and the exact bitmaps. */
+case class KllState(
+    child: Expression,
+    k: Int = 256,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] {
+
+  override def prettyName: String = "kll_state"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_state requires a numeric column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+    })
+    buf
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = { a.merge(b); a }
+  override def eval(buf: KllBuffer): Any = KllBuffer.toBytes(buf)
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllState =
+    copy(child = newChildren.head)
+}
+
+/** kll_merge(state, q[, k]) / kll_merge_state(state[, k]) — re-aggregate
+  * materialized [[KllState]] columns: merge the per-period sketches and
+  * either answer a quantile (`emitState = false`) or re-emit the merged
+  * binary for a further rollup level (`emitState = true`, day→month→
+  * quarter). Merging is mergeable-but-not-lossless (compaction order
+  * shifts which samples survive) — the rank-error guarantee is what
+  * merges, pinned in KllSpec and by q_agg_kll_rollup's rank envelope. */
+case class KllMerge(
+    child: Expression,
+    q: Double,
+    k: Int = 256,
+    emitState: Boolean = false,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] {
+  require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+
+  override def prettyName: String =
+    if (emitState) "kll_merge_state" else "kll_merge"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    if (emitState) org.apache.spark.sql.types.BinaryType else DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a kll_state BINARY column, got " +
+        other.catalogString)
+  }
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(KllBuffer.fromBytes(v.asInstanceOf[Array[Byte]], k))
+    buf
+  }
+
+  override def merge(a: KllBuffer, b: KllBuffer): KllBuffer = { a.merge(b); a }
+  override def eval(buf: KllBuffer): Any =
+    if (emitState) KllBuffer.toBytes(buf) else buf.quantile(q)
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes, k)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMerge =
     copy(child = newChildren.head)
 }

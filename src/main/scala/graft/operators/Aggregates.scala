@@ -311,6 +311,50 @@ object Aggregates {
              1 AS rank50_ok, 1 AS rank95_ok
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** MATERIALIZED KLL rollup — the quantile member of the sketch-table
+    * family beside `kmv_state`: per-(flag, ship-month) binary sketch
+    * states re-aggregated to per-flag quantiles via `kll_merge`, with a
+    * THREE-level path (month → quarter states → final) run through
+    * `kll_merge_state` beside it. KLL merging is mergeable-but-not-
+    * lossless (compaction order shifts survivors), so the driver-checked
+    * claim is the GUARANTEE: both rollup paths' p50/p95 sit within the
+    * ±3% true-rank envelope measured against the raw rows — same derived-
+    * fact discipline as [[aggKllQuantile]]. */
+  val aggKllRollup = QueryDef(
+    "q_agg_kll_rollup",
+    (spark, dir) => {
+      graft.plans.GraftFunctions.ensureRegistered(spark)
+      val li = Tables(spark, dir, "lineitem")
+      val monthly = li
+        .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("mo"))
+        .agg(expr("kll_state(l_extendedprice)").as("st"))
+      val twoLevel = monthly.groupBy(col("l_returnflag"))
+        .agg(expr("kll_merge(st, 0.5D)").as("kp50"))
+      val threeLevel = monthly
+        .withColumn("qr", expr("(mo + 2) div 3"))
+        .groupBy(col("l_returnflag"), col("qr"))
+        .agg(expr("kll_merge_state(st)").as("st"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("kll_merge(st, 0.95D)").as("kp95"))
+      val sk = twoLevel.join(threeLevel, "l_returnflag")
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("kp50"), 1L)
+            .otherwise(0L)).as("c50"),
+          sum(when(col("l_extendedprice") <= col("kp95"), 1L)
+            .otherwise(0L)).as("c95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("c50") * 100 - col("n") * 50) <= col("n") * 3)
+            .cast("int").as("rank50_ok"),
+          (abs(col("c95") * 100 - col("n") * 95) <= col("n") * 3)
+            .cast("int").as("rank95_ok"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             1 AS rank50_ok, 1 AS rank95_ok
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** Aggregation over genuinely-null inputs: count(col) skips nulls,
     * sum of an all-null slice is NULL, avg ignores nulls. */
   val aggNulls = QueryDef.sqlSame(
@@ -482,6 +526,6 @@ object Aggregates {
   val all: Seq[QueryDef] = Seq(
     q1Agg, aggDistinct, aggMinMax, aggStddev, rollup, cube, groupingSets,
     aggGlobal, having, pivot, percentile, aggApproxPercentile,
-    aggKllQuantile, aggNulls, aggTyped, aggDecimalSum, aggCollect,
-    aggBitmapDistinct, aggHllDistinct)
+    aggKllQuantile, aggKllRollup, aggNulls, aggTyped, aggDecimalSum,
+    aggCollect, aggBitmapDistinct, aggHllDistinct)
 }

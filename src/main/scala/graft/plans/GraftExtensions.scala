@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-  import graft.functions.{CosineSim, FreqSketch, KllQuantile, KmvDistinct, KmvIntersect, KmvJaccard, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, UnicodeNormKernel, UnicodeNormalize, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
+  import graft.functions.{CosineSim, FreqSketch, KllMerge, KllQuantile, KllState, KmvDistinct, KmvIntersect, KmvJaccard, KmvMerge, KmvState, LenPolyHash, MinHashSig, QuantizeI8, SignProjection, SimHash64, TokenSetCount, UnicodeNormKernel, UnicodeNormalize, VecDot, VecDotI8, WordChunks, WordNgrams, ZValue}
   import org.apache.spark.sql.catalyst.expressions.Literal
 
   private def info(name: String, usage: String) =
@@ -225,6 +225,45 @@ object GraftFunctions {
           case _ => throw new IllegalArgumentException(
             "kll_quantile(col, q[, k]) requires literal q (and k)")
         }
+      }),
+    (FunctionIdentifier("kll_state"),
+      info("kll_state",
+        "kll_state(col[, k]) - mergeable KLL quantile-sketch STATE " +
+          "(binary) for materialized rollup tables"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KllState(c)
+        case Seq(c, Literal(k: Int, _)) => KllState(c, k)
+        case _ => throw new IllegalArgumentException(
+          "kll_state(col[, k]) requires a literal k")
+      }),
+    (FunctionIdentifier("kll_merge"),
+      info("kll_merge",
+        "kll_merge(state, q[, k]) - quantile from merged kll_state columns"),
+      (args: Seq[Expression]) => {
+        def qOf(e: Expression): Double = e match {
+          case Literal(q: Double, _) => q
+          case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+          case Literal(i: Int, _) => i.toDouble
+          case Literal(l: Long, _) => l.toDouble
+          case other => throw new IllegalArgumentException(
+            s"kll_merge: q must be a numeric literal, got $other")
+        }
+        args match {
+          case Seq(c, qe) => KllMerge(c, qOf(qe))
+          case Seq(c, qe, Literal(k: Int, _)) => KllMerge(c, qOf(qe), k)
+          case _ => throw new IllegalArgumentException(
+            "kll_merge(state, q[, k]) requires literal q (and k)")
+        }
+      }),
+    (FunctionIdentifier("kll_merge_state"),
+      info("kll_merge_state",
+        "kll_merge_state(state[, k]) - merged kll_state binary for a " +
+          "further rollup level"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => KllMerge(c, 0.5, emitState = true)
+        case Seq(c, Literal(k: Int, _)) => KllMerge(c, 0.5, k, emitState = true)
+        case _ => throw new IllegalArgumentException(
+          "kll_merge_state(state[, k]) requires a literal k")
       }),
     (FunctionIdentifier("quantize_i8"),
       info("quantize_i8",

@@ -47,4 +47,38 @@ class KllSpec extends GraftSpecBase {
       .agg(expr("kll_quantile(v, 0.5D)")).head.getDouble(0)
     assert(none.isNaN)
   }
+
+  test("materialized kll_state rollups stay within the rank bound") {
+    // the quantile member of the materialized-sketch-table family: per-
+    // month binary states re-aggregated two- AND three-level; KLL merge
+    // is mergeable-but-not-lossless, so the claim that survives rollup is
+    // the RANK-ERROR guarantee, not value equality with the direct sketch
+    import org.apache.spark.sql.functions.month
+    val n = li.count()
+    val monthly = li
+      .groupBy(month(col("l_shipdate")).as("mo"))
+      .agg(expr("kll_state(l_extendedprice)").as("st"))
+    val two = monthly.agg(expr("kll_merge(st, 0.5D)")).head.getDouble(0)
+    val r2 = li.filter(col("l_extendedprice") <= two).count()
+    assert(math.abs(r2.toDouble - 0.5 * n) / n <= 0.03, s"two-level $two")
+    val three = monthly
+      .withColumn("qr", expr("(mo + 2) div 3"))
+      .groupBy(col("qr")).agg(expr("kll_merge_state(st)").as("st"))
+      .agg(expr("kll_merge(st, 0.95D)")).head.getDouble(0)
+    val r3 = li.filter(col("l_extendedprice") <= three).count()
+    assert(math.abs(r3.toDouble - 0.95 * n) / n <= 0.03,
+      s"three-level $three")
+    // a state column is small: O(k log n) doubles, not the raw rows
+    val bytes = monthly.selectExpr("max(octet_length(st))")
+      .head.getInt(0)
+    assert(bytes < 64 * 1024, s"state unexpectedly big: $bytes bytes")
+  }
+
+  test("kll_merge rejects a non-binary child at analysis") {
+    val e = intercept[Exception] {
+      li.agg(expr("kll_merge(l_extendedprice, 0.5D)")).collect()
+    }
+    assert(e.getMessage.contains("BINARY") ||
+      e.getMessage.contains("kll_merge"), e.getMessage)
+  }
 }
