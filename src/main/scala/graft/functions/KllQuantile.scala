@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DataType, Decimal, DoubleType, NumericType}
 final class KllBuffer(val k: Int) {
   val levels: ArrayBuffer[ArrayBuffer[Double]] =
     ArrayBuffer(new ArrayBuffer[Double](k))
-  private val compactions = ArrayBuffer(0)
+  private[functions] val compactions = ArrayBuffer(0)
   var count: Long = 0L
 
   def add(v: Double): Unit = {
@@ -90,11 +90,13 @@ final class KllBuffer(val k: Int) {
 
 object KllBuffer {
   /** wire format shared by kll_quantile's shuffle buffers and the
-    * MATERIALIZED kll_state column: count, nLevels, then each level's
-    * length + doubles. */
+    * MATERIALIZED kll_state column: k, count, nLevels, then each level's
+    * length + doubles. k travels IN the state so a rollup can't silently
+    * reinterpret a sketch under a different compaction parameter. */
   def toBytes(buf: KllBuffer): Array[Byte] = {
     val n = buf.levels.map(_.length).sum
-    val bb = ByteBuffer.allocate(8 + 4 + buf.levels.length * 4 + n * 8)
+    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 4 + n * 8)
+    bb.putInt(buf.k)
     bb.putLong(buf.count)
     bb.putInt(buf.levels.length)
     buf.levels.foreach { lv =>
@@ -106,11 +108,25 @@ object KllBuffer {
 
   def fromBytes(bytes: Array[Byte], k: Int): KllBuffer = {
     val bb = ByteBuffer.wrap(bytes)
+    val encodedK = bb.getInt
+    // a k mismatch would silently degrade the documented 1.5/k rank-error
+    // guarantee (the state's levels were compacted under encodedK) — fail
+    // loudly instead: kll_merge over kll_state(col, 64) states must be
+    // called as kll_merge(st, q, 64)
+    require(encodedK == k,
+      s"kll state was built with k=$encodedK but is being read with k=$k" +
+        " — pass the state's own k to kll_merge/kll_merge_state")
     val buf = new KllBuffer(k)
     val count = bb.getLong
     val nLevels = bb.getInt
-    // rebuild level structure verbatim (no re-adding: weights must stay)
-    while (buf.levels.length < nLevels) buf.levels += new ArrayBuffer[Double](k)
+    // rebuild level structure verbatim (no re-adding: weights must stay);
+    // grow levels and compaction counters in LOCKSTEP — a deserialized
+    // buffer that later becomes a merge target or receives add() compacts
+    // at i >= 1 and indexes compactions(i)
+    while (buf.levels.length < nLevels) {
+      buf.levels += new ArrayBuffer[Double](k)
+      buf.compactions += 0
+    }
     (0 until nLevels).foreach { i =>
       val m = bb.getInt
       (0 until m).foreach(_ => buf.levels(i) += bb.getDouble)

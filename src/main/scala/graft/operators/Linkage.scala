@@ -26,11 +26,21 @@ import org.apache.spark.sql.functions._
   * maxDist edits leaves at least one segment untouched, so that segment
   * appears VERBATIM in the dirty string at a start position shifted by at
   * most maxDist. The dirty side therefore enumerates, for every segment
-  * index, every plausible clean length (±maxDist) and every shift
-  * (±maxDist), and emits the corresponding substrings as its keys —
-  * (2·maxDist+1)² · (maxDist+1) raw keys per record, ~30 after the
-  * per-record DISTINCT. Join on (segment index, segment text) → 100%
-  * recall FOR ANY EDIT PATTERN, prefix edits included (the round-7
+  * index i, every plausible clean length (Δ ∈ ±maxDist) and the
+  * POSITION-AWARE shift window (the multi-match-aware substring selection
+  * of Li, Deng & Feng's Pass-Join, PVLDB 5(1) 2011: there always exists
+  * an untouched segment whose start shift sh satisfies
+  * `max(−i, Δ−(d−i)) ≤ sh ≤ min(i, Δ+(d−i))` — at most i edits land
+  * before segment i and at most d−i after it, in the alignment the lemma
+  * picks), and emits the corresponding substrings as its keys. For
+  * maxDist = 2 that is 19 raw keys per record instead of the naive
+  * (2d+1)²·(d+1) = 75 — same 100% recall, ~4× less key traffic. Keys
+  * also carry the ASSUMED CLEAN LENGTH (length bucketing): a clean
+  * string only joins segment keys derived for exactly its own length,
+  * pruning cross-length collisions from the candidate set for free
+  * (the dirty side already enumerates every plausible length). Join on
+  * (segment index, clean length, segment text) → 100% recall FOR ANY
+  * EDIT PATTERN, prefix edits included (the round-7
   * 4-char-prefix block was blind to edits inside the prefix and, worse,
   * had BOUNDED key cardinality — TPC-H names start with ~90 color words,
   * so blocks grew linearly with the catalog and Σ|block|² quadratically).
@@ -62,40 +72,47 @@ object Linkage {
       cleanCol: String, maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val m = maxDist + 1
-    // clean side: m segments per record — (seg_i, seg) keys
+    // clean side: m segments per record — (seg_i, lc, seg) keys, where
+    // lc is the clean string's own length (the length bucket)
     val cKeys = clean
       .withColumn("seg_i", explode(sequence(lit(0), lit(maxDist))))
-      .withColumn("seg_p",
-        expr(s"(seg_i * length($cleanCol)) div $m + 1"))
+      .withColumn("lc", length(col(cleanCol)).cast("int"))
+      .withColumn("seg_p", expr(s"(seg_i * lc) div $m + 1"))
       .withColumn("seg_l",
-        expr(s"((seg_i + 1) * length($cleanCol)) div $m" +
-          s" - (seg_i * length($cleanCol)) div $m"))
+        expr(s"((seg_i + 1) * lc) div $m - (seg_i * lc) div $m"))
       .filter(col("seg_l") >= 1)
       .withColumn("seg", expr(s"substr($cleanCol, seg_p, seg_l)"))
       .drop("seg_p", "seg_l")
-    // dirty side: for every segment index × candidate clean length
-    // (±maxDist) × shift (±maxDist), the substring where an untouched
-    // clean segment could sit — then DISTINCT per record. (An in-row
-    // array_distinct over named_structs measured 2.3× SLOWER than this
-    // explode + hash-distinct at sf0.1 — struct-array allocation beats
-    // the shuffle it saves; revisited r8.)
+    // dirty side: for every segment index i × candidate clean length
+    // (Δ ∈ ±maxDist) × position-aware shift (sh bounded by
+    // max(−i, Δ−(d−i)) .. min(i, Δ+(d−i)) — the Pass-Join multi-match-
+    // aware window; the bounds are never empty since Δ ∈ [−d, d]), the
+    // substring where an untouched clean segment could sit. No
+    // per-record key DISTINCT: the pruned enumeration emits only ~19 raw
+    // keys (few of them duplicates), so the shuffle a pre-distinct costs
+    // outweighs the join traffic it saves (measured r9: dropping it cut
+    // the 3-query sf0.1 bench ~8% and the 100×/30× gate ratio to 1.3×);
+    // the candidate-level distinct below normalizes the pair set either
+    // way, so results are blocking-identical.
     val dKeys = dirty
       .withColumn("seg_i", explode(sequence(lit(0), lit(maxDist))))
       .withColumn("dl",
         explode(sequence(lit(-maxDist), lit(maxDist))))
       .withColumn("lc", expr(s"length($dirtyCol) + dl"))
-      .withColumn("sh",
-        explode(sequence(lit(-maxDist), lit(maxDist))))
+      // the lemma's Δ = |dirty| − |clean| = −dl (dl is the assumed
+      // clean-length delta over the dirty length)
+      .withColumn("sh", explode(sequence(
+        greatest(-col("seg_i"), -col("dl") - (lit(maxDist) - col("seg_i"))),
+        least(col("seg_i"), -col("dl") + (lit(maxDist) - col("seg_i"))))))
       .withColumn("seg_p", expr(s"(seg_i * lc) div $m + 1 + sh"))
       .withColumn("seg_l",
         expr(s"((seg_i + 1) * lc) div $m - (seg_i * lc) div $m"))
       .filter(col("seg_l") >= 1 && col("seg_p") >= 1 &&
         col("seg_p") + col("seg_l") - 1 <= length(col(dirtyCol)))
       .withColumn("seg", expr(s"substr($dirtyCol, seg_p, seg_l)"))
-      .drop("dl", "lc", "sh", "seg_p", "seg_l")
-      .distinct()
-    dKeys.join(cKeys, Seq("seg_i", "seg"))
-      .drop("seg_i", "seg")
+      .drop("dl", "sh", "seg_p", "seg_l")
+    dKeys.join(cKeys, Seq("seg_i", "lc", "seg"))
+      .drop("seg_i", "lc", "seg")
       .distinct()
       .withColumn("dist", levenshtein(col(dirtyCol), col(cleanCol)))
       .filter(col("dist") <= lit(maxDist))
@@ -125,9 +142,12 @@ object Linkage {
   // floor division ⇔ Spark `div`.
   private def duckFuzzy(maxDist: Int): String = {
     val m = maxDist + 1
+    // The position-aware shift window is spelled as a WHERE filter over
+    // the full ±maxDist shift range — set-identical to the Spark side's
+    // bounded sequence(), since the bounds always lie inside [−d, d].
     s"""
       ckeys AS (
-        SELECT clean_name, gi.i AS seg_i,
+        SELECT clean_name, gi.i AS seg_i, length(clean_name) AS lc,
                substr(clean_name,
                       (gi.i * length(clean_name)) // $m + 1,
                       ((gi.i + 1) * length(clean_name)) // $m
@@ -136,25 +156,28 @@ object Linkage {
         WHERE ((gi.i + 1) * length(clean_name)) // $m
                 - (gi.i * length(clean_name)) // $m >= 1),
       dkeys AS (
-        SELECT DISTINCT dirty_id, dirty_name, seg_i,
+        SELECT DISTINCT dirty_id, dirty_name, seg_i, lc,
                substr(dirty_name, seg_p, seg_l) AS seg
         FROM (
-          SELECT d.dirty_id, d.dirty_name, gi.i AS seg_i,
+          SELECT d.dirty_id, d.dirty_name, gi.i AS seg_i, d.lc, d.dl,
+                 gs.sh,
                  (gi.i * d.lc) // $m + 1 + gs.sh AS seg_p,
                  ((gi.i + 1) * d.lc) // $m
                    - (gi.i * d.lc) // $m AS seg_l
-          FROM (SELECT dirty_id, dirty_name,
+          FROM (SELECT dirty_id, dirty_name, gd.dl,
                        length(dirty_name) + gd.dl AS lc
                 FROM dirty,
                      generate_series(-$maxDist, $maxDist) AS gd(dl)) d,
                generate_series(0, $maxDist) AS gi(i),
                generate_series(-$maxDist, $maxDist) AS gs(sh))
         WHERE seg_l >= 1 AND seg_p >= 1
-          AND seg_p + seg_l - 1 <= length(dirty_name)),
+          AND seg_p + seg_l - 1 <= length(dirty_name)
+          AND sh >= greatest(-seg_i, -dl - ($maxDist - seg_i))
+          AND sh <= least(seg_i, -dl + ($maxDist - seg_i))),
       cand AS (
         SELECT DISTINCT k.dirty_id, k.dirty_name, c.clean_name
         FROM dkeys k JOIN ckeys c
-          ON k.seg_i = c.seg_i AND k.seg = c.seg)"""
+          ON k.seg_i = c.seg_i AND k.lc = c.lc AND k.seg = c.seg)"""
   }
 
   // ---- fixture corruption (shared by both queries + their oracles) ----

@@ -321,9 +321,19 @@ object Retrieval {
       .filter(col("c_ab") >= minSupport)
     val w = Window.partitionBy(col("bp_i"))
       .orderBy(col("c_ab").desc, col("bp_j"))
-    pairs.join(broadcast(counts), "bp_i")
+    // Top-k BEFORE the counts join: the window shrinks pairs to ≤topK
+    // rows per item AND leaves them hash-partitioned on bp_i, so the
+    // equi-join with counts reuses that partitioning (counts alone
+    // shuffles). counts has one row per DISTINCT item — at 100 TB an
+    // item catalog can be 10⁸ rows, so it must NOT carry a broadcast()
+    // HINT (an unconditional driver-OOM candidate; round-8 flaw). With
+    // no hint the join is size-gated: AQE broadcasts it at test SFs
+    // where counts is actually tiny, and falls back to the shuffle join
+    // on the shared key once the catalog outgrows the threshold.
+    pairs
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
+      .join(counts, "bp_i")
       .withColumn("conf_permille", expr("1000 * c_ab DIV c_a"))
       .select(col("bp_i").as("item"), col("bp_j").as("co_item"),
         col("c_ab"), col("c_a"), col("conf_permille"), col("rn"))

@@ -648,8 +648,12 @@ object TextAnalysis {
     * scale. Returns the frame + (redacted, was_redacted). */
   def redactPii(docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    // recall-biased email charset: +/%/- in the local part and hyphens in
+    // the domain are common ('user+tag@gmail.com', 'a-b@my-host.com') — a
+    // narrower class leaves residual fragments behind. The precision-gated
+    // piiFlags counter keeps its own narrower pattern by design.
     val steps = Seq(
-      "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+" -> "[EMAIL]",
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+" -> "[EMAIL]",
       "\\\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\\\b" -> "[PHONE]",
       "\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
         -> "[IP]",
@@ -706,7 +710,7 @@ object TextAnalysis {
         SELECT source,
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                  salted,
-                 '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '[EMAIL]', 'g'),
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '[EMAIL]', 'g'),
                  '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
                  '[IP]', 'g'),

@@ -5,31 +5,30 @@ Project
         Sort
           Exchange
             HashAggregate
-              HashAggregate
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    HashAggregate
-                      Exchange
-                        HashAggregate
-                          Project
-                            Filter
-                              Generate
-                                Project
-                                  Filter
-                                    Generate
-                                      Generate
-                                        Project
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                    Project
-                      Filter
-                        Generate
-                          HashAggregate
-                            Exchange
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        Filter
+                          Generate
+                            Project
+                              Filter
+                                Generate
+                                  Generate
+                                    Project
+                                      Project
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                      Project
+                        Project
+                          Filter
+                            Generate
                               HashAggregate
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
+                                Exchange
+                                  HashAggregate
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 

@@ -74,6 +74,35 @@ class KllSpec extends GraftSpecBase {
     assert(bytes < 64 * 1024, s"state unexpectedly big: $bytes bytes")
   }
 
+  test("kll_merge fails loudly on a k mismatch instead of degrading") {
+    // states built with k=64 read under the default k=256 would silently
+    // reinterpret the compaction parameter and void the 1.5/k rank bound
+    // (ADVICE r8) — the encoded-k header must reject the merge...
+    val st64 = li.limit(1000)
+      .agg(expr("kll_state(l_extendedprice, 64)").as("st"))
+    val e = intercept[Exception] { st64.selectExpr("kll_merge(st, 0.5D)")
+      .collect() }
+    assert(e.getMessage.contains("k=64"), e.getMessage)
+    // ...and the matching k merges fine
+    val ok = st64.selectExpr("kll_merge(st, 0.5D, 64)").head.getDouble(0)
+    assert(!ok.isNaN)
+  }
+
+  test("deserialized buffer survives add() and deep compaction") {
+    // round-trip a multi-level sketch through the wire format, then keep
+    // feeding it: compactions must have grown in lockstep with levels
+    // (ADVICE r8 — fromBytes used to leave compactions at length 1)
+    import graft.functions.KllBuffer
+    val b = new KllBuffer(8)
+    (1 to 500).foreach(i => b.add(i.toDouble))
+    assert(b.levels.length > 2, s"want a multi-level sketch: ${b.levels.length}")
+    val rt = KllBuffer.fromBytes(KllBuffer.toBytes(b), 8)
+    (501 to 2000).foreach(i => rt.add(i.toDouble)) // compacts at i >= 1
+    assert(rt.count == 2000L)
+    val med = rt.quantile(0.5)
+    assert(math.abs(med - 1000.0) / 2000.0 <= 0.2, s"median $med")
+  }
+
   test("kll_merge rejects a non-binary child at analysis") {
     val e = intercept[Exception] {
       li.agg(expr("kll_merge(l_extendedprice, 0.5D)")).collect()

@@ -19,7 +19,9 @@ class RedactStitchSpec extends GraftSpecBase {
       (3L, "server at 10.0.0.1 is down"),
       (4L, "card 4111111111111111 expires"),   // Luhn-VALID
       (5L, "decoy 4111111111111112 number"),   // Luhn-INVALID
-      (6L, "nothing sensitive here")).toDF("doc_id", "text")
+      (6L, "nothing sensitive here"),
+      (7L, "reach user+tag@gmail.com or a-b@my-host.com today"))
+      .toDF("doc_id", "text")
     val r = ops.redactPii(docs).collect()
       .map(x => x.getAs[Long]("doc_id") ->
         (x.getAs[String]("redacted"), x.getAs[Boolean]("was_redacted")))
@@ -35,6 +37,9 @@ class RedactStitchSpec extends GraftSpecBase {
       .select("pii_cards").head.getLong(0)
     assert(flags == 0L, "flags stay precision-gated (decoy not counted)")
     assert(!r(6L)._2 && r(6L)._1 == "nothing sensitive here")
+    // recall charset: +/% in the local part, hyphens both sides — no
+    // 'user+' / '-host.com' fragments may survive (ADVICE r8)
+    assert(r(7L)._1 == "reach [EMAIL] or [EMAIL] today", r(7L)._1)
   }
 
   test("stitchPairs finds tail=head continuations, never all-pairs shapes") {
