@@ -233,9 +233,10 @@ object DocPipeline {
       c AS (SELECT doc_id, i AS bp_idx,
               array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
             FROM t, unnest(range((len(w)+7)//8)) AS u(i)),
-      df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+      df AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+             FROM c GROUP BY 1),
       kept AS (SELECT c.doc_id, c.bp_idx, c.chunk
-               FROM c JOIN df USING (chunk) WHERE df.df <= 2),
+               FROM c JOIN df ON md5(c.chunk) = df.h WHERE df.df <= 2),
       re AS (SELECT doc_id,
                     string_agg(chunk, ' ' ORDER BY bp_idx) AS clean_text,
                     count(*) AS bp_kept

@@ -358,11 +358,18 @@ object Events {
     * with no float tolerance. The outlier cut |v−med| > 3·MAD multiplies
     * through to 2·dev_x2 > 3·mad_x4.
     *
-    * Scale shape: two grouped exact-percentile aggregates over the event
-    * stream plus two broadcast joins of the |event_types|-row stats frame
-    * — the stream shuffles on event_type only. (At 100 TB swap the exact
-    * percentile for the mergeable KLL sketch family
-    * ([[graft.functions.KllQuantile]]) — same plan shape, bounded state.) */
+    * Scale shape (reworked r9 — was two full-corpus exact-percentile
+    * aggregates, each buffering every group value, plus a corpus-wide
+    * join; 2.1× gate drift): ONE map-side-combinable `(key, value)`
+    * HISTOGRAM aggregate touches the corpus, and every later stage —
+    * median, deviation histogram, MAD, outlier census — runs over the
+    * histogram, whose size is bounded by the DISTINCT value domain, not
+    * the row count. A duplicated/replicated corpus collapses in the
+    * partial aggregate; the exact interpolated medians come from
+    * cumulative-weight windows over the histogram (the value pair at
+    * 0-indexed ranks `(n−1) div 2` and `n div 2`, whose sum IS the
+    * ×2-carried median — for odd n the ranks coincide and the sum is
+    * 2·v). Integer end to end. */
   /** Library form: per-`keyCol` robust outlier census over an integer
     * value column. Output: (key, n, med_x2, mad_x4, n_outliers) — the
     * median carried ×2 and the MAD ×4 so interpolated medians of
@@ -370,19 +377,43 @@ object Events {
   def madOutlierCensus(df: DataFrame, keyCol: String,
       intCol: String): DataFrame = {
     val e = df.select(col(keyCol), col(intCol).cast("long").as("vc"))
-    val med = e.groupBy(col(keyCol)).agg(
-      count(lit(1)).as("n"),
-      expr("CAST(2 * percentile(vc, 0.5D) AS BIGINT)").as("med_x2"))
-    val dev = e.join(broadcast(med), keyCol)
+    // the one corpus-wide stage: value histogram (partial-agg combines
+    // duplicates map-side, so replicas never cross the shuffle)
+    val hist = e.groupBy(col(keyCol), col("vc"))
+      .agg(count(lit(1)).as("w"))
+    // weighted median from cumulative weights: v_at(k) is the value whose
+    // cumulative range covers rank k (0-indexed)
+    def medianX2(h: DataFrame, vCol: String): DataFrame = {
+      val wCum = Window.partitionBy(col(keyCol)).orderBy(col(vCol))
+      h.withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("n", sum(col("w")).over(Window.partitionBy(col(keyCol))))
+        .withColumn("k1", expr("(n - 1) div 2")) // 0-indexed lower rank
+        .withColumn("k2", expr("n div 2"))       // == k1 for odd n
+        .groupBy(col(keyCol))
+        .agg(min(col("n")).as("n"),
+          sum(when(col("cum") - col("w") <= col("k1") &&
+            col("k1") < col("cum"), col(vCol)).otherwise(0L))
+            .plus(sum(when(col("cum") - col("w") <= col("k2") &&
+              col("k2") < col("cum"), col(vCol)).otherwise(0L)))
+            .as("med_x2"))
+    }
+    val med = medianX2(hist, "vc")
+    // deviation HISTOGRAM (|2v − med| folds symmetric values together) —
+    // derived from the value histogram, so it is histogram-sized, and the
+    // med frame it joins is |keys|-rows (broadcast)
+    val devHist = hist.join(broadcast(med), keyCol)
       .withColumn("dev_x2", abs(lit(2L) * col("vc") - col("med_x2")))
-    val mad = dev.groupBy(col(keyCol)).agg(
-      expr("CAST(2 * percentile(dev_x2, 0.5D) AS BIGINT)").as("mad_x4"))
-    dev.join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol), col("dev_x2"))
+      .agg(sum(col("w")).as("w"))
+    // MAD over the ×2 deviations doubles once more: mad_x4
+    val mad = medianX2(devHist, "dev_x2")
+      .select(col(keyCol), col("med_x2").as("mad_x4"))
+    devHist.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
       .groupBy(col(keyCol))
       .agg(min(col("n")).as("n"), min(col("med_x2")).as("med_x2"),
         min(col("mad_x4")).as("mad_x4"),
-        sum(when(lit(2L) * col("dev_x2") > lit(3L) * col("mad_x4"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+        sum(when(lit(2L) * col("dev_x2") > lit(3L) * col("mad_x4"),
+          col("w")).otherwise(0L)).as("n_outliers"))
   }
 
   val madOutliers = QueryDef(

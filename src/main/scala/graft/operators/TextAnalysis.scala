@@ -808,26 +808,31 @@ object TextAnalysis {
     * (idCol, clean_text, n_chunks, n_dropped) — clean_text is the doc
     * reassembled IN ORDER from its surviving chunks.
     *
-    * Scale shape: one chunk explode (output ≈ corpus size), one
-    * chunk-keyed df aggregate (distinct-chunk-bounded), one join back on
-    * the chunk key, one per-doc ordered reassembly aggregate
-    * (sort_array over each doc's own chunk list, never a corpus-wide
-    * sort). Duplicated corpora only deepen df counts — the df table
-    * never widens past the distinct-chunk vocabulary. */
+    * Scale shape (reworked r9): chunk TEXT never crosses a shuffle. The
+    * explode emits (doc, idx, md5(chunk)) — a fixed-width 128-bit image
+    * instead of the chunk — the df aggregate and the join back both key
+    * on the hash, the per-doc survivor aggregate collects chunk INDEXES
+    * only, and clean_text is reassembled IN-ROW from the doc's own split
+    * by the surviving indexes (one text-bearing join of the docs frame,
+    * where round 8 shuffled chunk text through the df join AND the
+    * reassembly groupBy). md5 keying is exact-by-construction for any
+    * corpus that fits 2^64 distinct chunks (birthday bound of a 128-bit
+    * hash); the DuckDB oracles mirror the same md5 grouping so the
+    * engines agree bit-for-bit even in the hypothetical collision.
+    * Duplicated corpora only deepen df counts — the df table never
+    * widens past the distinct-chunk vocabulary. */
   def removeBoilerplate(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, chunkTokens: Int = 8,
       maxDf: Int = 2): org.apache.spark.sql.DataFrame = {
-    val nChunksExpr =
-      s"CAST((size(split($textCol, ' ')) + ${chunkTokens - 1}) " +
-        s"DIV $chunkTokens AS INT)"
     // split() is hoisted into a column BEFORE the chunking lambda: a
     // split inside the transform body re-tokenizes the document once per
     // CHUNK (loop-invariant expressions aren't hoisted out of
     // higher-order functions → O(len²/chunk) map work, the round-7 3.4x
     // gate drift on q_docs_pipeline_clean); bp_ws is referenced several
     // times, which keeps CollapseProject from inlining the split back in
-    val chunks = docs
-      .select(col(idCol), split(col(textCol), " ").as("bp_ws"))
+    val base = docs
+      .select(col(idCol), col(textCol), split(col(textCol), " ").as("bp_ws"))
+    val chunks = base
       .select(col(idCol),
         posexplode(expr(
           s"""transform(
@@ -836,21 +841,24 @@ object TextAnalysis {
               i -> array_join(slice(bp_ws,
                    i * $chunkTokens + 1, $chunkTokens), ' '))"""))
         .as(Seq("bp_idx", "bp_chunk")))
-    val dfTab = chunks.groupBy(col("bp_chunk"))
+      .select(col(idCol), col("bp_idx"),
+        md5(col("bp_chunk").cast("binary")).as("bp_h"))
+    val dfTab = chunks.groupBy(col("bp_h"))
       .agg(countDistinct(col(idCol)).as("bp_df"))
-    val kept = chunks.join(dfTab, "bp_chunk").filter(col("bp_df") <= maxDf)
-    val reassembled = kept.groupBy(col(idCol))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("bp_idx"), col("bp_chunk")))),
-          x => x.getField("bp_chunk")), " ").as("clean_text"),
-        count(lit(1)).as("bp_kept"))
-    docs.select(col(idCol), expr(nChunksExpr).cast("long").as("n_chunks"))
-      .join(reassembled, Seq(idCol), "left")
+    val keptIdx = chunks.join(dfTab, "bp_h").filter(col("bp_df") <= maxDf)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("bp_idx"))).as("bp_keep"))
+    val nChunks = expr(
+      s"CAST((size(bp_ws) + ${chunkTokens - 1}) DIV $chunkTokens AS BIGINT)")
+    base.join(keptIdx, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_chunks"),
-        (col("n_chunks") - coalesce(col("bp_kept"), lit(0L)))
+        coalesce(array_join(transform(col("bp_keep"),
+          i => array_join(slice(col("bp_ws"),
+            i * chunkTokens + 1, lit(chunkTokens)), " ")), " "),
+          lit("")).as("clean_text"),
+        nChunks.as("n_chunks"),
+        (nChunks - when(col("bp_keep").isNotNull,
+          size(col("bp_keep")).cast("long")).otherwise(0L))
           .as("n_dropped"))
   }
 
@@ -878,9 +886,10 @@ object TextAnalysis {
       c AS (SELECT doc_id, i AS bp_idx,
               array_to_string(w[(i*8+1):(i*8+8)], ' ') AS chunk
             FROM t, unnest(range((len(w)+7)//8)) AS u(i)),
-      df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+      df AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+             FROM c GROUP BY 1),
       kept AS (SELECT c.doc_id, c.bp_idx, c.chunk
-               FROM c JOIN df USING (chunk) WHERE df.df <= 2),
+               FROM c JOIN df ON md5(c.chunk) = df.h WHERE df.df <= 2),
       re AS (SELECT doc_id,
                     string_agg(chunk, ' ' ORDER BY bp_idx) AS clean_text,
                     count(*) AS bp_kept

@@ -229,6 +229,35 @@ object ScaleSmoke {
     * FLAT (1.8s→1.4s) on the identical corpus. */
   val gateExempt = Set("q_dedup_clusters", "q_dedup_minhash_lsh")
 
+  /** Written adjudications for entries that sit in the >2.0× watch band
+    * (above the ~1-1.5× most entries show once the per-query scheduling
+    * floor amortizes, still inside the hard budget): WHY the growth is
+    * the input's, not a plan flaw. Printed with the gate line whenever
+    * the measured ratio exceeds 2.0, so the log is self-justifying
+    * (VERDICT r8 #3). */
+  val adjudications: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      ("O(m^1.5) by algorithm: degree-oriented wedge counting is bounded " +
+        "by sum(min-deg oriented wedges) ~ m^1.5; replication multiplies " +
+        "m 3.3x, so the envelope allows up to ~6x. Input-shape-bound."),
+    "q_events_transitions" ->
+      ("window-sort-bound: per-user streams grow with replication (same " +
+        "users, 3.3x events each), and ordering each stream is the " +
+        "operator's definition — no pre-aggregation can reorder a lag(). " +
+        "Ratio stays below the 3.3x data growth = sublinear."),
+    "q_events_mad_outliers" ->
+      ("corpus-linear by construction after the r9 histogram rework: the " +
+        "one corpus-wide stage is a map-side-combinable (key,value) " +
+        "census; everything after runs on the value-domain-bounded " +
+        "histogram."),
+    "q_docs_pipeline_clean" ->
+      ("corpus-linear: scrub regexes and chunk hashing are pure map " +
+        "work, the df census ships fixed-width md5 keys (r9 rework — " +
+        "chunk text no longer crosses any shuffle), and replicas are " +
+        "DISTINCT doc_ids so exact df must see each one. Subtracting " +
+        "the ~0.5s scheduling floor the growth matches the 3.3x data " +
+        "ratio; the 2.3-2.7x run-to-run band is noise on that floor."))
+
   private def parityShapes: Set[String] =
     SparkEntry.registry.filter(_.parityShape).map(_.name).toSet
 
@@ -343,6 +372,8 @@ object ScaleSmoke {
         println(f"[scale-gate] $name%-24s x$fA=${tA(name)}%.2fs " +
           f"x$fB=${tB(name)}%.2fs ratio=${ratio}%.1f budget=${budget}%.1f " +
           verdict)
+        if (ratio > 2.0) adjudications.get(name).foreach(why =>
+          println(s"[scale-gate]   adjudicated: $why"))
         ratio > budget && !tagged
       }
       spark.stop()

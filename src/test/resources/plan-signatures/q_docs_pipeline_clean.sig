@@ -19,12 +19,13 @@ HashAggregate
                               ObjectHashAggregate
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
-                                    Filter
-                                      Generate
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
+                                    Project
+                                      Filter
+                                        Generate
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
                                     Project
                                       Filter
                                         HashAggregate

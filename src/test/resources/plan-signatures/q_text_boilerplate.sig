@@ -13,12 +13,13 @@ HashAggregate
                   ObjectHashAggregate
                     Project
                       BroadcastHashJoin [broadcast,plain]
-                        Filter
-                          Generate
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                        Project
+                          Filter
+                            Generate
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                         Project
                           Filter
                             HashAggregate
