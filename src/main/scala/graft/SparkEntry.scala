@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Subqueries.all ++
       operators.GoldenSql.all ++
       operators.GoldenSqlt.all ++
+      operators.GoldenSqltWindow.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
