@@ -22,6 +22,8 @@ object SparkEntry {
       operators.GoldenSql.all ++
       operators.GoldenSqlt.all ++
       operators.GoldenSqltWindow.all ++
+      operators.GoldenSqltSubquery.all ++
+      operators.GoldenSqltGroupHof.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
