@@ -378,9 +378,13 @@ object Events {
       intCol: String): DataFrame = {
     val e = df.select(col(keyCol), col(intCol).cast("long").as("vc"))
     // the one corpus-wide stage: value histogram (partial-agg combines
-    // duplicates map-side, so replicas never cross the shuffle)
+    // duplicates map-side, so replicas never cross the shuffle). persist:
+    // three consumers (median, deviation histogram, outlier census) must
+    // not re-scan the corpus — released by the runner's per-query
+    // clearCache, same contract as triangles/basket
     val hist = e.groupBy(col(keyCol), col("vc"))
       .agg(count(lit(1)).as("w"))
+      .persist()
     // weighted median from cumulative weights: v_at(k) is the value whose
     // cumulative range covers rank k (0-indexed)
     def medianX2(h: DataFrame, vCol: String): DataFrame = {
@@ -405,6 +409,7 @@ object Events {
       .withColumn("dev_x2", abs(lit(2L) * col("vc") - col("med_x2")))
       .groupBy(col(keyCol), col("dev_x2"))
       .agg(sum(col("w")).as("w"))
+      .persist() // two consumers: MAD median + the outlier census
     // MAD over the ×2 deviations doubles once more: mad_x4
     val mad = medianX2(devHist, "dev_x2")
       .select(col(keyCol), col("med_x2").as("mad_x4"))

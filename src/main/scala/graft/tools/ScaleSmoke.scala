@@ -159,9 +159,15 @@ object ScaleSmoke {
     Map(
       "op_kmeans_i8" -> { (spark, dir) =>
         graft.plans.GraftFunctions.ensureRegistered(spark)
-        val rep = spark.read.parquet(s"$dir/embeddings_rep.parquet")
+        // scratch dirs carry the replicated fact variant; plain testdata
+        // dirs (plan-signature pinning) fall back to the dim-sized table
+        val rep = s"$dir/embeddings_rep.parquet"
+        val path = if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(rep))) rep
+          else s"$dir/embeddings.parquet"
+        val e = spark.read.parquet(path)
           .select(col("vec_id"), expr("quantize_i8(embedding)").as("v"))
-        graft.ops.kmeansI8(rep, "vec_id", "v", k = 8, iters = 2)
+        graft.ops.kmeansI8(e, "vec_id", "v", k = 8, iters = 2)
       },
       // leakage-safe split as the pipeline runs it at scale: exact dedup
       // collapses the replicated corpus FIRST (one md5 shuffle), so the
@@ -214,8 +220,9 @@ object ScaleSmoke {
   private def runner(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     extraRunners.getOrElse(name, SparkEntry.queries(name))
 
-  /** [[ScaleProbe]] hook: resolve a gate entry by name. */
-  private[tools] def runnerFor(name: String) = runner(name)
+  /** [[ScaleProbe]] / PlanStabilitySpec hook: resolve a gate entry by
+    * name (registry queries AND the op_* scale-only runners). */
+  private[graft] def runnerFor(name: String) = runner(name)
 
   /** Gate exemptions beyond parityShape, each with the reason on record:
     * q_dedup_clusters is linear in its INPUT (the near-dup pair list), and

@@ -1,0 +1,6 @@
+Project
+  Project
+    Project
+      Project
+        ColumnarToRow
+          Scan parquet 

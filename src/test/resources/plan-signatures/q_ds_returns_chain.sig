@@ -1,0 +1,22 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 

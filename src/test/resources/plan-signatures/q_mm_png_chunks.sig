@@ -1,0 +1,5 @@
+Project
+  Project
+    Project
+      ColumnarToRow
+        Scan parquet 

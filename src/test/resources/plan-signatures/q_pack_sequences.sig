@@ -1,0 +1,9 @@
+HashAggregate
+  HashAggregate
+    Project
+      Window
+        Sort
+          Exchange
+            Project
+              ColumnarToRow
+                Scan parquet 

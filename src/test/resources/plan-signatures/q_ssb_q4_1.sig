@@ -1,0 +1,58 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                  HashAggregate
+                                    Exchange
+                                      HashAggregate
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.tools.{PlanDump, PlanSignature}
+import graft.tools.{PlanDump, PlanSignature, ScaleSmoke}
 
 /** Plan-stability gate (VERDICT r4 #7; reference: PlanStabilitySuite +
   * resources/tpcds-plan-stability/): every headline query's normalized
@@ -20,7 +20,14 @@ class PlanStabilitySpec extends GraftSpecBase {
   private val sigDir = Paths.get("src/test/resources/plan-signatures")
   private val regen = sys.env.contains("GRAFT_REGEN_PLAN_SIGS")
 
-  PlanDump.headline.foreach { name =>
+  // Pin set = the PLANS.md headline queries ∪ every scale-gate heavy
+  // entry (VERDICT r8 #5): the signature-size recompute detector (a
+  // subtree repeating 2-3× = a missing persist on a multi-consumer
+  // frame, the round-7 triangle flaw) now runs systematically over the
+  // whole set the gate times, op_* scale-only runners included.
+  private val pinned = (PlanDump.headline ++ ScaleSmoke.heavy).distinct
+
+  pinned.foreach { name =>
     test(s"plan signature pinned: $name") {
       // other suites persist fixture subplans; CacheManager would swap
       // InMemoryTableScan into any matching fragment and change the
@@ -34,7 +41,7 @@ class PlanStabilitySpec extends GraftSpecBase {
       // everything planner-visible is per-session and starts clean here.
       val signer = spark.newSession()
       val sig = PlanSignature.executedSignature(
-        SparkEntry.queries(name)(signer, sfDir))
+        ScaleSmoke.runnerFor(name)(signer, sfDir))
       val f = sigDir.resolve(s"$name.sig")
       if (regen) {
         Files.createDirectories(sigDir)

@@ -172,11 +172,28 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   wedge joins
                                                     //   themselves are
                                                     //   equi-joins)
-      "q_ds_rank_join", "q_ds_window_filtered_rollup") // global rank over
+      "q_ds_rank_join", "q_ds_window_filtered_rollup", // global rank over
                                                     //   DIMENSION-grain
                                                     //   aggregates (supplier/
                                                     //   nation leaderboards,
                                                     //   bounded by the dim)
+      "q_golden_sqlt_win_nth",                      // global windows over the
+                                                    //   17-row basic_pays
+                                                    //   VALUES constant (the
+                                                    //   reference's nth_value
+                                                    //   frame matrix)
+      "q_golden_sqlt_win_misc",                     // empty OVER () global
+                                                    //   frame over the 9-row
+                                                    //   testdata constant —
+                                                    //   the TC under test
+      "q_golden_sqlt_subq_exists_basic",            // uncorrelated EXISTS
+                                                    //   (TC 01.01) plans a
+                                                    //   1-row BNLJ gate over
+                                                    //   the 9-row VALUES emp
+      "q_golden_sqlt_subq_notin_multi")             // (a,b) NOT IN plans a
+                                                    //   null-aware BNLJ over
+                                                    //   the 4-row VALUES m/s
+                                                    //   null truth table
     val flagged = SparkEntry.registry.flatMap { q =>
       val plan = q.run(spark, sfDir).queryExecution.executedPlan
       if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None

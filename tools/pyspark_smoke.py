@@ -120,6 +120,69 @@ if not ok5:
 print(f"[smoke] injected set-algebra scalars (kmv_jaccard/intersect): "
       f"{'PASS' if ok5 else 'FAIL'}")
 
+# 6. grouped-map pandas UDF (applyInPandas) with a JVM-oracle twin: the
+#    reference's flagship Python path is columnar grouped execution
+#    (ColumnarArrowEvalPythonExec); vanilla Spark plans applyInPandas as
+#    FlatMapGroupsInPandas. Integer algebra only (dev = n*count - sum),
+#    so pandas and the JVM window agree bit-for-bit.
+def per_lang_dev(pdf):
+    return pdf.assign(dev=pdf.n_chars * len(pdf) - pdf.n_chars.sum())[
+        ["doc_id", "lang", "dev"]]
+
+grouped = (
+    docs.select("doc_id", "lang", "n_chars")
+    .groupBy("lang")
+    .applyInPandas(per_lang_dev, "doc_id long, lang string, dev long")
+)
+from pyspark.sql import Window
+w = Window.partitionBy("lang")
+jvm_dev = docs.select(
+    "doc_id",
+    (F.col("n_chars") * F.count("*").over(w)
+     - F.sum("n_chars").over(w)).alias("jvm_dev"))
+bad6 = (grouped.join(jvm_dev, "doc_id")
+        .where(F.col("dev") != F.col("jvm_dev")).count())
+n6 = grouped.count()
+plan6 = grouped._jdf.queryExecution().executedPlan().toString()
+ok6 = bad6 == 0 and n6 == docs.count() and "FlatMapGroupsInPandas" in plan6
+if not ok6:
+    failures.append(
+        f"applyInPandas grouped map: {bad6} mismatches / {n6} rows, "
+        f"FlatMapGroupsInPandas in plan: {'FlatMapGroupsInPandas' in plan6}")
+print(f"[smoke] grouped-map applyInPandas vs JVM window oracle: "
+      f"{'PASS' if ok6 else 'FAIL'} ({n6} rows, {bad6} mismatches)")
+
+# 7. cogrouped pandas UDF: per-lang cogroup of documents with an
+#    events-derived frame, merged in Python; JVM twin is a join of the
+#    two per-key counts. Counts only -- exact by construction.
+src = docs.select("doc_id", "lang")
+aux = docs.select("lang", "n_chars").where(F.col("n_chars") % 2 == 0)
+
+def merge_counts(left, right):
+    import pandas as pd
+    lang = (left["lang"].iloc[0] if len(left) else right["lang"].iloc[0])
+    return pd.DataFrame(
+        {"lang": [lang], "n_left": [len(left)], "n_right": [len(right)]})
+
+cg = (src.groupby("lang").cogroup(aux.groupby("lang"))
+      .applyInPandas(merge_counts, "lang string, n_left long, n_right long"))
+jvm_l = src.groupBy("lang").agg(F.count("*").alias("jl"))
+jvm_r = aux.groupBy("lang").agg(F.count("*").alias("jr"))
+bad7 = (cg.join(jvm_l, "lang", "full")
+        .join(jvm_r, "lang", "full")
+        .where((F.col("n_left") != F.coalesce(F.col("jl"), F.lit(0)))
+               | (F.col("n_right") != F.coalesce(F.col("jr"), F.lit(0))))
+        .count())
+plan7 = cg._jdf.queryExecution().executedPlan().toString()
+ok7 = bad7 == 0 and "FlatMapCoGroupsInPandas" in plan7
+if not ok7:
+    failures.append(
+        f"cogrouped applyInPandas: {bad7} mismatched langs, "
+        f"FlatMapCoGroupsInPandas in plan: "
+        f"{'FlatMapCoGroupsInPandas' in plan7}")
+print(f"[smoke] cogrouped applyInPandas vs JVM join oracle: "
+      f"{'PASS' if ok7 else 'FAIL'} ({bad7} mismatched langs)")
+
 spark.stop()
 if failures:
     print("FAILURES:")
