@@ -24,6 +24,8 @@ object SparkEntry {
       operators.GoldenSqltWindow.all ++
       operators.GoldenSqltSubquery.all ++
       operators.GoldenSqltGroupHof.all ++
+      operators.GoldenSqltString.all ++
+      operators.GoldenSqltSubquery2.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

@@ -30,7 +30,7 @@ object GoldenSqltSubquery {
   /** The shared t1/t2/t3 fixture (the scalar-subquery sql headers), minus
     * the float/decimal columns (see exclusions): a STRING, b SMALLINT,
     * c INT, d BIGINT, h TIMESTAMP, i DATE — null rows included. */
-  private val tFix = """
+  private[operators] val tFix = """
     t1 AS (SELECT * FROM (VALUES
       ('val1a', CAST(6 AS SMALLINT), 8, CAST(10 AS BIGINT),
        TIMESTAMP '2014-04-04 00:00:00', DATE '2014-04-04'),
@@ -125,7 +125,7 @@ object GoldenSqltSubquery {
   /** The EMP/DEPT/BONUS fixture shared by the exists-subquery suite
     * (exists-basic.sql:4-35) — integer-valued DOUBLE money columns, a
     * NULL dept_id, unassigned departments. */
-  private val empFix = """
+  private[operators] val empFix = """
     emp AS (SELECT * FROM (VALUES
       (100, 'emp 1', DATE '2005-01-01', CAST(100.00 AS DOUBLE), 10),
       (100, 'emp 1', DATE '2005-01-01', CAST(100.00 AS DOUBLE), 10),

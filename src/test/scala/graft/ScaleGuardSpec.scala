@@ -190,10 +190,22 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   (TC 01.01) plans a
                                                     //   1-row BNLJ gate over
                                                     //   the 9-row VALUES emp
-      "q_golden_sqlt_subq_notin_multi")             // (a,b) NOT IN plans a
+      "q_golden_sqlt_subq_notin_multi",             // (a,b) NOT IN plans a
                                                     //   null-aware BNLJ over
                                                     //   the 4-row VALUES m/s
                                                     //   null truth table
+      "q_golden_sqlt_subq_exists_having",           // uncorrelated HAVING-
+                                                    //   EXISTS gates plan a
+                                                    //   1-row BNLJ over the
+                                                    //   9-row VALUES emp
+      "q_golden_sqlt_subq_exists_andor",            // LIMIT-1 / OR'd EXISTS
+                                                    //   gates — same 1-row
+                                                    //   BNLJ over VALUES
+      "q_golden_sqlt_subq_nested_notin")            // NOT IN null-poisoning
+                                                    //   truth table over the
+                                                    //   7-row VALUES emp2 —
+                                                    //   null-aware BNLJ is
+                                                    //   the TC under test
     val flagged = SparkEntry.registry.flatMap { q =>
       val plan = q.run(spark, sfDir).queryExecution.executedPlan
       if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None
