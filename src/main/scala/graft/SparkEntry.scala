@@ -26,6 +26,8 @@ object SparkEntry {
       operators.GoldenSqltGroupHof.all ++
       operators.GoldenSqltString.all ++
       operators.GoldenSqltSubquery2.all ++
+      operators.GoldenSqltGbFilter.all ++
+      operators.GoldenSqltCount.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

@@ -31,6 +31,13 @@ class GoldenStringErrorsSpec extends GraftSpecBase {
     assert(m2.contains("CAST_INVALID_INPUT") || m2.contains("cast"), m2)
   }
 
+  test("parameterless count() is rejected under the default conf") {
+    // count.sql:43-45 — legal only under
+    // spark.sql.legacy.allowParameterlessCount
+    val m = err("SELECT count() FROM (VALUES (1)) t(a)")
+    assert(m.contains("count") || m.contains("PARAMETER"), m)
+  }
+
   test("lpad/rpad with a non-numeric length raises under ANSI") {
     // string-functions.sql:54-55
     val m1 = err("SELECT lpad('hi', 'invalid_length')")
