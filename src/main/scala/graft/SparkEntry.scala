@@ -28,6 +28,8 @@ object SparkEntry {
       operators.GoldenSqltSubquery2.all ++
       operators.GoldenSqltGbFilter.all ++
       operators.GoldenSqltCount.all ++
+      operators.GoldenSqltJoins.all ++
+      operators.GoldenSqltPivot.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

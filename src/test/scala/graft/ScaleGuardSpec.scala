@@ -201,11 +201,15 @@ class ScaleGuardSpec extends GraftSpecBase {
       "q_golden_sqlt_subq_exists_andor",            // LIMIT-1 / OR'd EXISTS
                                                     //   gates — same 1-row
                                                     //   BNLJ over VALUES
-      "q_golden_sqlt_subq_nested_notin")            // NOT IN null-poisoning
+      "q_golden_sqlt_subq_nested_notin",            // NOT IN null-poisoning
                                                     //   truth table over the
                                                     //   7-row VALUES emp2 —
                                                     //   null-aware BNLJ is
                                                     //   the TC under test
+      "q_golden_sqlt_cross_join")                   // cross-join.sql port:
+                                                    //   the 3x3-row VALUES
+                                                    //   cartesian/theta TCs
+                                                    //   ARE the coverage
     val flagged = SparkEntry.registry.flatMap { q =>
       val plan = q.run(spark, sfDir).queryExecution.executedPlan
       if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None
