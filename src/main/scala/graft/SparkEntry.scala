@@ -30,6 +30,8 @@ object SparkEntry {
       operators.GoldenSqltCount.all ++
       operators.GoldenSqltJoins.all ++
       operators.GoldenSqltPivot.all ++
+      operators.GoldenSqltExtract.all ++
+      operators.GoldenSqltSetOps.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
