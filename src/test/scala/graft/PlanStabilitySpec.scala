@@ -25,7 +25,15 @@ class PlanStabilitySpec extends GraftSpecBase {
   // subtree repeating 2-3× = a missing persist on a multi-consumer
   // frame, the round-7 triangle flaw) now runs systematically over the
   // whole set the gate times, op_* scale-only runners included.
+  // op_leakage_split_deduped is excluded: its runner dedups through a
+  // localCheckpoint'd frame (Scan ExistingRDD), and the planner's join-
+  // side choice around that RDD flips between sessions (same tree, BHJ
+  // inputs swapped — observed regen-vs-test) because a checkpointed
+  // RDD carries no stable stats. Its SCALE behavior is still gated
+  // (ScaleSmoke heavy) and its logic is oracle-checked via
+  // q_sample_leakage_split; only the plan PIN is non-reproducible.
   private val pinned = (PlanDump.headline ++ ScaleSmoke.heavy).distinct
+    .filterNot(_ == "op_leakage_split_deduped")
 
   pinned.foreach { name =>
     test(s"plan signature pinned: $name") {
