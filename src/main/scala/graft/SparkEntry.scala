@@ -32,6 +32,7 @@ object SparkEntry {
       operators.GoldenSqltPivot.all ++
       operators.GoldenSqltExtract.all ++
       operators.GoldenSqltSetOps.all ++
+      operators.GoldenSqltMisc.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

@@ -206,10 +206,14 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   7-row VALUES emp2 —
                                                     //   null-aware BNLJ is
                                                     //   the TC under test
-      "q_golden_sqlt_cross_join")                   // cross-join.sql port:
+      "q_golden_sqlt_cross_join",                   // cross-join.sql port:
                                                     //   the 3x3-row VALUES
                                                     //   cartesian/theta TCs
                                                     //   ARE the coverage
+      "q_golden_sqlt_null_prop")                    // count(NULL) OVER ()
+                                                    //   global window over a
+                                                    //   3-row VALUES constant
+                                                    //   — the TC under test
     val flagged = SparkEntry.registry.flatMap { q =>
       val plan = q.run(spark, sfDir).queryExecution.executedPlan
       if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None
