@@ -33,6 +33,7 @@ object SparkEntry {
       operators.GoldenSqltExtract.all ++
       operators.GoldenSqltSetOps.all ++
       operators.GoldenSqltMisc.all ++
+      operators.GoldenSqltAliases.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

@@ -67,6 +67,19 @@ class GoldenMiscSpec extends GraftSpecBase {
     assert(ok.toSeq == Seq(2, 3))
   }
 
+  test("table-alias arity mismatches and renamed-away columns reject") {
+    // table-aliases.sql error TCs
+    Seq("SELECT * FROM (VALUES (1, 1)) testData(a, b), " +
+          "LATERAL (SELECT 1) x(c1, c2, c3)",
+      "SELECT * FROM (SELECT 1 AS a, 2 AS b) AS t(col1)",
+      "SELECT * FROM (SELECT 1 AS a, 2 AS b) AS t(col1, col2, col3)",
+      "SELECT a FROM (SELECT 1 AS a, 2 AS b) AS t(c, d)")
+      .foreach { q =>
+        val m = intercept[Exception] { sp.sql(q).collect() }.getMessage
+        assert(m.nonEmpty, q)
+      }
+  }
+
   test("string(1, 2) arity and bare GROUP BY WITH ROLLUP are rejected") {
     // sql-compatibility-functions.sql:12 / grouping_set.sql tail
     val m1 = intercept[Exception] {
