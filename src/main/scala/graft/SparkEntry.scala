@@ -34,6 +34,7 @@ object SparkEntry {
       operators.GoldenSqltSetOps.all ++
       operators.GoldenSqltMisc.all ++
       operators.GoldenSqltAliases.all ++
+      operators.GoldenSqltLimit.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

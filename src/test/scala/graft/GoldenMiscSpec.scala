@@ -80,6 +80,19 @@ class GoldenMiscSpec extends GraftSpecBase {
       }
   }
 
+  test("invalid LIMIT expressions are rejected") {
+    // limit.sql error TCs: negative, NULL, non-integer, non-foldable
+    Seq("SELECT * FROM (VALUES (1)) t(key) LIMIT -1",
+      "SELECT * FROM (VALUES (1)) t(key) LIMIT CAST(NULL AS INT)",
+      "SELECT * FROM (VALUES (1)) t(key) LIMIT key > 3",
+      "SELECT * FROM (VALUES (1)) t(key) LIMIT true",
+      "SELECT * FROM (VALUES (1)) t(key) LIMIT 'a'")
+      .foreach { q =>
+        val m = intercept[Exception] { sp.sql(q).collect() }.getMessage
+        assert(m.nonEmpty, q)
+      }
+  }
+
   test("string(1, 2) arity and bare GROUP BY WITH ROLLUP are rejected") {
     // sql-compatibility-functions.sql:12 / grouping_set.sql tail
     val m1 = intercept[Exception] {
