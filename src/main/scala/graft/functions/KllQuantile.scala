@@ -89,13 +89,24 @@ final class KllBuffer(val k: Int) {
 }
 
 object KllBuffer {
+  /** Leading magic+version word. kll_state is documented as a column that
+    * rollup tables MATERIALIZE, so the wire format is a persistence
+    * format: any layout change must bump the version so a stale blob
+    * fails with "format changed, rebuild" instead of decoding the old
+    * layout's bytes into a bogus field (the pre-k layout's count high
+    * bytes read back as k=0). 'KLL' + version byte. */
+  val Magic: Int = 0x4B4C4C00 | 2 // "KLL" v2 (v2 = k-prefixed payload)
+
   /** wire format shared by kll_quantile's shuffle buffers and the
-    * MATERIALIZED kll_state column: k, count, nLevels, then each level's
-    * length + doubles. k travels IN the state so a rollup can't silently
-    * reinterpret a sketch under a different compaction parameter. */
+    * MATERIALIZED kll_state column: magic, k, count, nLevels, then each
+    * level's length + doubles. k travels IN the state so a rollup can't
+    * silently reinterpret a sketch under a different compaction
+    * parameter. */
   def toBytes(buf: KllBuffer): Array[Byte] = {
     val n = buf.levels.map(_.length).sum
-    val bb = ByteBuffer.allocate(4 + 8 + 4 + buf.levels.length * 4 + n * 8)
+    val bb = ByteBuffer.allocate(
+      4 + 4 + 8 + 4 + buf.levels.length * 4 + n * 8)
+    bb.putInt(Magic)
     bb.putInt(buf.k)
     bb.putLong(buf.count)
     bb.putInt(buf.levels.length)
@@ -108,6 +119,16 @@ object KllBuffer {
 
   def fromBytes(bytes: Array[Byte], k: Int): KllBuffer = {
     val bb = ByteBuffer.wrap(bytes)
+    val magic = bb.getInt
+    require(magic == Magic, {
+      val ver = magic & 0xFF
+      if ((magic & 0xFFFFFF00) == (Magic & 0xFFFFFF00))
+        s"kll state has wire-format version $ver, this build reads" +
+          s" version ${Magic & 0xFF} — rebuild the persisted sketches"
+      else
+        "not a kll state (bad magic) — the blob predates the versioned" +
+          " wire format or is not a kll_state column; rebuild the sketches"
+    })
     val encodedK = bb.getInt
     // a k mismatch would silently degrade the documented 1.5/k rank-error
     // guarantee (the state's levels were compacted under encodedK) — fail

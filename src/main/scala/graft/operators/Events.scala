@@ -379,9 +379,11 @@ object Events {
     val e = df.select(col(keyCol), col(intCol).cast("long").as("vc"))
     // the one corpus-wide stage: value histogram (partial-agg combines
     // duplicates map-side, so replicas never cross the shuffle). persist:
-    // three consumers (median, deviation histogram, outlier census) must
-    // not re-scan the corpus — released by the runner's per-query
-    // clearCache, same contract as triangles/basket
+    // two consumers (median, deviation histogram) must not re-scan the
+    // corpus — released by the runner's per-query clearCache, same
+    // contract as triangles/basket. Library callers outside the runner
+    // should clearCache()/catalog.clearCache() after materializing, or
+    // this one histogram-sized cache entry accumulates per call.
     val hist = e.groupBy(col(keyCol), col("vc"))
       .agg(count(lit(1)).as("w"))
       .persist()
@@ -404,16 +406,32 @@ object Events {
     val med = medianX2(hist, "vc")
     // deviation HISTOGRAM (|2v − med| folds symmetric values together) —
     // derived from the value histogram, so it is histogram-sized, and the
-    // med frame it joins is |keys|-rows (broadcast)
+    // med frame it joins is |keys|-rows (broadcast). med's n and med_x2
+    // are constant per key, so they ride through the regroup via min()
     val devHist = hist.join(broadcast(med), keyCol)
       .withColumn("dev_x2", abs(lit(2L) * col("vc") - col("med_x2")))
       .groupBy(col(keyCol), col("dev_x2"))
-      .agg(sum(col("w")).as("w"))
-      .persist() // two consumers: MAD median + the outlier census
-    // MAD over the ×2 deviations doubles once more: mad_x4
-    val mad = medianX2(devHist, "dev_x2")
-      .select(col(keyCol), col("med_x2").as("mad_x4"))
-    devHist.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
+      .agg(sum(col("w")).as("w"), min(col("med_x2")).as("med_x2"),
+        min(col("n")).as("n"))
+    // MAD median AND outlier census in ONE pass over devHist (r10 — was a
+    // second persist + two broadcast joins): the cumulative-weight window
+    // locates the MAD rank rows, a full-partition window sums their
+    // contribution into a per-row mad_x4, and the final groupBy classifies
+    // each deviation row against it. Both windows share the (key, dev_x2)
+    // sort, so devHist is consumed exactly once — no persist needed.
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("dev_x2"))
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col("dev_x2"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    devHist
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("k1", expr("(n - 1) div 2")) // 0-indexed lower rank
+      .withColumn("k2", expr("n div 2"))       // == k1 for odd n
+      .withColumn("mad_x4", sum( // 2·(interpolated MAD of ×2 deviations)
+        when(col("cum") - col("w") <= col("k1") &&
+          col("k1") < col("cum"), col("dev_x2")).otherwise(0L)
+          + when(col("cum") - col("w") <= col("k2") &&
+            col("k2") < col("cum"), col("dev_x2")).otherwise(0L))
+        .over(wAll))
       .groupBy(col(keyCol))
       .agg(min(col("n")).as("n"), min(col("med_x2")).as("med_x2"),
         min(col("mad_x4")).as("mad_x4"),

@@ -221,7 +221,7 @@ object Sampling {
     *      shuffle of a ≤ |G|·256-row matrix, never the corpus;
     *   2. running total over each group's 256 buckets (window over the tiny
     *      census) locates the boundary bucket where the quota lands;
-    *   3. buckets strictly below the boundary pass whole (broadcast
+    *   3. buckets strictly below the boundary pass whole (AQE size-gated
     *      semi-join, no ranking); ONLY the boundary bucket — ~1/256 of each
     *      group — is ranked, partitioned by (group, bucket) so even that
     *      residual ranking spreads across tasks.
@@ -253,7 +253,12 @@ object Sampling {
       // signature showed the census subtree twice). Released by the
       // runner's per-query clearCache, like every persisted intermediate.
       .persist()
-    val joined = withH.join(broadcast(info), Seq(groupCol, "qs_b"))
+    // No broadcast() hint: for the intended low-cardinality groups
+    // (language, domain) AQE size-gates this join to a broadcast on its
+    // own, while a high-|G| caller (URL host, user id) degrades to a
+    // shuffle join on (group, qs_b) — which already matches the census
+    // shuffle — instead of a driver OOM.
+    val joined = withH.join(info, Seq(groupCol, "qs_b"))
     val wb = Window.partitionBy(col(groupCol), col("qs_b"))
       .orderBy(col("qs_h"), col(tiebreakCol))
     val partial = joined.filter(col("qs_rem").isNotNull)
@@ -297,7 +302,10 @@ object Sampling {
           .otherwise(col("budget") - col("tq_prev")))
       .select(col(groupCol), col("tq_b"), col("tq_rem"))
       .persist() // ≤ |G|·256 rows, read by both union branches
-    val joined = withH.join(broadcast(info), Seq(groupCol, "tq_b"))
+    // Unhinted like quotaSelect: AQE broadcasts the tiny census join for
+    // low-|G| groups and falls back to the matching (group, tq_b) shuffle
+    // for high-cardinality group columns rather than OOMing the driver.
+    val joined = withH.join(info, Seq(groupCol, "tq_b"))
     val wb = Window.partitionBy(col(groupCol), col("tq_b"))
       .orderBy(col("tq_h"), col(tiebreakCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

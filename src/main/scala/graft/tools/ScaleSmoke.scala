@@ -165,6 +165,11 @@ object ScaleSmoke {
         val path = if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(rep))) rep
           else s"$dir/embeddings.parquet"
+        // loud in the gate log: if a scratch dir ever failed to write the
+        // replicated fixture, the fallback would otherwise silently time
+        // the dim-sized table at both factors and the entry goes vacuous
+        println(s"  op_kmeans_i8 input: $path" +
+          (if (path == rep) "" else " (FALLBACK: dim-sized table)"))
         val e = spark.read.parquet(path)
           .select(col("vec_id"), expr("quantize_i8(embedding)").as("v"))
         graft.ops.kmeansI8(e, "vec_id", "v", k = 8, iters = 2)

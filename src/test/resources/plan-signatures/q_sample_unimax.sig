@@ -3,29 +3,27 @@ Project
     Filter
       InMemoryTableScan
     HashAggregate
-      Exchange
-        HashAggregate
-          Union
-            Project
-              BroadcastHashJoin [broadcast,plain]
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
-                Project
-                  Filter
-                    InMemoryTableScan
-            Project
-              Filter
-                Window
-                  Sort
-                    Exchange
+      HashAggregate
+        Union
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+              Project
+                Filter
+                  InMemoryTableScan
+          Project
+            Filter
+              Window
+                Sort
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        InMemoryTableScan
                       Project
-                        BroadcastHashJoin [broadcast,plain]
+                        Project
                           Filter
-                            InMemoryTableScan
-                          Project
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                            ColumnarToRow
+                              Scan parquet 

@@ -93,6 +93,33 @@ class SamplingSpec extends GraftSpecBase {
     }
   }
 
+  test("quotaSelect stays correct for a high-cardinality group column") {
+    // The census join carries no broadcast() hint (round-10 de-hint,
+    // Sampling.scala): with a low-|G| group AQE broadcasts the ≤|G|·256-row
+    // census on size alone, and with a HIGH-cardinality group (here: one
+    // group per document bucket, |G| ≈ corpus/3) the same code degrades to
+    // a shuffle join on (group, bucket) instead of OOMing the driver on a
+    // |G|·256-row broadcast. This pin proves the high-|G| path is still
+    // row-for-row exact vs the window formulation.
+    val grouped = docs.withColumn("g", ($"doc_id" % 20000).cast("string"))
+    val budgets = grouped.select($"g").distinct()
+      .withColumn("budget", (conv(substring(md5($"g"), 1, 2), 16, 10) % 3)
+        .cast("long"))
+    val got = operators.Sampling.quotaSelect(grouped, "g", "text", "doc_id",
+        budgets)
+      .select($"g", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy($"g")
+      .orderBy(md5($"text".cast("binary")), $"doc_id")
+    val want = grouped.withColumn("rn", row_number().over(w))
+      .join(budgets, "g")
+      .filter($"rn" <= $"budget")
+      .select($"g", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("curriculumShards: shards ordered by score, sizes quantile-balanced") {
     val toked = docs.withColumn("score",
       expr("n_chars * 1000 DIV CAST(length(text) - " +
