@@ -35,6 +35,7 @@ object SparkEntry {
       operators.GoldenSqltMisc.all ++
       operators.GoldenSqltAliases.all ++
       operators.GoldenSqltLimit.all ++
+      operators.GoldenCoercion.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

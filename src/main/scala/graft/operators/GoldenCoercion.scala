@@ -1,0 +1,119 @@
+package graft.operators
+
+import scala.io.Source
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Port of the reference's `typeCoercion/native/` SQLQueryTestSuite
+  * directory (reference: native-sql-engine/core/src/test/resources/
+  * sql-tests/inputs/typeCoercion/native/ — 18 .sql files, 3033
+  * statements): the implicit-cast promotion matrix, the largest semantic
+  * battery in the reference's test tree.
+  *
+  * Port mechanics: every statement from a file is executed VERBATIM
+  * through Spark SQL at query time; the pinned output row per statement is
+  * `(tc, ty, c0..ck)` where `ty` is the ANALYZER's resolved result type
+  * (the coercion decision the battery exists to test) and `c*` are the
+  * result values cast to string. The DuckDB oracle is the literal golden
+  * expectation (`resources/golden-coercion/<file>.oracle.sql`), derived
+  * from the reference's own recorded golden output
+  * (results/typeCoercion/native/ .sql.out files) and re-adjudicated
+  * statement-by-statement against Spark 4.1 ANSI semantics —
+  * `docs/COERCION_DIVERGENCES.md` documents every statement where 4.1
+  * diverges from the 3.0-era golden (ANSI strictness rejections, ANSI
+  * string→numeric promotion, decimal-precision rule changes) with
+  * category counts per file. Statements that ERROR under Spark 4.1 ANSI
+  * are pinned as error-class assertions in GoldenCoercionErrorsSpec (the
+  * row comparator can't see raised errors), and
+  * GoldenCoercionInventorySpec pins the partition: setups + value TCs +
+  * error TCs == the file's statement count, so no statement can silently
+  * drop out of coverage. */
+object GoldenCoercion {
+
+  /** typeCoercion/native file bases, in reference directory order */
+  val bases: Seq[String] = Seq(
+    "arrayJoin", "binaryComparison", "booleanEquality", "caseWhenCoercion",
+    "concat", "dateTimeOperations", "decimalPrecision", "division", "elt",
+    "ifCoercion", "implicitTypeCasts", "inConversion", "mapZipWith",
+    "mapconcat", "promoteStrings", "stringCastAndExpressions",
+    "widenSetOperationTypes", "windowFrameCoercion")
+
+  private def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** One parsed statement of a battery file, in reference file order.
+    * kind = "setup" | "tc" | "err:<Spark 4.1 exception class>". */
+  final case class Stmt(id: String, kind: String, sql: String)
+
+  /** (width, ordered statements): parsed <base>.tsv. Order matters —
+    * some batteries flip a SET mid-file (concat's concatBinaryAsString),
+    * so consumers must replay the stream exactly as the reference does. */
+  def loadAll(base: String): (Int, Seq[Stmt]) = {
+    val lines = resource(s"/golden-coercion/$base.tsv").split('\n')
+      .filter(_.nonEmpty)
+    val header = lines.head
+    val width = "width=(\\d+)".r.findFirstMatchIn(header).get.group(1).toInt
+    val recs = lines.tail.map(_.split('\t')).toSeq
+      .map(r => Stmt(r(0), r(1), r(2)))
+    (width, recs)
+  }
+
+  /** Declared statement totals from the tsv header, for the inventory
+    * pin: (total, valueTcs, errorTcs). */
+  def declaredCounts(base: String): (Int, Int, Int) = {
+    val h = resource(s"/golden-coercion/$base.tsv").split('\n').head
+    def f(k: String) = s"$k=(\\d+)".r.findFirstMatchIn(h).get.group(1).toInt
+    (f("total"), f("value_tcs"), f("error_tcs"))
+  }
+
+  /** Run every value TC of `base` through Spark SQL and pin
+    * (tc, resolved type, stringified cells). Each statement is analyzed,
+    * optimized and evaluated by Spark independently (they are constant
+    * expressions over a 1-row view — the ANALYZER is the system under
+    * test); results assemble into one local frame for the comparator. */
+  private def runMatrix(spark: SparkSession, base: String): DataFrame = {
+    val (width, stmts) = loadAll(base)
+    val rows = stmts.flatMap {
+      case Stmt(_, "setup", s) =>
+        spark.sql(s.replaceAll("(?i)CREATE TEMPORARY VIEW",
+          "CREATE OR REPLACE TEMPORARY VIEW")).collect()
+        Nil
+      case Stmt(_, k, _) if k.startsWith("err:") =>
+        Nil // pinned as exception-class assertions in the errors spec
+      case Stmt(id, _, stmt) =>
+        val df = spark.sql(stmt)
+        val ty = df.schema.map(_.dataType.sql).mkString(", ")
+        val n = df.columns.length
+        val renamed = df.toDF((0 until n).map(i => s"c$i"): _*)
+        val strs = renamed.select(
+          (0 until n).map(i => renamed.col(s"c$i").cast("string")): _*)
+        strs.collect().toSeq.map { r =>
+          val cells = (0 until width).map(i =>
+            if (i < n) r.getString(i) else null)
+          Row.fromSeq(id +: ty +: cells)
+        }
+    }
+    val schema = StructType(
+      StructField("tc", StringType, nullable = false) ::
+        StructField("ty", StringType, nullable = false) ::
+        (0 until width).map(i =>
+          StructField(s"c$i", StringType, nullable = true)).toList)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def slug(base: String): String =
+    base.replaceAll("([A-Z])", "_$1").toLowerCase
+
+  def queryFor(base: String): QueryDef = QueryDef(
+    s"q_golden_coerce_${slug(base).stripPrefix("_")}",
+    (spark, _) => runMatrix(spark, base),
+    Some(resource(s"/golden-coercion/$base.oracle.sql")))
+
+  val all: Seq[QueryDef] = bases.map(queryFor)
+}

@@ -1,0 +1,85 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.Engine
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe for golden-file porting: executes a statement list extracted
+  * from a reference SQLQueryTestSuite `.out` file
+  * (tools/coercion_extract.py) and dumps each statement's ACTUAL Spark
+  * behavior — result schema, rendered rows, or error class — so the
+  * generator can build literal oracles and a divergence report against
+  * the reference golden. Not part of the library surface.
+  *
+  * Usage: runMain graft.tools.CoercionProbe /tmp/coerce/<base>.stmts ...
+  * writes <base>.probe next to each input.
+  */
+object CoercionProbe {
+  private val FS = '\u001f' // field sep
+  private val RS = '\u001e' // record sep
+  private val CS = '\u001d' // cell sep
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.configure(
+      SparkSession.builder().master("local[4]")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach(run(spark, _))
+    spark.stop()
+  }
+
+  private def render(v: Any): String = v match {
+    case null => "N"
+    case s => "S" + s.toString
+  }
+
+  private def run(spark: SparkSession, path: String): Unit = {
+    val text = new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8)
+    val out = new StringBuilder
+    text.split(RS).foreach { rec =>
+      val Array(id, sql) = rec.split(FS.toString, 2)
+      val res: Seq[String] =
+        try {
+          val isQuery = sql.trim.toUpperCase.startsWith("SELECT") ||
+            sql.trim.toUpperCase.startsWith("WITH") ||
+            sql.trim.toUpperCase.startsWith("VALUES") ||
+            sql.trim.toUpperCase.startsWith("TABLE")
+          // setup (CREATE VIEW etc): execute for side effects only, but
+          // make temp views re-runnable across probe files
+          val fixedSql =
+            sql.replaceAll("(?i)CREATE TEMPORARY VIEW",
+              "CREATE OR REPLACE TEMPORARY VIEW")
+          val df = spark.sql(fixedSql)
+          if (!isQuery) Seq(id, "SETUP", "", "0")
+          else {
+            val ty = df.schema.map(_.dataType.sql).mkString(", ")
+            // render via the SAME cast-to-string the generated QueryDef
+            // applies at runtime, so probe values == runtime values by
+            // construction (Row.toString renders timestamps differently)
+            val n = df.columns.length
+            val renamed = df.toDF((0 until n).map(i => s"c$i"): _*)
+            val strDf = renamed.select(
+              (0 until n).map(i => renamed.col(s"c$i").cast("string")): _*)
+            val rows = strDf.collect()
+            val cells = rows.map(r =>
+              (0 until r.length).map(i => render(r.get(i)))
+                .mkString(FS.toString)).mkString(CS.toString)
+            Seq(id, "OK", ty, n.toString, cells)
+          }
+        } catch {
+          case e: Throwable =>
+            val cls = e.getClass.getSimpleName
+            val msg = Option(e.getMessage).getOrElse("").take(200)
+              .replace('\n', ' ').replace(FS, ' ').replace(RS, ' ')
+            Seq(id, "ERR", cls, msg)
+        }
+      out.append(res.mkString(FS.toString)).append(RS)
+    }
+    val dest = path.replaceAll("\\.stmts$", "") + ".probe"
+    Files.write(Paths.get(dest),
+      out.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"[probe] $path -> $dest")
+  }
+}
