@@ -1,0 +1,6 @@
+SELECT * FROM (VALUES
+('t000', 'STRING', 'trailing'),
+('t001', 'STRING', 'embedded'),
+('t002', 'STRING', 'both'),
+('t003', 'STRING', 'before multi-line')
+) AS t(tc, ty, c0)

@@ -36,6 +36,7 @@ object SparkEntry {
       operators.GoldenSqltAliases.all ++
       operators.GoldenSqltLimit.all ++
       operators.GoldenCoercion.all ++
+      operators.GoldenPg.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

@@ -83,8 +83,8 @@ object GoldenCoercion {
         spark.sql(s.replaceAll("(?i)CREATE TEMPORARY VIEW",
           "CREATE OR REPLACE TEMPORARY VIEW")).collect()
         Nil
-      case Stmt(_, k, _) if k.startsWith("err:") =>
-        Nil // pinned as exception-class assertions in the errors spec
+      case Stmt(_, k, _) if k.startsWith("err:") || k.startsWith("skip:") =>
+        Nil // err: pinned in the errors spec; skip: nonportable value
       case Stmt(id, _, stmt) =>
         val df = spark.sql(stmt)
         val ty = df.schema.map(_.dataType.sql).mkString(", ")
@@ -110,10 +110,14 @@ object GoldenCoercion {
   private def slug(base: String): String =
     base.replaceAll("([A-Z])", "_$1").toLowerCase
 
+  /** literal DuckDB oracle text for a battery (shared with GoldenPg) */
+  def oracleFor(base: String): String =
+    resource(s"/golden-coercion/$base.oracle.sql")
+
   def queryFor(base: String): QueryDef = QueryDef(
     s"q_golden_coerce_${slug(base).stripPrefix("_")}",
     (spark, _) => runMatrix(spark, base),
-    Some(resource(s"/golden-coercion/$base.oracle.sql")))
+    Some(oracleFor(base)))
 
   val all: Seq[QueryDef] = bases.map(queryFor)
 }

@@ -37,23 +37,33 @@ object CoercionProbe {
   private def run(spark: SparkSession, path: String): Unit = {
     val text = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)
+    // pg_* statement lists carry table DML: route setups through the
+    // GoldenPg temp-view interpreter (the same one the runtime uses) and
+    // register the pg fixture tables first
+    val pgMode = Paths.get(path).getFileName.toString.startsWith("pg_")
+    if (pgMode) graft.operators.GoldenPg.registerFixtures(spark)
+    val pgCat = new graft.operators.GoldenPg.PgCatalog
     val out = new StringBuilder
-    text.split(RS).foreach { rec =>
+    text.split(RS).filter(_.nonEmpty).foreach { rec =>
       val Array(id, sql) = rec.split(FS.toString, 2)
       val res: Seq[String] =
         try {
-          val isQuery = sql.trim.toUpperCase.startsWith("SELECT") ||
-            sql.trim.toUpperCase.startsWith("WITH") ||
-            sql.trim.toUpperCase.startsWith("VALUES") ||
-            sql.trim.toUpperCase.startsWith("TABLE")
-          // setup (CREATE VIEW etc): execute for side effects only, but
-          // make temp views re-runnable across probe files
-          val fixedSql =
-            sql.replaceAll("(?i)CREATE TEMPORARY VIEW",
-              "CREATE OR REPLACE TEMPORARY VIEW")
-          val df = spark.sql(fixedSql)
-          if (!isQuery) Seq(id, "SETUP", "", "0")
-          else {
+          val up = sql.trim.toUpperCase
+          val isQuery = up.startsWith("SELECT") ||
+            up.startsWith("WITH") ||
+            up.startsWith("VALUES") ||
+            up.startsWith("TABLE") ||
+            up.startsWith("(")
+          if (!isQuery) {
+            // setup: execute for side effects only, but make temp views
+            // re-runnable across probe files
+            if (pgMode) graft.operators.GoldenPg.executeSetup(
+              spark, pgCat, sql)
+            else spark.sql(sql.replaceAll("(?i)CREATE TEMPORARY VIEW",
+              "CREATE OR REPLACE TEMPORARY VIEW")).collect()
+            Seq(id, "SETUP", "", "0")
+          } else {
+            val df = spark.sql(sql)
             val ty = df.schema.map(_.dataType.sql).mkString(", ")
             // render via the SAME cast-to-string the generated QueryDef
             // applies at runtime, so probe values == runtime values by

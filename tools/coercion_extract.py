@@ -16,6 +16,26 @@ import sys
 OUT_DIR = "/tmp/coerce"
 
 
+def strip_line_comments(sql):
+    """remove -- comments outside single-quoted strings (pg DDL carries
+    inline column comments that would poison single-line-ification)"""
+    out = []
+    for line in sql.split("\n"):
+        res, inq, i = [], False, 0
+        while i < len(line):
+            ch = line[i]
+            if ch == "'":
+                inq = not inq
+                res.append(ch)
+            elif ch == "-" and not inq and line[i:i + 2] == "--":
+                break
+            else:
+                res.append(ch)
+            i += 1
+        out.append("".join(res))
+    return "\n".join(out)
+
+
 def parse_out(path):
     text = open(path).read()
     # blocks: -- !query\n<sql>\n-- !query schema\n<schema>\n-- !query output\n<out>
@@ -23,13 +43,16 @@ def parse_out(path):
     stmts = []
     for i, b in enumerate(blocks):
         m = re.split(r"^-- !query schema\n", b, flags=re.M)
-        sql = m[0].strip()
+        sql = strip_line_comments(m[0]).strip()
         rest = m[1] if len(m) > 1 else ""
         m2 = re.split(r"^-- !query output\n", rest, flags=re.M)
         schema = m2[0].strip()
-        out = m2[1].strip() if len(m2) > 1 else ""
-        # trailing block separator
-        out = out.split("\n\n\n")[0].strip()
+        # strip newlines only: a leading TAB on the first row is data
+        # (empty first column), not whitespace to trim
+        out = m2[1] if len(m2) > 1 else ""
+        out = out.split("\n\n\n")[0].strip("\n")
+        if out.strip() == "":
+            out = ""
         stmts.append({"id": f"t{i:03d}", "sql": sql, "schema": schema,
                       "out": out})
     return stmts
