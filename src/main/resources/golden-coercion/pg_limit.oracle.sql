@@ -7,8 +7,5 @@ SELECT * FROM (VALUES
 ('t001', 'STRING, INT, INT, STRING', '', '64', '479', 'MCAAAA'),
 ('t001', 'STRING, INT, INT, STRING', '', '65', '64', 'NCAAAA'),
 ('t002', 'STRING, INT, INT, STRING', '', '61', '560', 'JCAAAA'),
-('t002', 'STRING, INT, INT, STRING', '', '62', '633', 'KCAAAA'),
-('t006', 'BIGINT, DOUBLE', '45000', '45000.0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
-('t006', 'BIGINT, DOUBLE', '45010', '45010.0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
-('t006', 'BIGINT, DOUBLE', '45020', '45020.0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+('t002', 'STRING, INT, INT, STRING', '', '62', '633', 'KCAAAA')
 ) AS t(tc, ty, c0, c1, c2, c3)

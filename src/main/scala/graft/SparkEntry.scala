@@ -37,6 +37,9 @@ object SparkEntry {
       operators.GoldenSqltLimit.all ++
       operators.GoldenCoercion.all ++
       operators.GoldenPg.all ++
+      operators.GoldenCore.all ++
+      operators.GoldenAnsi.all ++
+      operators.GoldenSubq.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

@@ -71,14 +71,39 @@ object GoldenCoercion {
     (f("total"), f("value_tcs"), f("error_tcs"))
   }
 
+  /** Replay `body` with any session conf a battery's SET statements touch
+    * restored afterwards — the reference harness runs each file in a
+    * fresh session, so a file that flips spark.sql.groupByOrdinal or the
+    * session time zone must not leak into the next registry query. */
+  def withConfRestore[T](spark: SparkSession)(body: => T): T = {
+    val before = spark.conf.getAll
+    val dbBefore = spark.catalog.currentDatabase
+    try body finally {
+      // a battery may USE a database it then drops (tablesample-negative)
+      try spark.catalog.setCurrentDatabase(dbBefore)
+      catch { case _: Exception =>
+        spark.catalog.setCurrentDatabase("default") }
+      val after = spark.conf.getAll
+      after.keys.filterNot(before.contains)
+        .foreach(k => try spark.conf.unset(k) catch { case _: Exception => })
+      before.foreach { case (k, v) =>
+        if (after.get(k) != Some(v))
+          try spark.conf.set(k, v) catch { case _: Exception => }
+      }
+    }
+  }
+
   /** Run every value TC of `base` through Spark SQL and pin
     * (tc, resolved type, stringified cells). Each statement is analyzed,
     * optimized and evaluated by Spark independently (they are constant
     * expressions over a 1-row view — the ANALYZER is the system under
     * test); results assemble into one local frame for the comparator. */
-  private def runMatrix(spark: SparkSession, base: String): DataFrame = {
+  private def runMatrix(outer: SparkSession, base: String): DataFrame = {
+    // isolated session per battery — fresh-session-per-file semantics,
+    // no temp-view/SET leakage either way (see GoldenPg.runMatrix)
+    val spark = outer.newSession()
     val (width, stmts) = loadAll(base)
-    val rows = stmts.flatMap {
+    val rows = withConfRestore(spark) { stmts.flatMap {
       case Stmt(_, "setup", s) =>
         spark.sql(s.replaceAll("(?i)CREATE TEMPORARY VIEW",
           "CREATE OR REPLACE TEMPORARY VIEW")).collect()
@@ -97,7 +122,7 @@ object GoldenCoercion {
             if (i < n) r.getString(i) else null)
           Row.fromSeq(id +: ty +: cells)
         }
-    }
+    } }
     val schema = StructType(
       StructField("tc", StringType, nullable = false) ::
         StructField("ty", StringType, nullable = false) ::

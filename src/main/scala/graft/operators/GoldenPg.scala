@@ -175,35 +175,47 @@ object GoldenPg {
     "stringu1" -> StringType, "stringu2" -> StringType,
     "string4" -> StringType)
 
-  private def pgTable(spark: SparkSession, res: String,
-      schema: Seq[(String, DataType)]): DataFrame = {
-    val rows = readTsv(res).map { cells =>
+  /** Register the SQLQueryTestSuite standard fixtures as temp views:
+    * the pg regression tables (onek 1000 rows, tenk1 10000, aggtest 4 —
+    * bundled PostgreSQL regression data, resources/pgdata/) and Spark's
+    * generated testdata/arraydata/mapdata. */
+  // parsed once per JVM; the DataFrames are rebuilt per SESSION (battery
+  // replays run in isolated newSession()s, and a DataFrame registers temp
+  // views only in the session that built it)
+  private lazy val onekRowsCached = rowsOf("/pgdata/onek.data", onekSchema)
+  private lazy val tenkRowsCached = rowsOf("/pgdata/tenk.data", onekSchema)
+  private lazy val aggRowsCached = rowsOf("/pgdata/agg.data",
+    Seq("a" -> IntegerType, "b" -> FloatType))
+
+  private def rowsOf(res: String,
+      schema: Seq[(String, DataType)]): Seq[Row] =
+    readTsv(res).map { cells =>
       Row.fromSeq(cells.zip(schema).map {
         case (c, (_, IntegerType)) => c.toInt
         case (c, (_, FloatType)) => c.toFloat
         case (c, _) => c
       }.toSeq)
     }
+
+  private def fromRows(spark: SparkSession, rows: Seq[Row],
+      schema: Seq[(String, DataType)]): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2),
       StructType(schema.map { case (n, t) => StructField(n, t) }))
-  }
 
-  /** Register the SQLQueryTestSuite standard fixtures as temp views:
-    * the pg regression tables (onek 1000 rows, tenk1 10000, aggtest 4 —
-    * bundled PostgreSQL regression data, resources/pgdata/) and Spark's
-    * generated testdata/arraydata/mapdata. */
   def registerFixtures(spark: SparkSession): Unit = {
-    if (spark.catalog.tableExists("tenk1")) return
-    pgTable(spark, "/pgdata/onek.data", onekSchema)
+    // every battery replay runs in a fresh session (the reference harness
+    // gives each file its own), so register pristine fixtures each time
+    fromRows(spark, onekRowsCached, onekSchema)
       .createOrReplaceTempView("onek")
-    pgTable(spark, "/pgdata/tenk.data", onekSchema)
+    fromRows(spark, tenkRowsCached, onekSchema)
       .createOrReplaceTempView("tenk1")
-    pgTable(spark, "/pgdata/agg.data",
+    fromRows(spark, aggRowsCached,
       Seq("a" -> IntegerType, "b" -> FloatType))
       .createOrReplaceTempView("aggtest")
-    spark.range(1, 101).selectExpr("CAST(id AS INT) AS key",
-      "CAST(id AS STRING) AS value").createOrReplaceTempView("testdata")
+    spark.range(1, 101, 1, 1).selectExpr(
+      "CAST(id AS INT) AS key", "CAST(id AS STRING) AS value")
+      .createOrReplaceTempView("testdata")
     spark.sql("""SELECT * FROM (VALUES
       (array(1, 2, 3), array(array(1, 2, 3))),
       (array(2, 3, 4), array(array(2, 3, 4)))) t(arraycol, nestedarraycol)
@@ -233,11 +245,21 @@ object GoldenPg {
     "window_part1", "window_part2", "window_part3", "window_part4",
     "with")
 
-  private def runMatrix(spark: SparkSession, base: String): DataFrame = {
+  /** shared replay for any battery whose setups may carry table DML —
+    * used by the pg_ and core_ families (resourceBase carries the
+    * prefix) */
+  private[operators] def runMatrix(outer: SparkSession,
+      resourceBase: String): DataFrame = {
+    // ISOLATED session per battery (the reference harness runs each file
+    // in a fresh one): temp views, functions, SETs and the current
+    // database can neither leak in from the surrounding registry run nor
+    // leak out of this battery. The shared SparkContext and the external
+    // catalog are untouched.
+    val spark = outer.newSession()
     registerFixtures(spark)
     val cat = new PgCatalog
-    val (width, stmts) = GoldenCoercion.loadAll(s"pg_$base")
-    val rows = stmts.flatMap {
+    val (width, stmts) = GoldenCoercion.loadAll(resourceBase)
+    val rows = GoldenCoercion.withConfRestore(spark) { stmts.flatMap {
       case GoldenCoercion.Stmt(_, "setup", s) =>
         executeSetup(spark, cat, s)
         Nil
@@ -256,7 +278,7 @@ object GoldenPg {
             if (i < n) r.getString(i) else null)
           Row.fromSeq(id +: ty +: cells)
         }
-    }
+    } }
     val schema = StructType(
       StructField("tc", StringType, nullable = false) ::
         StructField("ty", StringType, nullable = false) ::
@@ -268,7 +290,7 @@ object GoldenPg {
 
   def queryFor(base: String): QueryDef = QueryDef(
     s"q_golden_pg_$base",
-    (spark, _) => runMatrix(spark, base),
+    (spark, _) => runMatrix(spark, s"pg_$base"),
     Some(GoldenCoercion.oracleFor(s"pg_$base")))
 
   // lazy: the probe tool uses executeSetup/registerFixtures BEFORE the

@@ -22,10 +22,19 @@ object CoercionProbe {
   private val CS = '\u001d' // cell sep
 
   def main(args: Array[String]): Unit = {
+    // SAME parallelism as Verify/Bench: float-aggregate merge order over
+    // inline data follows the leaf-node slicing, which follows the core
+    // count — probing at a different local[n] would pin last-ulp values
+    // the runtime can't reproduce
     val spark = Engine.configure(
-      SparkSession.builder().master("local[4]")).getOrCreate()
+      SparkSession.builder().master(s"local[${Engine.cpus}]")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach(run(spark, _))
+    // per-file conf restore: a battery's SETs must not leak into the next
+    // file's probe (the runtime replay restores identically)
+    args.foreach(p =>
+      graft.operators.GoldenCoercion.withConfRestore(spark) {
+        run(spark, p)
+      })
     spark.stop()
   }
 
@@ -40,7 +49,9 @@ object CoercionProbe {
     // pg_* statement lists carry table DML: route setups through the
     // GoldenPg temp-view interpreter (the same one the runtime uses) and
     // register the pg fixture tables first
-    val pgMode = Paths.get(path).getFileName.toString.startsWith("pg_")
+    val fn = Paths.get(path).getFileName.toString
+    val pgMode = fn.startsWith("pg_") || fn.startsWith("core_") ||
+      fn.startsWith("ansi_") || fn.startsWith("subq_")
     if (pgMode) graft.operators.GoldenPg.registerFixtures(spark)
     val pgCat = new graft.operators.GoldenPg.PgCatalog
     val out = new StringBuilder

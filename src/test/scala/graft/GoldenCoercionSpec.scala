@@ -19,24 +19,25 @@ class GoldenCoercionSpec extends GraftSpecBase {
 
   for (base <- GoldenCoercion.bases) {
     test(s"$base: error TCs raise the pinned exception class in order") {
+      val sess = sp.newSession() // fresh-session-per-file, no leakage
       val (_, stmts) = GoldenCoercion.loadAll(base)
       var checked = 0
-      stmts.foreach {
+      GoldenCoercion.withConfRestore(sess) { stmts.foreach {
         case Stmt(_, "setup", s) =>
-          sp.sql(s.replaceAll("(?i)CREATE TEMPORARY VIEW",
+          sess.sql(s.replaceAll("(?i)CREATE TEMPORARY VIEW",
             "CREATE OR REPLACE TEMPORARY VIEW")).collect()
         case Stmt(id, "tc", s) =>
-          sp.sql(s).collect() // must still run clean at this stream point
+          sess.sql(s).collect() // must still run clean at this stream point
         case Stmt(id, kind, s) if kind.startsWith("skip:") =>
-          sp.sql(s).collect() // nonportable value: runs clean, not pinned
+          sess.sql(s).collect() // nonportable value: runs clean, not pinned
         case Stmt(id, kind, s) =>
           val expected = kind.stripPrefix("err:")
-          val e = intercept[Throwable] { sp.sql(s).collect() }
+          val e = intercept[Throwable] { sess.sql(s).collect() }
           assert(e.getClass.getSimpleName == expected,
             s"$base/$id: expected $expected, got " +
               s"${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
           checked += 1
-      }
+      } }
       val (_, _, declaredErrs) = GoldenCoercion.declaredCounts(base)
       assert(checked == declaredErrs,
         s"$base: pinned $checked error TCs, header declares $declaredErrs")

@@ -16,17 +16,18 @@ class GoldenPgSpec extends GraftSpecBase {
 
   for (base <- GoldenPg.bases) {
     test(s"pg $base: error TCs raise the pinned exception class in order") {
-      GoldenPg.registerFixtures(sp)
+      val sess = sp.newSession() // fresh-session-per-file, no leakage
+      GoldenPg.registerFixtures(sess)
       val cat = new GoldenPg.PgCatalog
       val (_, stmts) = GoldenCoercion.loadAll(s"pg_$base")
       var checked = 0
-      stmts.foreach {
+      GoldenCoercion.withConfRestore(sess) { stmts.foreach {
         case Stmt(_, "setup", s) =>
-          GoldenPg.executeSetup(sp, cat, s)
+          GoldenPg.executeSetup(sess, cat, s)
         case Stmt(_, "tc", s) =>
-          sp.sql(s).collect()
+          sess.sql(s).collect()
         case Stmt(_, kind, s) if kind.startsWith("skip:") =>
-          sp.sql(s).collect()
+          sess.sql(s).collect()
         case Stmt(id, kind, s) =>
           val expected = kind.stripPrefix("err:")
           // a failing DML statement (e.g. a width-mismatch INSERT whose
@@ -37,14 +38,14 @@ class GoldenPgSpec extends GraftSpecBase {
             up.startsWith("VALUES") || up.startsWith("TABLE") ||
             up.startsWith("(")
           val e = intercept[Throwable] {
-            if (isQuery) sp.sql(s).collect()
-            else GoldenPg.executeSetup(sp, cat, s)
+            if (isQuery) sess.sql(s).collect()
+            else GoldenPg.executeSetup(sess, cat, s)
           }
           assert(e.getClass.getSimpleName == expected,
             s"$base/$id: expected $expected, got " +
               s"${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
           checked += 1
-      }
+      } }
       val (_, _, declaredErrs) = GoldenCoercion.declaredCounts(s"pg_$base")
       assert(checked == declaredErrs)
     }

@@ -74,14 +74,14 @@ def q(s):
 def gen(base):
     stmts = {}
     order = []
-    for rec in open(f"/tmp/coerce/{base}.stmts", encoding="utf-8").read().split(RS):
+    for rec in open(f"/tmp/coerce/{base}.stmts", encoding="utf-8", newline="").read().split(RS):
         if not rec:
             continue
         i, sql = rec.split(FS, 1)
         stmts[i] = sql
         order.append(i)
     probe = {}
-    for rec in open(f"/tmp/coerce/{base}.probe", encoding="utf-8").read().split(RS):
+    for rec in open(f"/tmp/coerce/{base}.probe", encoding="utf-8", newline="").read().split(RS):
         if not rec:
             continue
         f = rec.split(FS)
@@ -96,17 +96,29 @@ def gen(base):
 
     def portable(f):
         # a cell with control chars (chr(0) etc.) can't be spelled as a
-        # DuckDB string literal — skip the TC, documented
+        # DuckDB string literal, and a raw \r would be newline-translated
+        # by universal-newline readers downstream — skip the TC, documented
         return all(all(ord(ch) >= 32 or ch in "\n\t" for ch in c)
                    for c in cells_of(f))
 
-    oks, errs, setups, skips = [], [], [], []
+    NONDET = re.compile(
+        r"(?i)\b(current_date|current_timestamp|now\s*\(|localtimestamp"
+        r"|random\s*\(|rand\s*\(|randn\s*\(|uuid\s*\("
+        r"|monotonically_increasing_id|current_user|current_catalog"
+        r"|current_database|version\s*\(|input_file_name"
+        r"|spark_partition_id)")
+
+    oks, errs, setups, skips = [], [], [], {}
     for i in order:
         st = probe[i][1]
         if st == "SETUP":
             setups.append(i)
+        elif st == "OK" and NONDET.search(stmts[i]):
+            # value depends on wall clock / session identity / randomness:
+            # a literal oracle would pin the probe run, not the semantics
+            skips[i] = "nondeterministic"
         elif st == "OK" and not portable(probe[i]):
-            skips.append(i)
+            skips[i] = "nonportable-value"
         elif st == "OK":
             oks.append(i)
         else:
@@ -145,7 +157,7 @@ def gen(base):
             elif i in oks:
                 f.write(f"{i}\ttc\t{one(stmts[i])}\n")
             elif i in skips:
-                f.write(f"{i}\tskip:nonportable-value\t{one(stmts[i])}\n")
+                f.write(f"{i}\tskip:{skips[i]}\t{one(stmts[i])}\n")
             else:
                 f.write(f"{i}\terr:{probe[i][2]}\t{one(stmts[i])}\n")
 
@@ -157,9 +169,16 @@ def gen(base):
                 "CAST(NULL AS VARCHAR)" if c is None else q(c)
                 for c in padded]
             vals.append("(" + ", ".join(lit) + ")")
-        cols = ", ".join(["tc", "ty"] + [f"c{j}" for j in range(width)])
-        f.write("SELECT * FROM (VALUES\n" + ",\n".join(vals) +
-                f"\n) AS t({cols})")
+        cols = ["tc", "ty"] + [f"c{j}" for j in range(width)]
+        if vals:
+            f.write("SELECT * FROM (VALUES\n" + ",\n".join(vals) +
+                    f"\n) AS t({', '.join(cols)})")
+        else:
+            # battery with zero value TCs (all error pins): empty result
+            # with the same column names
+            f.write("SELECT " + ", ".join(
+                f"CAST(NULL AS VARCHAR) AS {c}" for c in cols) +
+                " WHERE false")
 
     # ---- divergence report vs the 3.0 golden
     div = {"ERR_IN_41": [], "OK_IN_41": [], "TYPE_DIFF": [],
