@@ -321,14 +321,18 @@ object Dedup {
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("t"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").as("h"))
+    // branch-free votes (r10 — was sum(when(bit,1,-1)) per bit, a 60-way
+    // branchy aggregate): majority(bit b) ⇔ 2·Σ((h>>b)&1) > n, so each
+    // lane is a plain bit-extract sum plus ONE shared count — same
+    // semantics (ties → 0) at a measurably lower per-row cost
     val voteCols = (0 until simBits).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1))
-        .as(s"v$b"))
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"v$b")) :+
+      count(lit(1)).as("vn")
     val sim = tokens.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
         (0 until simBits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          when(col(s"v$b") * 2 > col("vn"), lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
       .persist()
     val chunks = sim.select(col("doc_id"), col("simhash"), posexplode(
