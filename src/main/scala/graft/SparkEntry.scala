@@ -40,6 +40,7 @@ object SparkEntry {
       operators.GoldenCore.all ++
       operators.GoldenAnsi.all ++
       operators.GoldenSubq.all ++
+      operators.TpcdsVerbatim.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++

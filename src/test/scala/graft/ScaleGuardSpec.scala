@@ -210,10 +210,23 @@ class ScaleGuardSpec extends GraftSpecBase {
                                                     //   the 3x3-row VALUES
                                                     //   cartesian/theta TCs
                                                     //   ARE the coverage
-      "q_golden_sqlt_null_prop")                    // count(NULL) OVER ()
+      "q_golden_sqlt_null_prop",                    // count(NULL) OVER ()
                                                     //   global window over a
                                                     //   3-row VALUES constant
                                                     //   — the TC under test
+      // verbatim TPC-DS texts over the derived micro-schema
+      // (TpcdsVerbatim): the reference query files run UNMODIFIED, so
+      // their ORDER BY … LIMIT 100 top-k sorts, q88's eight single-row
+      // scalar blocks cross-joined into one row, and the 1-row
+      // avg-subquery broadcasts (q1/q6/q65) appear as written; all are
+      // bounded by the dim-sized fixture, and the 100 TB-scale planner
+      // twins live in TpcdsShapes (q_ds_* family)
+      "q_tpcds_verbatim_q1", "q_tpcds_verbatim_q3", "q_tpcds_verbatim_q6",
+      "q_tpcds_verbatim_q19", "q_tpcds_verbatim_q42",
+      "q_tpcds_verbatim_q52", "q_tpcds_verbatim_q55",
+      "q_tpcds_verbatim_q65", "q_tpcds_verbatim_q68",
+      "q_tpcds_verbatim_q73", "q_tpcds_verbatim_q79",
+      "q_tpcds_verbatim_q88")
     val flagged = SparkEntry.registry.flatMap { q =>
       val plan = q.run(spark, sfDir).queryExecution.executedPlan
       if (ScaleGuard.findings(plan).nonEmpty) Some(q.name) else None
