@@ -41,10 +41,19 @@ import org.apache.spark.sql.types._
 object GoldenPg {
 
   /** Interpreted table: declared columns (name, Spark SQL type), the
-    * DataFrame stack whose union is the current contents. */
+    * conformed row buffer whose contents ARE the table (registered as one
+    * LocalRelation — a DataFrame-stack union would make the view a
+    * 500-branch plan after numeric.sql's 519 row-at-a-time INSERTs, and
+    * coalescing those inserts into multi-tuple VALUES is NOT
+    * semantics-preserving: Spark widens a multi-tuple VALUES to a common
+    * type first, which can drop decimal scale the single-tuple insert
+    * kept). Each INSERT is analyzed alone, conformed to the declared
+    * column types, collected (local, no job for literal VALUES) and
+    * appended. */
   private final class Tbl(
       var cols: Seq[(String, String)],
-      val frames: mutable.Buffer[DataFrame])
+      var schema: StructType,
+      val rows: mutable.Buffer[Row])
 
   /** Session-scoped interpreter state for one battery run. */
   final class PgCatalog {
@@ -84,7 +93,9 @@ object GoldenPg {
   }
 
   private def refresh(spark: SparkSession, name: String, t: Tbl): Unit =
-    t.frames.reduce(_ unionByName _).createOrReplaceTempView(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(t.rows.toSeq: _*), t.schema)
+      .createOrReplaceTempView(name)
 
   private def emptyFrame(spark: SparkSession,
       cols: Seq[(String, String)]): DataFrame =
@@ -109,29 +120,32 @@ object GoldenPg {
           val sp = c.trim.split("\\s+", 2)
           (sp(0), sp(1))
         }
-        val t = new Tbl(cols, mutable.Buffer(emptyFrame(spark, cols)))
+        val t = new Tbl(cols, emptyFrame(spark, cols).schema,
+          mutable.Buffer())
         cat.tables(name.toLowerCase) = t
         refresh(spark, name, t)
       case CreateTableAs(name, select) =>
         val df = spark.sql(select)
         val cols = df.schema.map(f => (f.name, f.dataType.sql)).toSeq
-        val t = new Tbl(cols, mutable.Buffer(conform(df, cols)))
+        val conformed = conform(df, cols)
+        // nullable schema: later INSERTs may add nulls the CTAS data lacks
+        val t = new Tbl(cols,
+          StructType(conformed.schema.map(_.copy(nullable = true))),
+          mutable.Buffer(conformed.collect().toSeq: _*))
         cat.tables(name.toLowerCase) = t
         refresh(spark, name, t)
       case InsertValues(name, values) =>
         val t = cat.tables(name.toLowerCase)
-        t.frames += conform(
-          spark.sql(s"SELECT * FROM ($values)"), t.cols)
+        t.rows ++= conform(
+          spark.sql(s"SELECT * FROM ($values)"), t.cols).collect()
         refresh(spark, name, t)
       case InsertSelect(name, select) =>
         val t = cat.tables(name.toLowerCase)
-        t.frames += conform(spark.sql(select), t.cols)
+        t.rows ++= conform(spark.sql(select), t.cols).collect()
         refresh(spark, name, t)
       case Truncate(name) =>
         val t = cat.tables(name.toLowerCase)
-        val keep = t.frames.head
-        t.frames.clear()
-        t.frames += keep
+        t.rows.clear()
         refresh(spark, name, t)
       case AlterRename(from, to) =>
         val t = cat.tables.remove(from.toLowerCase).get
@@ -259,33 +273,14 @@ object GoldenPg {
     registerFixtures(spark)
     val cat = new PgCatalog
     val (width, stmts) = GoldenCoercion.loadAll(resourceBase)
-    val rows = GoldenCoercion.withConfRestore(spark) { stmts.flatMap {
-      case GoldenCoercion.Stmt(_, "setup", s) =>
-        executeSetup(spark, cat, s)
-        Nil
-      case GoldenCoercion.Stmt(_, k, _)
-          if k.startsWith("err:") || k.startsWith("skip:") =>
-        Nil // err: pinned in GoldenPgSpec; skip: nonportable value (NUL)
-      case GoldenCoercion.Stmt(id, _, stmt) =>
-        val df = spark.sql(stmt)
-        val ty = df.schema.map(_.dataType.sql).mkString(", ")
-        val n = df.columns.length
-        val renamed = df.toDF((0 until n).map(i => s"c$i"): _*)
-        val strs = renamed.select(
-          (0 until n).map(i => renamed.col(s"c$i").cast("string")): _*)
-        strs.collect().toSeq.map { r =>
-          val cells = (0 until width).map(i =>
-            if (i < n) r.getString(i) else null)
-          Row.fromSeq(id +: ty +: cells)
-        }
-    } }
-    val schema = StructType(
-      StructField("tc", StringType, nullable = false) ::
-        StructField("ty", StringType, nullable = false) ::
-        (0 until width).map(i =>
-          StructField(s"c$i", StringType, nullable = true)).toList)
+    val rows = GoldenCoercion.withConfRestore(spark) {
+      GoldenCoercion.collectMatrix(spark, width, stmts) {
+        s => executeSetup(spark, cat, s)
+      }
+    }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+      spark.sparkContext.parallelize(rows, 1),
+      GoldenCoercion.matrixSchema(width))
   }
 
   def queryFor(base: String): QueryDef = QueryDef(
