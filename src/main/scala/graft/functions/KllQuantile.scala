@@ -118,6 +118,12 @@ object KllBuffer {
   }
 
   def fromBytes(bytes: Array[Byte], k: Int): KllBuffer = {
+    // a truncated/empty blob must get the same "rebuild" diagnostic as a
+    // bad magic, not a raw BufferUnderflowException from getInt
+    require(bytes.length >= 4,
+      s"kll state blob is ${bytes.length} bytes — too short to carry the" +
+        " magic+version word; not a kll_state column (or a truncated" +
+        " one): rebuild the sketches")
     val bb = ByteBuffer.wrap(bytes)
     val magic = bb.getInt
     require(magic == Magic, {

@@ -59,7 +59,11 @@ object GoldenCoercion {
     val header = lines.head
     val width = "width=(\\d+)".r.findFirstMatchIn(header).get.group(1).toInt
     val recs = lines.tail.map(_.split('\t')).toSeq
-      .map(r => Stmt(r(0), r(1), r(2)))
+      // \u001f/\u001e are the generator's reversible encoding of tab /
+      // newline INSIDE string literals (a raw tab would break this very
+      // split; collapsing it would change the replayed statement)
+      .map(r => Stmt(r(0), r(1),
+        r(2).replace('\u001f', '\t').replace('\u001e', '\n')))
     (width, recs)
   }
 

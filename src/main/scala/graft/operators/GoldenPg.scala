@@ -148,7 +148,12 @@ object GoldenPg {
         t.rows.clear()
         refresh(spark, name, t)
       case AlterRename(from, to) =>
-        val t = cat.tables.remove(from.toLowerCase).get
+        val t = cat.tables.remove(from.toLowerCase).getOrElse(
+          throw new IllegalStateException(
+            s"ALTER TABLE RENAME of '$from': not an interpreter-managed" +
+              s" table (known: ${cat.tables.keys.mkString(", ")}) — the" +
+              " battery renamed a view the row-buffer catalog never" +
+              " created"))
         cat.tables(to.toLowerCase) = t
         refresh(spark, to, t)
         spark.catalog.dropTempView(from)
@@ -164,7 +169,20 @@ object GoldenPg {
         spark.sql(sql).collect()
       case _ =>
         // anything else non-query (e.g. bare CREATE TEMP VIEW forms the
-        // regexes miss) — run verbatim, loudly
+        // regexes miss) — run verbatim, loudly. DML/DDL the regexes miss
+        // must NOT fall through: a CTAS-without-USING or
+        // INSERT-with-column-list run verbatim would create managed
+        // tables / warehouse writes that the temp-view sandbox promises
+        // never happen.
+        val up = sql.trim.toUpperCase.replaceAll("\\s+", " ")
+        val touchesWarehouse =
+          up.matches("(?s)CREATE (OR REPLACE )?TABLE .*") ||
+            up.startsWith("INSERT ") || up.startsWith("TRUNCATE ") ||
+            up.startsWith("ALTER TABLE ") || up.startsWith("DROP TABLE ")
+        require(!touchesWarehouse,
+          s"battery statement form not interpreted and not sandbox-safe" +
+            s" to run verbatim: ${sql.take(120)}... — extend the" +
+            " interpreter instead of letting it touch the real catalog")
         spark.sql(sql).collect()
     }
 

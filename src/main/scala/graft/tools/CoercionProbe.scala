@@ -38,6 +38,36 @@ object CoercionProbe {
     spark.stop()
   }
 
+  /** Text after leading whitespace, `--` line comments, and (nesting-aware,
+    * as Spark parses them) bracketed comments — for statement
+    * classification only; the executed SQL stays verbatim. */
+  private[tools] def stripLeadingComments(sql: String): String = {
+    var s = sql
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val t = s.dropWhile(_.isWhitespace)
+      if (t != s) { s = t; progressed = true }
+      if (s.startsWith("--")) {
+        val nl = s.indexOf('\n')
+        s = if (nl < 0) "" else s.substring(nl + 1)
+        progressed = true
+      } else if (s.startsWith("/*")) {
+        var depth = 1
+        var i = 2
+        while (depth > 0 && i < s.length) {
+          if (s.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (s.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
+        if (depth > 0) return "" // unterminated comment: nothing follows
+        s = s.substring(i)
+        progressed = true
+      }
+    }
+    s
+  }
+
   private def render(v: Any): String = v match {
     case null => "N"
     case s => "S" + s.toString
@@ -59,11 +89,19 @@ object CoercionProbe {
       val Array(id, sql) = rec.split(FS.toString, 2)
       val res: Seq[String] =
         try {
-          val up = sql.trim.toUpperCase
+          // classify on the text AFTER leading comments: the comments
+          // batteries open query statements with /* ... */ blocks (and
+          // the parser nests them), so a raw prefix test would demote
+          // those to execute-only setups and silently skip their value
+          // compare. DESC/DESCRIBE/SHOW/EXPLAIN produce result sets too.
+          val up = stripLeadingComments(sql).toUpperCase
           val isQuery = up.startsWith("SELECT") ||
             up.startsWith("WITH") ||
             up.startsWith("VALUES") ||
             up.startsWith("TABLE") ||
+            up.startsWith("DESC") || // DESC / DESCRIBE
+            up.startsWith("SHOW") ||
+            up.startsWith("EXPLAIN") ||
             up.startsWith("(")
           if (!isQuery) {
             // setup: execute for side effects only, but make temp views

@@ -142,7 +142,39 @@ def gen(base):
             rows.append((i, ty, vals))
 
     os.makedirs(RES, exist_ok=True)
-    one = lambda s: re.sub(r"\s+", " ", s).strip()
+
+    def one(s):
+        """Single-line-ify for the tsv: collapse whitespace runs to one
+        space OUTSIDE quoted literals only (collapsing inside a string
+        literal would replay a semantics-changed statement). Tabs and
+        newlines INSIDE literals are encoded reversibly (\\x1f / \\x1e —
+        never present in SQL text) and decoded by the runtime's
+        GoldenCoercion.loadAll after the tab-split."""
+        out, i, quote = [], 0, None
+        while i < len(s):
+            ch = s[i]
+            if quote:
+                if ch == "\t":
+                    out.append("\x1f")
+                elif ch == "\n":
+                    out.append("\x1e")
+                else:
+                    out.append(ch)
+                if ch == quote:
+                    quote = None
+                i += 1
+            elif ch in "'\"`":
+                quote = ch
+                out.append(ch)
+                i += 1
+            elif ch.isspace():
+                while i < len(s) and s[i].isspace():
+                    i += 1
+                out.append(" ")
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out).strip()
 
     with open(f"{RES}/{base}.tsv", "w", encoding="utf-8") as f:
         f.write(f"# width={width} total={len(order)} value_tcs={len(oks)} "
