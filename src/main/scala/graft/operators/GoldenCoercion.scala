@@ -132,8 +132,25 @@ object GoldenCoercion {
             (if (i < n) renamed.col(s"c$i").cast("string")
              else org.apache.spark.sql.functions.lit(null).cast("string"))
               .as(s"c$i"))
-        pending += renamed.select(cols: _*)
-        if (pending.length >= batchCap) flush()
+        val strDf = renamed.select(cols: _*)
+        // literal batteries (decimalPrecision's 780 statements are pure
+        // constant arithmetic) CONSTANT-FOLD to a leaf LocalRelation
+        // during optimization — harvest those rows driver-side instead
+        // of paying a Spark job per 100-statement union. Semantics are
+        // identical: ConstantFolding evaluates the same resolved
+        // expressions under the same session conf the executed plan
+        // would. Statements that touch fixture tables don't fold and
+        // take the batched-union path unchanged.
+        strDf.queryExecution.optimizedPlan match {
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            val w = lr.output.length
+            out ++= lr.data.map(ir => Row.fromSeq(
+              (0 until w).map(i =>
+                if (ir.isNullAt(i)) null else ir.getString(i).toString)))
+          case _ =>
+            pending += strDf
+            if (pending.length >= batchCap) flush()
+        }
     }
     flush()
     out.toSeq

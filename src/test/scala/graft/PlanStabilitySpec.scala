@@ -32,8 +32,9 @@ class PlanStabilitySpec extends GraftSpecBase {
   // RDD carries no stable stats. Its SCALE behavior is still gated
   // (ScaleSmoke heavy) and its logic is oracle-checked via
   // q_sample_leakage_split; only the plan PIN is non-reproducible.
-  private val pinned = (PlanDump.headline ++ ScaleSmoke.heavy).distinct
-    .filterNot(_ == "op_leakage_split_deduped")
+  private val pinned =
+    (PlanDump.headline ++ ScaleSmoke.heavy ++ PlanDump.tpcdsVerbatim)
+      .distinct.filterNot(_ == "op_leakage_split_deduped")
 
   pinned.foreach { name =>
     test(s"plan signature pinned: $name") {

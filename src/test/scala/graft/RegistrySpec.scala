@@ -16,6 +16,18 @@ class RegistrySpec extends GraftSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("README's headline query count equals the live registry size") {
+    // the coverage matrix is the repo's front door — a stale count there
+    // must fail the build, not wait for a reviewer (round-10 lesson)
+    val readme = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    val m = """All (\d+) queries are""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md no longer declares 'All N queries are'")
+    val declared = m.get.group(1).toInt
+    assert(declared == SparkEntry.registry.size,
+      s"README declares $declared queries but the registry has " +
+        s"${SparkEntry.registry.size} — refresh README.md's headline")
+  }
+
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs and is deterministic") {
       val df1 = q.run(spark, sfDir)

@@ -12,7 +12,7 @@ class TpcdsVerbatimSpec extends GraftSpecBase {
   private val sp = TestSpark.spark
   private val gateDir = "/root/testdata/sf0.01"
 
-  test("all 14 verbatim texts return rows at the sf0.01 gate scale") {
+  test("every verbatim text returns rows at the sf0.01 gate scale") {
     val counts = TpcdsVerbatim.queryNames.map { q =>
       q -> TpcdsVerbatim.run(sp, gateDir, q).count()
     }
@@ -35,25 +35,63 @@ class TpcdsVerbatimSpec extends GraftSpecBase {
     assert(s.table("item").count() == 400)
     assert(s.table("customer").count() == 1500)
     assert(s.table("customer_address").count() == 600)
-    // referential closure: every store_sales fk resolves at gate scale
+    assert(s.table("customer_demographics").count() == 720)
+    assert(s.table("income_band").count() == 20)
+    assert(s.table("reason").count() == 10)
+    assert(s.table("promotion").count() == 10)
+    assert(s.table("warehouse").count() == 5)
+    assert(s.table("ship_mode").count() == 20)
+    assert(s.table("web_site").count() == 12)
+    assert(s.table("call_center").count() == 6)
+    assert(s.table("web_page").count() == 30)
+    // the three sales channels and inventory are lineitem-linear
+    val li = s.table("lineitem").count()
+    assert(s.table("store_sales").count() == li)
+    assert(s.table("catalog_sales").count() == li)
+    assert(s.table("web_sales").count() == li)
+    assert(s.table("inventory").count() == li)
+    // returns are the R / A return-flag slices
+    assert(s.table("store_returns").count() ==
+      s.table("catalog_returns").count())
+    assert(s.table("web_returns").count() > 0)
+    // referential closure: every NON-NULL store_sales fk resolves at gate
+    // scale (ss_store_sk and ss_addr_sk carry designed ~1% NULLs — the
+    // q76/q44 IS NULL slices — so nullness is not dangling)
     val dangling = s.sql("""SELECT count(*) FROM store_sales ss
       LEFT JOIN item i ON ss.ss_item_sk = i.i_item_sk
       LEFT JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
       LEFT JOIN store st ON ss.ss_store_sk = st.s_store_sk
       LEFT JOIN customer c ON ss.ss_customer_sk = c.c_customer_sk
+      LEFT JOIN customer_demographics cd ON ss.ss_cdemo_sk = cd.cd_demo_sk
       WHERE i.i_item_sk IS NULL OR d.d_date_sk IS NULL
-         OR st.s_store_sk IS NULL OR c.c_customer_sk IS NULL""")
+         OR (ss.ss_store_sk IS NOT NULL AND st.s_store_sk IS NULL)
+         OR c.c_customer_sk IS NULL OR cd.cd_demo_sk IS NULL""")
       .head.getLong(0)
     assert(dangling == 0L, s"$dangling store_sales rows dangle")
+    // the designed NULL slices exist (q76 unions on them, q44 aggregates
+    // the ss_addr_sk IS NULL slice)
+    assert(s.sql("SELECT count(*) FROM store_sales WHERE ss_store_sk IS NULL")
+      .head.getLong(0) > 0)
+    assert(s.sql("SELECT count(*) FROM store_sales WHERE ss_addr_sk IS NULL")
+      .head.getLong(0) > 0)
+    assert(s.sql(
+      "SELECT count(*) FROM web_sales WHERE ws_ship_customer_sk IS NULL")
+      .head.getLong(0) > 0)
+    assert(s.sql(
+      "SELECT count(*) FROM catalog_sales WHERE cs_ship_addr_sk IS NULL")
+      .head.getLong(0) > 0)
   }
 
   test("the shipped texts are the reference's, character for character") {
-    // spot-pin two: a drifted text would silently turn 'verbatim' into
+    // spot-pin three: a drifted text would silently turn 'verbatim' into
     // 'adapted'
     val q3 = TpcdsVerbatim.queryText("q3")
     assert(q3.contains("FROM date_dim dt, store_sales, item"))
     assert(q3.contains("AND item.i_manufact_id = 128"))
     val q88 = TpcdsVerbatim.queryText("q88")
     assert(q88.count(_ == ',') > 20 && q88.contains("h8_30_to_9"))
+    val q62 = TpcdsVerbatim.queryText("q62")
+    assert(q62.contains("AS `30 days `") &&
+      q62.contains("substr(w_warehouse_name, 1, 20)"))
   }
 }
