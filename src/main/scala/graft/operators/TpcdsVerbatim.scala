@@ -416,10 +416,10 @@ object TpcdsVerbatim {
                   AS ss_promo_sk,
                 l_orderkey AS ss_ticket_number,
                 CAST(q AS DOUBLE) AS ss_quantity,
-                CAST((c * 7) % 999 AS DOUBLE) AS ss_ext_sales_price,
+                CAST(1 + (c * 7) % 998 AS DOUBLE) AS ss_ext_sales_price,
                 CAST((c * 11) % 999 AS DOUBLE) AS ss_ext_list_price,
                 CAST((c * 3) % 99 AS DOUBLE) AS ss_ext_tax,
-                CAST((c * 5) % 199 AS DOUBLE) AS ss_sales_price,
+                CAST(1 + (c * 5) % 198 AS DOUBLE) AS ss_sales_price,
                 CAST((c * 2) % 99 AS DOUBLE) AS ss_coupon_amt,
                 CAST(((c * 13) % 199) - 100 AS DOUBLE) AS ss_net_profit,
                 CAST((c * 31) % 199 AS DOUBLE) AS ss_list_price,
@@ -500,7 +500,7 @@ object TpcdsVerbatim {
                 CAST(q AS DOUBLE) AS cs_quantity,
                 CAST((c * 37) % 199 AS DOUBLE) AS cs_list_price,
                 CAST((c * 41) % 199 AS DOUBLE) AS cs_sales_price,
-                CAST((c * 7) % 999 AS DOUBLE) AS cs_ext_sales_price,
+                CAST(1 + (c * 7) % 998 AS DOUBLE) AS cs_ext_sales_price,
                 CAST((c * 47) % 999 AS DOUBLE) AS cs_ext_list_price,
                 CAST((c * 29) % 499 AS DOUBLE) AS cs_ext_discount_amt,
                 CAST((c * 53) % 199 AS DOUBLE) AS cs_ext_ship_cost,
@@ -582,7 +582,7 @@ object TpcdsVerbatim {
                 l_orderkey AS ws_order_number,
                 CAST(q AS DOUBLE) AS ws_quantity,
                 CAST((c * 67) % 199 AS DOUBLE) AS ws_sales_price,
-                CAST((c * 7) % 999 AS DOUBLE) AS ws_ext_sales_price,
+                CAST(1 + (c * 7) % 998 AS DOUBLE) AS ws_ext_sales_price,
                 CAST((c * 73) % 199 AS DOUBLE) AS ws_list_price,
                 CAST((c * 101) % 999 AS DOUBLE) AS ws_ext_list_price,
                 CAST((c * 79) % 499 AS DOUBLE) AS ws_ext_discount_amt,
