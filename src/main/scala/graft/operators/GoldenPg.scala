@@ -175,10 +175,16 @@ object GoldenPg {
         // tables / warehouse writes that the temp-view sandbox promises
         // never happen.
         val up = sql.trim.toUpperCase.replaceAll("\\s+", " ")
-        val touchesWarehouse =
+        // statements that don't even parse are sandbox-safe to hand to
+        // spark.sql verbatim — they raise their (often battery-pinned)
+        // ParseException before anything could touch the catalog
+        val parses =
+          try { spark.sessionState.sqlParser.parsePlan(sql); true }
+          catch { case _: Exception => false }
+        val touchesWarehouse = parses && (
           up.matches("(?s)CREATE (OR REPLACE )?TABLE .*") ||
             up.startsWith("INSERT ") || up.startsWith("TRUNCATE ") ||
-            up.startsWith("ALTER TABLE ") || up.startsWith("DROP TABLE ")
+            up.startsWith("ALTER TABLE ") || up.startsWith("DROP TABLE "))
         require(!touchesWarehouse,
           s"battery statement form not interpreted and not sandbox-safe" +
             s" to run verbatim: ${sql.take(120)}... — extend the" +

@@ -1,0 +1,336 @@
+TakeOrderedAndProject
+  BroadcastHashJoin [broadcast,plain]
+    Filter
+      HashAggregate
+        Exchange
+          HashAggregate
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Exchange
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              BroadcastHashJoin [broadcast,plain]
+                                Exchange
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Exchange
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                      Project
+                                                        Filter
+                                                          Window
+                                                            Sort
+                                                              Exchange
+                                                                ColumnarToRow
+                                                                  Scan parquet 
+                                                Project
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet 
+                                          Project
+                                            Filter
+                                              Window
+                                                Sort
+                                                  Exchange
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Exchange
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              BroadcastHashJoin [broadcast,plain]
+                                Exchange
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Exchange
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                      Project
+                                                        Filter
+                                                          Window
+                                                            Sort
+                                                              Exchange
+                                                                ColumnarToRow
+                                                                  Scan parquet 
+                                                Project
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet 
+                                          Project
+                                            Filter
+                                              Window
+                                                Sort
+                                                  Exchange
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                Project
+                  Filter
+                    Window
+                      Sort
+                        Exchange
+                          ColumnarToRow
+                            Scan parquet 
+    Filter
+      HashAggregate
+        Exchange
+          HashAggregate
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Exchange
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              BroadcastHashJoin [broadcast,plain]
+                                Exchange
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Exchange
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                      Project
+                                                        Filter
+                                                          Window
+                                                            Sort
+                                                              Exchange
+                                                                ColumnarToRow
+                                                                  Scan parquet 
+                                                Project
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet 
+                                          Project
+                                            Filter
+                                              Window
+                                                Sort
+                                                  Exchange
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Exchange
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              BroadcastHashJoin [broadcast,plain]
+                                Exchange
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Exchange
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet 
+                                                      Project
+                                                        Filter
+                                                          Window
+                                                            Sort
+                                                              Exchange
+                                                                ColumnarToRow
+                                                                  Scan parquet 
+                                                Project
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet 
+                                          Project
+                                            Filter
+                                              Window
+                                                Sort
+                                                  Exchange
+                                                    ColumnarToRow
+                                                      Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                Project
+                  Filter
+                    Window
+                      Sort
+                        Exchange
+                          ColumnarToRow
+                            Scan parquet 

@@ -1,0 +1,120 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Union
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Exchange
+                      Project
+                        Filter
+                          HashAggregate
+                            HashAggregate
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                Project
+                  Filter
+                    HashAggregate
+                      Exchange
+                        HashAggregate
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+            Project
+              Filter
+                Window
+                  Sort
+                    Exchange
+                      ColumnarToRow
+                        Scan parquet 
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Exchange
+                      Project
+                        Filter
+                          HashAggregate
+                            HashAggregate
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                Project
+                  Filter
+                    HashAggregate
+                      Exchange
+                        HashAggregate
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+            Project
+              Filter
+                Window
+                  Sort
+                    Exchange
+                      ColumnarToRow
+                        Scan parquet 

@@ -1,0 +1,48 @@
+Filter
+  HashAggregate
+    Exchange
+      HashAggregate
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Project
+                        Project
+                          Filter
+                            Window
+                              Sort
+                                Exchange
+                                  ColumnarToRow
+                                    Scan parquet 
+                  Project
+                    Project
+                      Filter
+                        Window
+                          TakeOrderedAndProject
+                            ColumnarToRow
+                              Scan parquet 

@@ -1,0 +1,76 @@
+TakeOrderedAndProject
+  Project
+    BroadcastHashJoin [broadcast,plain]
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      HashAggregate
+                        Exchange
+                          HashAggregate
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                                    Project
+                                      Filter
+                                        Window
+                                          Sort
+                                            Exchange
+                                              ColumnarToRow
+                                                Scan parquet 
+                                Project
+                                  Project
+                                    Filter
+                                      Window
+                                        TakeOrderedAndProject
+                                          ColumnarToRow
+                                            Scan parquet 
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                          Project
+                            Project
+                              Filter
+                                Window
+                                  TakeOrderedAndProject
+                                    ColumnarToRow
+                                      Scan parquet 
+          Project
+            Project
+              Filter
+                Window
+                  Sort
+                    Exchange
+                      ColumnarToRow
+                        Scan parquet 
+      Project
+        Filter
+          Window
+            TakeOrderedAndProject
+              ColumnarToRow
+                Scan parquet 

@@ -1,0 +1,40 @@
+CollectLimit
+  Project
+    BroadcastHashJoin [broadcast,plain]
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Exchange
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+          Filter
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                      Project
+                        Filter
+                          Window
+                            Sort
+                              Exchange
+                                ColumnarToRow
+                                  Scan parquet 
+      Project
+        Filter
+          Window
+            Sort
+              Exchange
+                ColumnarToRow
+                  Scan parquet 

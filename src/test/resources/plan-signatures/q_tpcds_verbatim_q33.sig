@@ -1,0 +1,109 @@
+TakeOrderedAndProject
+  HashAggregate
+    HashAggregate
+      Union
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                      Project
+                        Filter
+                          Window
+                            TakeOrderedAndProject
+                              ColumnarToRow
+                                Scan parquet 
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                      Project
+                        Filter
+                          Window
+                            TakeOrderedAndProject
+                              ColumnarToRow
+                                Scan parquet 
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                      Project
+                        Filter
+                          Window
+                            TakeOrderedAndProject
+                              ColumnarToRow
+                                Scan parquet 

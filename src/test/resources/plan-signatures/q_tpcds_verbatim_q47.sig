@@ -1,0 +1,104 @@
+TakeOrderedAndProject
+  Project
+    BroadcastHashJoin [broadcast,plain]
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            Filter
+              Window
+                Filter
+                  Window
+                    Sort
+                      Exchange
+                        HashAggregate
+                          Exchange
+                            HashAggregate
+                              Project
+                                BroadcastHashJoin [broadcast,plain]
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet 
+                                      Project
+                                        Filter
+                                          Window
+                                            Sort
+                                              Exchange
+                                                ColumnarToRow
+                                                  Scan parquet 
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+          Project
+            Window
+              Sort
+                Exchange
+                  HashAggregate
+                    Exchange
+                      HashAggregate
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                                Project
+                                  Filter
+                                    Window
+                                      Sort
+                                        Exchange
+                                          ColumnarToRow
+                                            Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+      Project
+        Window
+          Sort
+            Exchange
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                            Project
+                              Filter
+                                Window
+                                  Sort
+                                    Exchange
+                                      ColumnarToRow
+                                        Scan parquet 
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 

@@ -1,0 +1,40 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                      Project
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                  Project
+                    Filter
+                      Window
+                        TakeOrderedAndProject
+                          ColumnarToRow
+                            Scan parquet 
+              Project
+                Project
+                  Filter
+                    Window
+                      TakeOrderedAndProject
+                        ColumnarToRow
+                          Scan parquet 
+          Project
+            Filter
+              Window
+                Sort
+                  Exchange
+                    ColumnarToRow
+                      Scan parquet 

@@ -1,0 +1,98 @@
+TakeOrderedAndProject
+  HashAggregate
+    Exchange
+      HashAggregate
+        Expand
+          Union
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Union
+                            Project
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Union
+                            Project
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                            Project
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Union
+                            Project
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                Project
+                                  Project
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 

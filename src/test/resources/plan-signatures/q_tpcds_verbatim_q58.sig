@@ -1,0 +1,125 @@
+TakeOrderedAndProject
+  Project
+    BroadcastHashJoin [broadcast,plain]
+      Filter
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        Filter
+                          Window
+                            Sort
+                              Exchange
+                                ColumnarToRow
+                                  Scan parquet 
+                      Project
+                        Filter
+                          Window
+                            Sort
+                              Exchange
+                                ColumnarToRow
+                                  Scan parquet 
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Filter
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+          Filter
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 

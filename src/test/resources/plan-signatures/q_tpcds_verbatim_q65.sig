@@ -1,0 +1,52 @@
+TakeOrderedAndProject
+  Project
+    BroadcastHashJoin [broadcast,plain]
+      Filter
+        HashAggregate
+          Exchange
+            HashAggregate
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                        Project
+                          Filter
+                            Window
+                              Sort
+                                Exchange
+                                  ColumnarToRow
+                                    Scan parquet 
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

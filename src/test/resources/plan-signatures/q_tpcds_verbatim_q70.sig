@@ -1,0 +1,61 @@
+TakeOrderedAndProject
+  Project
+    Window
+      Sort
+        Exchange
+          HashAggregate
+            Exchange
+              HashAggregate
+                Expand
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                      Project
+                        BroadcastNestedLoopJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                WindowGroupLimit
+                                  Filter
+                                    WindowGroupLimit
+                                      Sort
+                                        Exchange
+                                          WindowGroupLimit
+                                            Sort
+                                              HashAggregate
+                                                Exchange
+                                                  HashAggregate
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Project
+                                                          BroadcastHashJoin [broadcast,plain]
+                                                            Project
+                                                              Filter
+                                                                ColumnarToRow
+                                                                  Scan parquet 
+                                                            Project
+                                                              Filter
+                                                                ColumnarToRow
+                                                                  Scan parquet 
+                                                        Project
+                                                          Filter
+                                                            Window
+                                                              Sort
+                                                                Exchange
+                                                                  ColumnarToRow
+                                                                    Scan parquet 

@@ -1,0 +1,62 @@
+TakeOrderedAndProject
+  HashAggregate
+    Exchange
+      HashAggregate
+        Union
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+              Project
+                Filter
+                  Window
+                    Sort
+                      Exchange
+                        ColumnarToRow
+                          Scan parquet 
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+              Project
+                Filter
+                  Window
+                    Sort
+                      Exchange
+                        ColumnarToRow
+                          Scan parquet 
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+              Project
+                Filter
+                  Window
+                    Sort
+                      Exchange
+                        ColumnarToRow
+                          Scan parquet 

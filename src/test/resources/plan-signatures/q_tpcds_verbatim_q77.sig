@@ -1,0 +1,137 @@
+TakeOrderedAndProject
+  HashAggregate
+    Exchange
+      HashAggregate
+        Expand
+          Union
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                              Project
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+            Project
+              BroadcastNestedLoopJoin [broadcast,plain]
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                              Project
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  Window
+                                    Sort
+                                      Exchange
+                                        ColumnarToRow
+                                          Scan parquet 
+                              Project
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 

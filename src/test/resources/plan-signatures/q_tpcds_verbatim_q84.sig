@@ -1,0 +1,43 @@
+TakeOrderedAndProject
+  Project
+    BroadcastHashJoin [broadcast,plain]
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        Filter
+                          Window
+                            TakeOrderedAndProject
+                              ColumnarToRow
+                                Scan parquet 
+                      Project
+                        Project
+                          Filter
+                            Window
+                              Sort
+                                Exchange
+                                  ColumnarToRow
+                                    Scan parquet 
+                  Project
+                    Filter
+                      Window
+                        TakeOrderedAndProject
+                          ColumnarToRow
+                            Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 
+      Project
+        Filter
+          ColumnarToRow
+            Scan parquet 

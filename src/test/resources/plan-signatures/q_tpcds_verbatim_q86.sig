@@ -1,0 +1,28 @@
+TakeOrderedAndProject
+  Project
+    Window
+      Sort
+        Exchange
+          HashAggregate
+            Exchange
+              HashAggregate
+                Expand
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              Window
+                                Sort
+                                  Exchange
+                                    ColumnarToRow
+                                      Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 

@@ -1,0 +1,207 @@
+BroadcastNestedLoopJoin [broadcast,plain]
+  BroadcastNestedLoopJoin [broadcast,plain]
+    BroadcastNestedLoopJoin [broadcast,plain]
+      BroadcastNestedLoopJoin [broadcast,plain]
+        BroadcastNestedLoopJoin [broadcast,plain]
+          BroadcastNestedLoopJoin [broadcast,plain]
+            BroadcastNestedLoopJoin [broadcast,plain]
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+          HashAggregate
+            Exchange
+              HashAggregate
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+      HashAggregate
+        Exchange
+          HashAggregate
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+    HashAggregate
+      Exchange
+        HashAggregate
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+  HashAggregate
+    Exchange
+      HashAggregate
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
