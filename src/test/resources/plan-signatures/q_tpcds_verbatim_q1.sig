@@ -1,6 +1,9 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
+      Filter
+        ColumnarToRow
+          Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
           Project
@@ -14,43 +17,27 @@ TakeOrderedAndProject
                           HashAggregate
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
-                                Project
-                                  Filter
-                                    Window
-                                      Sort
-                                        Exchange
-                                          ColumnarToRow
-                                            Scan parquet 
               Filter
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
           Project
             Filter
               ColumnarToRow
                 Scan parquet 
-      Project
-        Project
-          Filter
-            Window
-              Sort
-                Exchange
-                  ColumnarToRow
-                    Scan parquet 

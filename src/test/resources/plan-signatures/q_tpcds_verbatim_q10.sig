@@ -4,72 +4,50 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            Filter
+              ColumnarToRow
+                Scan parquet 
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
                   Filter
-                    Window
-                      TakeOrderedAndProject
-                        ColumnarToRow
-                          Scan parquet 
-                Project
-                  Project
-                    Filter
+                    BroadcastHashJoin [broadcast,plain]
                       BroadcastHashJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
-                          BroadcastHashJoin [broadcast,plain]
-                            Exchange
-                              Project
-                                BroadcastHashJoin [broadcast,plain]
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                                  Project
-                                    Filter
-                                      Window
-                                        Sort
-                                          Exchange
-                                            ColumnarToRow
-                                              Scan parquet 
-                            Project
-                              Filter
-                                Window
-                                  Sort
-                                    Exchange
-                                      ColumnarToRow
-                                        Scan parquet 
                           Exchange
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
-                                Project
-                                  Filter
-                                    Window
-                                      Sort
-                                        Exchange
-                                          ColumnarToRow
-                                            Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                         Exchange
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-            Project
-              Filter
-                Window
-                  TakeOrderedAndProject
+                      Exchange
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                Project
+                  Filter
                     ColumnarToRow
                       Scan parquet 

@@ -10,18 +10,13 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Project
                       BroadcastHashJoin [broadcast,plain]
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                     Project
                       Filter
-                        Window
-                          Sort
-                            Exchange
-                              ColumnarToRow
-                                Scan parquet 
+                        ColumnarToRow
+                          Scan parquet 

@@ -8,165 +8,128 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Exchange
-                          Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Exchange
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
                             BroadcastHashJoin [broadcast,plain]
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                      Project
+                              Exchange
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
                                         Filter
-                                          Window
-                                            Sort
+                                          ColumnarToRow
+                                            Scan parquet 
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                              HashAggregate
+                                Exchange
+                                  HashAggregate
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
                                               Exchange
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet 
+                                              Filter
                                                 ColumnarToRow
                                                   Scan parquet 
-                                HashAggregate
-                                  Exchange
-                                    HashAggregate
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              BroadcastHashJoin [broadcast,plain]
-                                                Exchange
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      Project
-                                                        BroadcastHashJoin [broadcast,plain]
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                      Project
-                                                        Filter
-                                                          Window
-                                                            Sort
-                                                              Exchange
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                Project
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                          Project
                                             Filter
-                                              Window
-                                                Sort
-                                                  Exchange
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Exchange
-                          Project
+                                              ColumnarToRow
+                                                Scan parquet 
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                    BroadcastHashJoin [broadcast,plain]
+                      Exchange
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
                             BroadcastHashJoin [broadcast,plain]
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                      Project
+                              Exchange
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
                                         Filter
-                                          Window
-                                            Sort
+                                          ColumnarToRow
+                                            Scan parquet 
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                              HashAggregate
+                                Exchange
+                                  HashAggregate
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
                                               Exchange
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet 
+                                              Filter
                                                 ColumnarToRow
                                                   Scan parquet 
-                                HashAggregate
-                                  Exchange
-                                    HashAggregate
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              BroadcastHashJoin [broadcast,plain]
-                                                Exchange
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      Project
-                                                        BroadcastHashJoin [broadcast,plain]
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                      Project
-                                                        Filter
-                                                          Window
-                                                            Sort
-                                                              Exchange
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                Project
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                          Project
                                             Filter
-                                              Window
-                                                Sort
-                                                  Exchange
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                                              ColumnarToRow
+                                                Scan parquet 
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                 Project
                   Filter
-                    Window
-                      Sort
-                        Exchange
-                          ColumnarToRow
-                            Scan parquet 
+                    ColumnarToRow
+                      Scan parquet 
     Filter
       HashAggregate
         Exchange
@@ -175,162 +138,125 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Exchange
-                          Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Exchange
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
                             BroadcastHashJoin [broadcast,plain]
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                      Project
+                              Exchange
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
                                         Filter
-                                          Window
-                                            Sort
+                                          ColumnarToRow
+                                            Scan parquet 
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                              HashAggregate
+                                Exchange
+                                  HashAggregate
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
                                               Exchange
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet 
+                                              Filter
                                                 ColumnarToRow
                                                   Scan parquet 
-                                HashAggregate
-                                  Exchange
-                                    HashAggregate
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              BroadcastHashJoin [broadcast,plain]
-                                                Exchange
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      Project
-                                                        BroadcastHashJoin [broadcast,plain]
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                      Project
-                                                        Filter
-                                                          Window
-                                                            Sort
-                                                              Exchange
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                Project
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                          Project
                                             Filter
-                                              Window
-                                                Sort
-                                                  Exchange
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Exchange
-                          Project
+                                              ColumnarToRow
+                                                Scan parquet 
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                    BroadcastHashJoin [broadcast,plain]
+                      Exchange
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
                             BroadcastHashJoin [broadcast,plain]
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                      Project
+                              Exchange
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
                                         Filter
-                                          Window
-                                            Sort
+                                          ColumnarToRow
+                                            Scan parquet 
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet 
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                              HashAggregate
+                                Exchange
+                                  HashAggregate
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
                                               Exchange
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet 
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet 
+                                              Filter
                                                 ColumnarToRow
                                                   Scan parquet 
-                                HashAggregate
-                                  Exchange
-                                    HashAggregate
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              BroadcastHashJoin [broadcast,plain]
-                                                Exchange
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      Project
-                                                        BroadcastHashJoin [broadcast,plain]
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                          Project
-                                                            Filter
-                                                              ColumnarToRow
-                                                                Scan parquet 
-                                                      Project
-                                                        Filter
-                                                          Window
-                                                            Sort
-                                                              Exchange
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                Project
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                          Project
                                             Filter
-                                              Window
-                                                Sort
-                                                  Exchange
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                                              ColumnarToRow
+                                                Scan parquet 
+                                        Project
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                 Project
                   Filter
-                    Window
-                      Sort
-                        Exchange
-                          ColumnarToRow
-                            Scan parquet 
+                    ColumnarToRow
+                      Scan parquet 

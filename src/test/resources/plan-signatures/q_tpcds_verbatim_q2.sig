@@ -6,16 +6,36 @@ Sort
           Project
             BroadcastHashJoin [broadcast,plain]
               HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                        Union
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            HashAggregate
+              Exchange
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Union
                         Project
                           Filter
@@ -25,39 +45,7 @@ Sort
                           Filter
                             ColumnarToRow
                               Scan parquet 
-              Project
-                Filter
-                  Window
-                    Sort
-                      Exchange
-                        ColumnarToRow
-                          Scan parquet 
-        Project
-          BroadcastHashJoin [broadcast,plain]
-            HashAggregate
-              HashAggregate
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    Project
-                      Filter
-                        Window
-                          Sort
-                            Exchange
-                              ColumnarToRow
-                                Scan parquet 
-                    Union
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
             Project
               Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
+                ColumnarToRow
+                  Scan parquet 

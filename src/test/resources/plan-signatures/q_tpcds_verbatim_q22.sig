@@ -5,26 +5,20 @@ TakeOrderedAndProject
         Expand
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
                 BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         Filter
                           ColumnarToRow
                             Scan parquet 
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 

@@ -8,33 +8,28 @@ HashAggregate
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
-                    Exchange
-                      Project
-                        Filter
-                          HashAggregate
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                    Project
+                      Filter
+                        HashAggregate
+                          Exchange
                             HashAggregate
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                       Project
                                         Filter
                                           ColumnarToRow
                                             Scan parquet 
-                                      Project
-                                        Filter
-                                          Window
-                                            Sort
-                                              Exchange
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
                 Project
                   Filter
                     HashAggregate
@@ -42,57 +37,44 @@ HashAggregate
                         HashAggregate
                           Project
                             BroadcastHashJoin [broadcast,plain]
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
             Project
               Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
+                ColumnarToRow
+                  Scan parquet 
         Project
           BroadcastHashJoin [broadcast,plain]
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
-                    Exchange
-                      Project
-                        Filter
-                          HashAggregate
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                    Project
+                      Filter
+                        HashAggregate
+                          Exchange
                             HashAggregate
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                       Project
                                         Filter
                                           ColumnarToRow
                                             Scan parquet 
-                                      Project
-                                        Filter
-                                          Window
-                                            Sort
-                                              Exchange
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
                 Project
                   Filter
                     HashAggregate
@@ -100,21 +82,13 @@ HashAggregate
                         HashAggregate
                           Project
                             BroadcastHashJoin [broadcast,plain]
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
             Project
               Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
+                ColumnarToRow
+                  Scan parquet 

@@ -7,42 +7,30 @@ Filter
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Project
                                 BroadcastHashJoin [broadcast,plain]
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                      Project
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
-                  Project
-                    Project
-                      Filter
-                        Window
-                          TakeOrderedAndProject
-                            ColumnarToRow
-                              Scan parquet 

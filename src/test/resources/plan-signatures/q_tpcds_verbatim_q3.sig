@@ -6,17 +6,13 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Project
               BroadcastHashJoin [broadcast,plain]
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
                 Project
                   Filter
                     ColumnarToRow
                       Scan parquet 
-                Project
-                  Filter
-                    Window
-                      Sort
-                        Exchange
-                          ColumnarToRow
-                            Scan parquet 
             Project
               Filter
                 ColumnarToRow

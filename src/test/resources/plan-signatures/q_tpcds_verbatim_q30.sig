@@ -3,6 +3,9 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -14,63 +17,37 @@ TakeOrderedAndProject
                           HashAggregate
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
                                     Project
                                       Filter
                                         ColumnarToRow
                                           Scan parquet 
-                                    Project
-                                      Filter
-                                        Window
-                                          Sort
-                                            Exchange
-                                              ColumnarToRow
-                                                Scan parquet 
-                                Project
-                                  Project
-                                    Filter
-                                      Window
-                                        TakeOrderedAndProject
-                                          ColumnarToRow
-                                            Scan parquet 
               Filter
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Project
-                              Filter
-                                Window
-                                  TakeOrderedAndProject
-                                    ColumnarToRow
-                                      Scan parquet 
-          Project
-            Project
-              Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
       Project
         Filter
-          Window
-            TakeOrderedAndProject
-              ColumnarToRow
-                Scan parquet 
+          ColumnarToRow
+            Scan parquet 

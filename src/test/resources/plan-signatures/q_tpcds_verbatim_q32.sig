@@ -6,10 +6,9 @@ CollectLimit
           Exchange
             Project
               BroadcastHashJoin [broadcast,plain]
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
                 Project
                   Filter
                     ColumnarToRow
@@ -20,21 +19,14 @@ CollectLimit
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         Filter
                           ColumnarToRow
                             Scan parquet 
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
       Project
         Filter
-          Window
-            Sort
-              Exchange
-                ColumnarToRow
-                  Scan parquet 
+          ColumnarToRow
+            Scan parquet 

@@ -7,103 +7,82 @@ TakeOrderedAndProject
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
+                  BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                    Project
                       Filter
                         ColumnarToRow
                           Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
                       Project
                         Filter
-                          Window
-                            TakeOrderedAndProject
-                              ColumnarToRow
-                                Scan parquet 
+                          ColumnarToRow
+                            Scan parquet 
         HashAggregate
           Exchange
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
+                  BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                    Project
                       Filter
                         ColumnarToRow
                           Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
                       Project
                         Filter
-                          Window
-                            TakeOrderedAndProject
-                              ColumnarToRow
-                                Scan parquet 
+                          ColumnarToRow
+                            Scan parquet 
         HashAggregate
           Exchange
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
+                  BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+                    Project
                       Filter
                         ColumnarToRow
                           Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
                       Project
                         Filter
-                          Window
-                            TakeOrderedAndProject
-                              ColumnarToRow
-                                Scan parquet 
+                          ColumnarToRow
+                            Scan parquet 

@@ -4,73 +4,49 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            Filter
+              ColumnarToRow
+                Scan parquet 
             Project
               BroadcastHashJoin [broadcast,plain]
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
                 Project
-                  Project
-                    Filter
+                  Filter
+                    BroadcastHashJoin [broadcast,plain]
                       BroadcastHashJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
-                          BroadcastHashJoin [broadcast,plain]
-                            Exchange
-                              Project
-                                BroadcastHashJoin [broadcast,plain]
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                                  Project
-                                    Filter
-                                      Window
-                                        Sort
-                                          Exchange
-                                            ColumnarToRow
-                                              Scan parquet 
-                            Project
-                              Filter
-                                Window
-                                  Sort
-                                    Exchange
-                                      ColumnarToRow
-                                        Scan parquet 
                           Exchange
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   Filter
                                     ColumnarToRow
                                       Scan parquet 
-                                Project
-                                  Filter
-                                    Window
-                                      Sort
-                                        Exchange
-                                          ColumnarToRow
-                                            Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                         Exchange
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                Project
-                  Project
-                    Filter
-                      Window
-                        TakeOrderedAndProject
-                          ColumnarToRow
-                            Scan parquet 
-            Project
-              Filter
-                Window
-                  TakeOrderedAndProject
-                    ColumnarToRow
-                      Scan parquet 
+                      Exchange
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 

@@ -11,24 +11,18 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                              Project
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                  ColumnarToRow
+                                    Scan parquet 
                       Project
                         Filter
                           ColumnarToRow

@@ -4,6 +4,9 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            Filter
+              ColumnarToRow
+                Scan parquet 
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
@@ -18,12 +21,5 @@ TakeOrderedAndProject
                           Scan parquet 
                 Project
                   Filter
-                    Window
-                      Sort
-                        Exchange
-                          ColumnarToRow
-                            Scan parquet 
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+                    ColumnarToRow
+                      Scan parquet 

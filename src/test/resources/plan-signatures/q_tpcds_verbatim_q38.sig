@@ -4,80 +4,54 @@ HashAggregate
       Project
         BroadcastHashJoin [broadcast,plain]
           BroadcastHashJoin [broadcast,plain]
-            Exchange
-              HashAggregate
+            HashAggregate
+              Exchange
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                      Project
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
-            HashAggregate
+                              ColumnarToRow
+                                Scan parquet 
+          HashAggregate
+            Exchange
               HashAggregate
                 Project
                   BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
-                    Project
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
-          Exchange
-            HashAggregate
-              HashAggregate
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
-                    Project
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 

@@ -4,9 +4,10 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
-            Filter
-              ColumnarToRow
-                Scan parquet 
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 
             Project
               Filter
                 HashAggregate

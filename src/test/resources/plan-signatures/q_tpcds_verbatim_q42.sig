@@ -5,17 +5,13 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
                 Filter
                   ColumnarToRow
                     Scan parquet 
-              Project
-                Filter
-                  Window
-                    Sort
-                      Exchange
-                        ColumnarToRow
-                          Scan parquet 
           Project
             Filter
               ColumnarToRow

@@ -1,22 +1,19 @@
 TakeOrderedAndProject
   HashAggregate
-    HashAggregate
-      Project
-        BroadcastHashJoin [broadcast,plain]
-          Project
-            BroadcastHashJoin [broadcast,plain]
-              Project
+    Exchange
+      HashAggregate
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            Project
+              BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
                     Scan parquet 
-              Project
-                Filter
-                  Window
-                    Sort
-                      Exchange
-                        ColumnarToRow
-                          Scan parquet 
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet 

@@ -1,8 +1,14 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
+      Filter
+        ColumnarToRow
+          Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
               Project
@@ -37,11 +43,3 @@ TakeOrderedAndProject
                                         Filter
                                           ColumnarToRow
                                             Scan parquet 
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 
-      Project
-        Filter
-          ColumnarToRow
-            Scan parquet 

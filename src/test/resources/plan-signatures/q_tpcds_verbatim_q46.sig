@@ -1,31 +1,35 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
+      Filter
+        ColumnarToRow
+          Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           HashAggregate
             Exchange
               HashAggregate
                 Project
                   BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   Filter
-                                    Window
-                                      Sort
-                                        Exchange
-                                          ColumnarToRow
-                                            Scan parquet 
-                                Project
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
+                                    ColumnarToRow
+                                      Scan parquet 
                             Project
                               Filter
                                 ColumnarToRow
@@ -34,25 +38,3 @@ TakeOrderedAndProject
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                    Project
-                      Project
-                        Filter
-                          Window
-                            TakeOrderedAndProject
-                              ColumnarToRow
-                                Scan parquet 
-          Project
-            Project
-              Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
-      Project
-        Project
-          Filter
-            Window
-              TakeOrderedAndProject
-                ColumnarToRow
-                  Scan parquet 

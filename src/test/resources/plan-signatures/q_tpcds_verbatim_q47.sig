@@ -15,29 +15,22 @@ TakeOrderedAndProject
                             HashAggregate
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                          Project
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                      Project
-                                        Filter
-                                          Window
-                                            Sort
-                                              Exchange
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet 
           Project
             Window
               Sort
@@ -47,29 +40,22 @@ TakeOrderedAndProject
                       HashAggregate
                         Project
                           BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                                Project
-                                  Filter
-                                    Window
-                                      Sort
-                                        Exchange
-                                          ColumnarToRow
-                                            Scan parquet 
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
       Project
         Window
           Sort
@@ -79,26 +65,19 @@ TakeOrderedAndProject
                   HashAggregate
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
                             Project
                               BroadcastHashJoin [broadcast,plain]
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                            Project
-                              Filter
-                                Window
-                                  Sort
-                                    Exchange
-                                      ColumnarToRow
-                                        Scan parquet 
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 

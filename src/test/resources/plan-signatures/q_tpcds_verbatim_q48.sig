@@ -7,34 +7,22 @@ HashAggregate
             BroadcastHashJoin [broadcast,plain]
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                      Project
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                  Project
-                    Filter
-                      Window
-                        TakeOrderedAndProject
-                          ColumnarToRow
-                            Scan parquet 
-              Project
-                Project
                   Filter
-                    Window
-                      TakeOrderedAndProject
-                        ColumnarToRow
-                          Scan parquet 
-          Project
-            Filter
-              Window
-                Sort
-                  Exchange
                     ColumnarToRow
                       Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet 

@@ -9,90 +9,71 @@ TakeOrderedAndProject
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 
                           Union
-                            Project
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
                             Project
                               Filter
                                 ColumnarToRow
                                   Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
             HashAggregate
               Exchange
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 
                           Union
                             Project
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                             Project
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
             HashAggregate
               Exchange
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 
                           Union
                             Project
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                             Project
                               BroadcastHashJoin [broadcast,plain]
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                Project
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 

@@ -6,33 +6,23 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Project
               BroadcastHashJoin [broadcast,plain]
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
                 Project
                   BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       BroadcastHashJoin [broadcast,plain]
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                Project
-                  Filter
-                    Window
-                      Sort
-                        Exchange
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                        Filter
                           ColumnarToRow
                             Scan parquet 
             Project
               Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
+                ColumnarToRow
+                  Scan parquet 

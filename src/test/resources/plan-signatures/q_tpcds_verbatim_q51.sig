@@ -16,17 +16,13 @@ TakeOrderedAndProject
                               HashAggregate
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
                                     Project
                                       Filter
                                         ColumnarToRow
                                           Scan parquet 
-                                    Project
-                                      Filter
-                                        Window
-                                          Sort
-                                            Exchange
-                                              ColumnarToRow
-                                                Scan parquet 
               Sort
                 Exchange
                   Project
@@ -38,14 +34,10 @@ TakeOrderedAndProject
                               HashAggregate
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
                                     Project
                                       Filter
                                         ColumnarToRow
                                           Scan parquet 
-                                    Project
-                                      Filter
-                                        Window
-                                          Sort
-                                            Exchange
-                                              ColumnarToRow
-                                                Scan parquet 

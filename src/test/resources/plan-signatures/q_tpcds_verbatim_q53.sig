@@ -9,26 +9,21 @@ TakeOrderedAndProject
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             BroadcastHashJoin [broadcast,plain]
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 

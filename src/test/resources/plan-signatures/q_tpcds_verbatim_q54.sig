@@ -8,15 +8,27 @@ HashAggregate
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
                             HashAggregate
                               Exchange
                                 HashAggregate
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
                                           Project
@@ -36,38 +48,9 @@ HashAggregate
                                                       Scan parquet 
                                           Project
                                             Filter
-                                              Window
-                                                Sort
-                                                  Exchange
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                      Project
-                                        Project
-                                          Filter
-                                            Window
-                                              Sort
-                                                Exchange
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                        Project
-                          Project
-                            Filter
-                              Window
-                                TakeOrderedAndProject
-                                  ColumnarToRow
-                                    Scan parquet 
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
+                                              ColumnarToRow
+                                                Scan parquet 
                 Project
                   Filter
-                    Window
-                      Sort
-                        Exchange
-                          ColumnarToRow
-                            Scan parquet 
+                    ColumnarToRow
+                      Scan parquet 

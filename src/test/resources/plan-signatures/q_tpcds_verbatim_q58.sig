@@ -9,38 +9,21 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         Filter
                           ColumnarToRow
                             Scan parquet 
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -51,38 +34,21 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Project
-                            BroadcastHashJoin [broadcast,plain]
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
           Filter
             HashAggregate
               Exchange
@@ -91,35 +57,18 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Project
-                            BroadcastHashJoin [broadcast,plain]
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 

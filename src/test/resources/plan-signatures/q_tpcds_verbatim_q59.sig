@@ -6,59 +6,43 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Project
               BroadcastHashJoin [broadcast,plain]
+                Filter
+                  ColumnarToRow
+                    Scan parquet 
                 HashAggregate
-                  HashAggregate
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Project
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                        Project
                           Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
+                            ColumnarToRow
+                              Scan parquet 
             Project
               Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
+                ColumnarToRow
+                  Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               HashAggregate
-                HashAggregate
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Project
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
                             Scan parquet 
-                      Project
                         Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+                          ColumnarToRow
+                            Scan parquet 
           Project
             Filter
-              Window
-                Sort
-                  Exchange
-                    ColumnarToRow
-                      Scan parquet 
+              ColumnarToRow
+                Scan parquet 

@@ -10,43 +10,33 @@ TakeOrderedAndProject
                   HashAggregate
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Filter
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 

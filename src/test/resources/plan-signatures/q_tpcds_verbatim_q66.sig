@@ -1,75 +1,60 @@
 TakeOrderedAndProject
   HashAggregate
-    Exchange
-      HashAggregate
-        Union
-          HashAggregate
-            Exchange
-              HashAggregate
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Project
-                          BroadcastHashJoin [broadcast,plain]
-                            Project
-                              BroadcastHashJoin [broadcast,plain]
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                Project
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                            Project
-                              Filter
-                                Window
-                                  Sort
-                                    Exchange
-                                      ColumnarToRow
-                                        Scan parquet 
-                        Project
+    HashAggregate
+      Union
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-          HashAggregate
-            Exchange
-              HashAggregate
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Project
-                          BroadcastHashJoin [broadcast,plain]
-                            Project
-                              BroadcastHashJoin [broadcast,plain]
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                Project
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                            Project
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
                               Filter
-                                Window
-                                  Sort
-                                    Exchange
-                                      ColumnarToRow
-                                        Scan parquet 
-                        Project
+                                ColumnarToRow
+                                  Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
+        HashAggregate
+          Exchange
+            HashAggregate
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 

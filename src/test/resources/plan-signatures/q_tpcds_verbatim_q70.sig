@@ -9,53 +9,38 @@ TakeOrderedAndProject
                 Expand
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                        Project
+                          Filter
+                            Window
+                              WindowGroupLimit
+                                Sort
+                                  HashAggregate
+                                    Exchange
+                                      HashAggregate
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet 
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet 
+                                            Project
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                      Project
-                        BroadcastNestedLoopJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
                               Scan parquet 
                           Project
                             Filter
-                              Window
-                                WindowGroupLimit
-                                  Filter
-                                    WindowGroupLimit
-                                      Sort
-                                        Exchange
-                                          WindowGroupLimit
-                                            Sort
-                                              HashAggregate
-                                                Exchange
-                                                  HashAggregate
-                                                    Project
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Project
-                                                          BroadcastHashJoin [broadcast,plain]
-                                                            Project
-                                                              Filter
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                            Project
-                                                              Filter
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                        Project
-                                                          Filter
-                                                            Window
-                                                              Sort
-                                                                Exchange
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 

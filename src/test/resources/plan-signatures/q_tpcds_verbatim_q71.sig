@@ -14,43 +14,31 @@ Sort
                   Union
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
                               Scan parquet 
-                        Project
-                          Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
               Project
                 Filter
                   ColumnarToRow

@@ -3,6 +3,9 @@ Sort
     Project
       BroadcastHashJoin [broadcast,plain]
         Filter
+          ColumnarToRow
+            Scan parquet 
+        Filter
           HashAggregate
             Exchange
               HashAggregate
@@ -12,17 +15,13 @@ Sort
                       BroadcastHashJoin [broadcast,plain]
                         Project
                           BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
                             Project
                               Filter
                                 ColumnarToRow
                                   Scan parquet 
-                            Project
-                              Filter
-                                Window
-                                  Sort
-                                    Exchange
-                                      ColumnarToRow
-                                        Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
@@ -31,11 +30,3 @@ Sort
                       Filter
                         ColumnarToRow
                           Scan parquet 
-        Project
-          Project
-            Filter
-              Window
-                Sort
-                  Exchange
-                    ColumnarToRow
-                      Scan parquet 

@@ -11,79 +11,61 @@ TakeOrderedAndProject
                     Union
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
       Filter
         HashAggregate
           Exchange
@@ -94,76 +76,58 @@ TakeOrderedAndProject
                     Union
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                                   Project
                                     Filter
                                       ColumnarToRow
                                         Scan parquet 
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 

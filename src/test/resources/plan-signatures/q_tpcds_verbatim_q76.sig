@@ -5,58 +5,40 @@ TakeOrderedAndProject
         Union
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              Project
-                Filter
-                  Window
-                    Sort
-                      Exchange
-                        ColumnarToRow
-                          Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              Project
-                Filter
-                  Window
-                    Sort
-                      Exchange
-                        ColumnarToRow
-                          Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet 
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              Project
-                Filter
-                  Window
-                    Sort
-                      Exchange
-                        ColumnarToRow
-                          Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 

@@ -11,46 +11,35 @@ TakeOrderedAndProject
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                              Project
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                  ColumnarToRow
+                                    Scan parquet 
             Project
               BroadcastNestedLoopJoin [broadcast,plain]
                 HashAggregate
@@ -58,35 +47,25 @@ TakeOrderedAndProject
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                              ColumnarToRow
+                                Scan parquet 
             Project
               BroadcastHashJoin [broadcast,plain]
                 HashAggregate
@@ -94,44 +73,32 @@ TakeOrderedAndProject
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                              Project
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                  ColumnarToRow
+                                    Scan parquet 
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                              Project
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                  ColumnarToRow
+                                    Scan parquet 

@@ -7,25 +7,18 @@ TakeOrderedAndProject
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
                   Project
                     Filter
                       BroadcastHashJoin [broadcast,plain]
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                        Project
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                  Project
-                    Filter
-                      Window
-                        Sort
-                          Exchange
-                            ColumnarToRow
-                              Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -34,46 +27,32 @@ TakeOrderedAndProject
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         Filter
                           BroadcastHashJoin [broadcast,plain]
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                            Project
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                      Project
-                        Filter
-                          Window
-                            Sort
-                              Exchange
-                                ColumnarToRow
-                                  Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
           HashAggregate
             Exchange
               HashAggregate
                 Project
                   BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       Filter
                         BroadcastHashJoin [broadcast,plain]
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                          Project
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                    Project
-                      Filter
-                        Window
-                          Sort
-                            Exchange
-                              ColumnarToRow
-                                Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 

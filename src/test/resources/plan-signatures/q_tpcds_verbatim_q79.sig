@@ -1,6 +1,9 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
+      Filter
+        ColumnarToRow
+          Scan parquet 
       HashAggregate
         Exchange
           HashAggregate
@@ -10,18 +13,13 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
-                        Project
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                            ColumnarToRow
+                              Scan parquet 
                     Project
                       Filter
                         ColumnarToRow
@@ -30,11 +28,3 @@ TakeOrderedAndProject
                   Filter
                     ColumnarToRow
                       Scan parquet 
-      Project
-        Project
-          Filter
-            Window
-              Sort
-                Exchange
-                  ColumnarToRow
-                    Scan parquet 

@@ -13,30 +13,23 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                      Project
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                   Project
                                     Filter
-                                      Window
-                                        Sort
-                                          Exchange
-                                            ColumnarToRow
-                                              Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                                      ColumnarToRow
+                                        Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
@@ -54,31 +47,23 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
-                                      Project
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                   Project
                                     Filter
-                                      Window
-                                        Sort
-                                          Exchange
-                                            ColumnarToRow
-                                              Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                                      ColumnarToRow
+                                        Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
@@ -96,31 +81,23 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
-                                      Project
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
-                                      Project
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet 
                                   Project
                                     Filter
-                                      Window
-                                        Sort
-                                          Exchange
-                                            ColumnarToRow
-                                              Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                                      ColumnarToRow
+                                        Scan parquet 
                           Project
                             Filter
                               ColumnarToRow

@@ -1,8 +1,14 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
+      Filter
+        ColumnarToRow
+          Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -14,64 +20,33 @@ TakeOrderedAndProject
                           HashAggregate
                             Project
                               BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet 
                                     Project
                                       Filter
                                         ColumnarToRow
                                           Scan parquet 
-                                    Project
-                                      Filter
-                                        Window
-                                          Sort
-                                            Exchange
-                                              ColumnarToRow
-                                                Scan parquet 
-                                Project
-                                  Project
-                                    Filter
-                                      Window
-                                        TakeOrderedAndProject
-                                          ColumnarToRow
-                                            Scan parquet 
               Filter
                 HashAggregate
                   Exchange
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
                                     Scan parquet 
-                              Project
-                                Filter
-                                  Window
-                                    Sort
-                                      Exchange
-                                        ColumnarToRow
-                                          Scan parquet 
-                          Project
-                            Project
-                              Filter
-                                Window
-                                  TakeOrderedAndProject
-                                    ColumnarToRow
-                                      Scan parquet 
-          Project
-            Project
-              Filter
-                Window
-                  Sort
-                    Exchange
-                      ColumnarToRow
-                        Scan parquet 
-      Project
-        Project
-          Filter
-            Window
-              TakeOrderedAndProject
-                ColumnarToRow
-                  Scan parquet 

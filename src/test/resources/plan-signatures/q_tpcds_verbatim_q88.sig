@@ -14,10 +14,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                           BroadcastHashJoin [broadcast,plain]
                             Project
                               BroadcastHashJoin [broadcast,plain]
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   Filter
                                     ColumnarToRow
@@ -39,10 +38,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                           BroadcastHashJoin [broadcast,plain]
                             Project
                               BroadcastHashJoin [broadcast,plain]
-                                Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet 
                                 Project
                                   Filter
                                     ColumnarToRow
@@ -64,10 +62,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             BroadcastHashJoin [broadcast,plain]
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet 
                               Project
                                 Filter
                                   ColumnarToRow
@@ -89,10 +86,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                       BroadcastHashJoin [broadcast,plain]
                         Project
                           BroadcastHashJoin [broadcast,plain]
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
                             Project
                               Filter
                                 ColumnarToRow
@@ -114,10 +110,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
@@ -139,10 +134,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                   BroadcastHashJoin [broadcast,plain]
                     Project
                       BroadcastHashJoin [broadcast,plain]
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                        Filter
+                          ColumnarToRow
+                            Scan parquet 
                         Project
                           Filter
                             ColumnarToRow
@@ -164,10 +158,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 
                       Project
                         Filter
                           ColumnarToRow
@@ -189,10 +182,9 @@ BroadcastNestedLoopJoin [broadcast,plain]
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       Filter
                         ColumnarToRow

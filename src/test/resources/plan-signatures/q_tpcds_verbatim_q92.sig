@@ -8,10 +8,9 @@ HashAggregate
               Exchange
                 Project
                   BroadcastHashJoin [broadcast,plain]
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 
                     Project
                       Filter
                         ColumnarToRow
@@ -22,21 +21,14 @@ HashAggregate
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet 
                           Project
                             Filter
                               ColumnarToRow
                                 Scan parquet 
-                          Project
-                            Filter
-                              Window
-                                Sort
-                                  Exchange
-                                    ColumnarToRow
-                                      Scan parquet 
           Project
             Filter
-              Window
-                Sort
-                  Exchange
-                    ColumnarToRow
-                      Scan parquet 
+              ColumnarToRow
+                Scan parquet 

@@ -6,13 +6,11 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Project
               BroadcastHashJoin [broadcast,plain]
-                Project
+                ColumnarToRow
+                  Scan parquet 
+                Filter
                   ColumnarToRow
                     Scan parquet 
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
             Project
               Filter
                 ColumnarToRow

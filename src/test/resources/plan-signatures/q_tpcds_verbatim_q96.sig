@@ -7,10 +7,9 @@ HashAggregate
             BroadcastHashJoin [broadcast,plain]
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                  Filter
+                    ColumnarToRow
+                      Scan parquet 
                   Project
                     Filter
                       ColumnarToRow

@@ -12,18 +12,13 @@ Project
                       BroadcastHashJoin [broadcast,plain]
                         Project
                           BroadcastHashJoin [broadcast,plain]
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                            Project
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
+                            Filter
+                              ColumnarToRow
+                                Scan parquet 
                         Project
                           Filter
-                            Window
-                              Sort
-                                Exchange
-                                  ColumnarToRow
-                                    Scan parquet 
+                            ColumnarToRow
+                              Scan parquet 

@@ -4,6 +4,5 @@ HashAggregate
       HashAggregate
         Exchange
           HashAggregate
-            Project
-              ColumnarToRow
-                Scan parquet 
+            ColumnarToRow
+              Scan parquet 

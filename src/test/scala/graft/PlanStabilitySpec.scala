@@ -32,21 +32,16 @@ class PlanStabilitySpec extends GraftSpecBase {
   // RDD carries no stable stats. Its SCALE behavior is still gated
   // (ScaleSmoke heavy) and its logic is oracle-checked via
   // q_sample_leakage_split; only the plan PIN is non-reproducible.
-  // q4/q11/q74 (the customer year-over-year self-join family) are
-  // excluded for the same reason as op_leakage_split_deduped: their
-  // year_total legs are derived fixture views with no table stats, and
-  // the planner's broadcast-side choice between the equal-sized legs
-  // flips with session history (passes isolated, flips under full-suite
-  // order — observed both directions). Their VALUES stay oracle-checked
-  // every round; only the plan PIN is non-reproducible.
+  // q_tpcds_verbatim_q23b is the one verbatim text whose pin is
+  // non-reproducible even over the materialized fixture (its
+  // best-customer HAVING legs are same-sized aggregates of the same
+  // scan; the broadcast-side pick between them flips run to run —
+  // observed pass/fail across identical back-to-back executions). Its
+  // VALUES stay oracle-checked every round.
   private val pinned =
     (PlanDump.headline ++ ScaleSmoke.heavy ++ PlanDump.tpcdsVerbatim)
       .distinct.filterNot(Set("op_leakage_split_deduped",
-        "q_tpcds_verbatim_q4", "q_tpcds_verbatim_q11",
-        "q_tpcds_verbatim_q74",
-        // q64's 17-table cross_sales self-join: same stats-free
-        // broadcast-side instability, observed flipping across sessions
-        "q_tpcds_verbatim_q64"))
+        "q_tpcds_verbatim_q23b"))
 
   pinned.foreach { name =>
     test(s"plan signature pinned: $name") {
