@@ -805,8 +805,8 @@ object TpcdsVerbatim {
       baseTables.foreach(t =>
         spark.table(t).createOrReplaceTempView(s"tpch_$t"))
       val version = java.util.UUID.nameUUIDFromBytes(
-        (dir + fixtures.map(_._2).mkString(" "))
-          .getBytes("UTF-8")).toString.take(16)
+        (dir + fixtures.map(_._2).mkString(""))
+          .getBytes("UTF-8")).toString.replace("-", "").take(16)
       val root = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_tpcds_fixture_$version")
@@ -818,10 +818,33 @@ object TpcdsVerbatim {
         }
         done.createNewFile()
       }
+      // the materialized schema is registered as CATALOGED tables in a
+      // dedicated database with ANALYZE statistics (table + all-column),
+      // and CBO join-reordering is enabled on this session: the verbatim
+      // texts spell explicit JOIN chains (q72 starts catalog_sales x
+      // inventory ON item alone — 2.5B intermediate rows if executed as
+      // written), and stats-driven reorder is how a real Spark
+      // deployment plans them. Session-scoped: current database and CBO
+      // confs live on this session only; other sessions' temp views are
+      // unaffected (temp views shadow catalog tables anyway).
+      // drop the derivation-time temp views: TPC-H 'customer'/'part'/
+      // 'orders'/'supplier' would otherwise SHADOW the same-named
+      // TPC-DS catalog tables (temp views win name resolution)
+      (Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings") ++
+        baseTables.map("tpch_" + _))
+        .foreach(v => spark.catalog.dropTempView(v))
+      val db = s"graft_tpcds_$version"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      spark.catalog.setCurrentDatabase(db)
       fixtures.foreach { case (n, _) =>
-        spark.read.parquet(new java.io.File(root, n).getPath)
-          .createOrReplaceTempView(n)
+        val path = new java.io.File(root, n).getPath
+        spark.sql(
+          s"CREATE TABLE IF NOT EXISTS $n USING parquet LOCATION '$path'")
+        spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS")
       }
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       spark
     })
 

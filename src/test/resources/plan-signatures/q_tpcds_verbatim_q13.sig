@@ -5,29 +5,29 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet 
+              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
           Project
             BroadcastHashJoin [broadcast,plain]
-              Filter
-                ColumnarToRow
-                  Scan parquet 
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
                           Filter
                             ColumnarToRow
-                              Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

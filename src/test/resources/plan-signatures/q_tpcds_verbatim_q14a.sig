@@ -11,130 +11,124 @@ TakeOrderedAndProject
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                              Project
+                                                BroadcastHashJoin [broadcast,plain]
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                      Project
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Exchange
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                    HashAggregate
+                                      Exchange
+                                        HashAggregate
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
-                                              Project
+                                              BroadcastHashJoin [broadcast,plain]
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet 
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                        HashAggregate
-                                          Exchange
-                                            HashAggregate
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Exchange
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                              Project
-                                                                Filter
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet 
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Filter
+                                                            ColumnarToRow
+                                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                                        Project
+                                                          Filter
+                                                            ColumnarToRow
+                                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                              Project
+                                                BroadcastHashJoin [broadcast,plain]
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet 
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                              Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet 
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Exchange
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                        HashAggregate
-                                          Exchange
-                                            HashAggregate
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Exchange
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                              Project
-                                                                Filter
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                                  Project
-                                                    Filter
-                                                      ColumnarToRow
-                                                        Scan parquet 
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
             Project
               Filter
                 HashAggregate
@@ -142,130 +136,124 @@ TakeOrderedAndProject
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                              Project
+                                                BroadcastHashJoin [broadcast,plain]
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                      Project
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Exchange
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                    HashAggregate
+                                      Exchange
+                                        HashAggregate
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
-                                              Project
+                                              BroadcastHashJoin [broadcast,plain]
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet 
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                        HashAggregate
-                                          Exchange
-                                            HashAggregate
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Exchange
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                              Project
-                                                                Filter
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet 
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Filter
+                                                            ColumnarToRow
+                                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                                        Project
+                                                          Filter
+                                                            ColumnarToRow
+                                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                              Project
+                                                BroadcastHashJoin [broadcast,plain]
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet 
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                              Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet 
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Exchange
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                        HashAggregate
-                                          Exchange
-                                            HashAggregate
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Exchange
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                              Project
-                                                                Filter
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                                  Project
-                                                    Filter
-                                                      ColumnarToRow
-                                                        Scan parquet 
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
             Project
               Filter
                 HashAggregate
@@ -273,127 +261,121 @@ TakeOrderedAndProject
                     HashAggregate
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                HashAggregate
+                                  Exchange
+                                    HashAggregate
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          BroadcastHashJoin [broadcast,plain]
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                              Project
+                                                BroadcastHashJoin [broadcast,plain]
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                  Project
+                                                    BroadcastHashJoin [broadcast,plain]
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                      Project
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                                    Project
+                                                      Filter
+                                                        ColumnarToRow
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Exchange
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                    HashAggregate
+                                      Exchange
+                                        HashAggregate
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
-                                              Project
+                                              BroadcastHashJoin [broadcast,plain]
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet 
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                        HashAggregate
-                                          Exchange
-                                            HashAggregate
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Exchange
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                              Project
-                                                                Filter
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet 
+                                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                      Project
+                                                        BroadcastHashJoin [broadcast,plain]
+                                                          Filter
+                                                            ColumnarToRow
+                                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                          Project
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                                        Project
+                                                          Filter
+                                                            ColumnarToRow
+                                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                              Project
+                                                BroadcastHashJoin [broadcast,plain]
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet 
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                              Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet 
-                              BroadcastHashJoin [broadcast,plain]
-                                Exchange
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Exchange
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                              Project
-                                                Filter
-                                                  ColumnarToRow
-                                                    Scan parquet 
-                                        HashAggregate
-                                          Exchange
-                                            HashAggregate
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Exchange
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                              Project
-                                                                Filter
-                                                                  ColumnarToRow
-                                                                    Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                                  Project
-                                                    Filter
-                                                      ColumnarToRow
-                                                        Scan parquet 
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

@@ -6,257 +6,245 @@ TakeOrderedAndProject
           HashAggregate
             Project
               BroadcastHashJoin [broadcast,plain]
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                      HashAggregate
+                        Exchange
+                          HashAggregate
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                BroadcastHashJoin [broadcast,plain]
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                            Project
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
-                      Exchange
-                        Project
-                          BroadcastHashJoin [broadcast,plain]
-                            BroadcastHashJoin [broadcast,plain]
-                              Exchange
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                          HashAggregate
+                            Exchange
+                              HashAggregate
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
-                                    Project
+                                    BroadcastHashJoin [broadcast,plain]
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet 
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                              HashAggregate
-                                Exchange
-                                  HashAggregate
-                                    Project
-                                      BroadcastHashJoin [broadcast,plain]
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Exchange
-                                                Project
-                                                  BroadcastHashJoin [broadcast,plain]
-                                                    Project
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                    Project
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                              Filter
-                                                ColumnarToRow
-                                                  Scan parquet 
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet 
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                Project
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet 
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                    Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
-                    BroadcastHashJoin [broadcast,plain]
-                      Exchange
-                        Project
-                          BroadcastHashJoin [broadcast,plain]
-                            BroadcastHashJoin [broadcast,plain]
-                              Exchange
-                                Project
-                                  BroadcastHashJoin [broadcast,plain]
-                                    Project
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                              HashAggregate
-                                Exchange
-                                  HashAggregate
-                                    Project
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Project
-                                          BroadcastHashJoin [broadcast,plain]
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Exchange
-                                                Project
-                                                  BroadcastHashJoin [broadcast,plain]
-                                                    Project
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                    Project
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                              Filter
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
     Filter
       HashAggregate
         Exchange
           HashAggregate
             Project
               BroadcastHashJoin [broadcast,plain]
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                      HashAggregate
+                        Exchange
+                          HashAggregate
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                BroadcastHashJoin [broadcast,plain]
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                            Project
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                  Project
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                          Project
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
-                      Exchange
-                        Project
-                          BroadcastHashJoin [broadcast,plain]
-                            BroadcastHashJoin [broadcast,plain]
-                              Exchange
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                          HashAggregate
+                            Exchange
+                              HashAggregate
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
-                                    Project
+                                    BroadcastHashJoin [broadcast,plain]
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet 
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                              HashAggregate
-                                Exchange
-                                  HashAggregate
-                                    Project
-                                      BroadcastHashJoin [broadcast,plain]
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Exchange
-                                                Project
-                                                  BroadcastHashJoin [broadcast,plain]
-                                                    Project
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                    Project
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                              Filter
-                                                ColumnarToRow
-                                                  Scan parquet 
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet 
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                Project
+                                                  Filter
+                                                    ColumnarToRow
+                                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                      Project
+                                        BroadcastHashJoin [broadcast,plain]
+                                          Filter
+                                            ColumnarToRow
+                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                          Project
+                                            BroadcastHashJoin [broadcast,plain]
+                                              Filter
+                                                ColumnarToRow
+                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                                              Project
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet 
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                    Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
-                    BroadcastHashJoin [broadcast,plain]
-                      Exchange
-                        Project
-                          BroadcastHashJoin [broadcast,plain]
-                            BroadcastHashJoin [broadcast,plain]
-                              Exchange
-                                Project
-                                  BroadcastHashJoin [broadcast,plain]
-                                    Project
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                        Filter
-                                          ColumnarToRow
-                                            Scan parquet 
-                                    Project
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                              HashAggregate
-                                Exchange
-                                  HashAggregate
-                                    Project
-                                      BroadcastHashJoin [broadcast,plain]
-                                        Project
-                                          BroadcastHashJoin [broadcast,plain]
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Exchange
-                                                Project
-                                                  BroadcastHashJoin [broadcast,plain]
-                                                    Project
-                                                      BroadcastHashJoin [broadcast,plain]
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                        Filter
-                                                          ColumnarToRow
-                                                            Scan parquet 
-                                                    Project
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                              Filter
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                            Filter
-                                              ColumnarToRow
-                                                Scan parquet 
-                                        Project
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

@@ -3,31 +3,31 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin [broadcast,plain]
-          Filter
-            ColumnarToRow
-              Scan parquet 
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet 
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item

@@ -2,30 +2,6 @@ Sort
   Exchange
     Project
       BroadcastHashJoin [broadcast,plain]
-        Exchange
-          Project
-            BroadcastHashJoin [broadcast,plain]
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                        Union
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
         Project
           BroadcastHashJoin [broadcast,plain]
             HashAggregate
@@ -35,17 +11,40 @@ Sort
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                       Union
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet 
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+        Project
+          BroadcastHashJoin [broadcast,plain]
+            HashAggregate
+              Exchange
+                HashAggregate
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                      Union
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+            Project
+              Filter
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

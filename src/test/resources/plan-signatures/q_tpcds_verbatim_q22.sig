@@ -7,18 +7,18 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet 
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.inventory
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.warehouse
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

@@ -7,30 +7,30 @@ Filter
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
-                              Project
-                                BroadcastHashJoin [broadcast,plain]
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales

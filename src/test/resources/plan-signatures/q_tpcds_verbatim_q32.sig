@@ -3,30 +3,29 @@ CollectLimit
     BroadcastHashJoin [broadcast,plain]
       Project
         BroadcastHashJoin [broadcast,plain]
-          Exchange
-            Project
-              BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+              Project
                 Filter
                   ColumnarToRow
-                    Scan parquet 
-                Project
-                  Filter
-                    ColumnarToRow
-                      Scan parquet 
-          Filter
-            HashAggregate
-              Exchange
-                HashAggregate
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
       Project
         Filter
           ColumnarToRow
-            Scan parquet 
+            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

@@ -10,26 +10,26 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
         HashAggregate
           Exchange
             HashAggregate
@@ -38,26 +38,26 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
         HashAggregate
           Exchange
             HashAggregate
@@ -66,23 +66,23 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address

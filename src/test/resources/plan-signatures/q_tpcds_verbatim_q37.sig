@@ -6,7 +6,7 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet 
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
@@ -14,12 +14,12 @@ TakeOrderedAndProject
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.inventory
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

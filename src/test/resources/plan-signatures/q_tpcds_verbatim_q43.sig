@@ -8,12 +8,12 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet 
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store

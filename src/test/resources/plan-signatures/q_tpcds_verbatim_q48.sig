@@ -9,20 +9,20 @@ HashAggregate
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
           Project
             Filter
               ColumnarToRow
-                Scan parquet 
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

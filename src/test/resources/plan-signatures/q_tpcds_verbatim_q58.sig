@@ -7,23 +7,23 @@ TakeOrderedAndProject
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet 
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                       Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -32,43 +32,43 @@ TakeOrderedAndProject
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
                           Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
           Filter
             HashAggregate
               Exchange
                 HashAggregate
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                           Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

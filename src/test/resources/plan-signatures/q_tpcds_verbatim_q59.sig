@@ -1,36 +1,13 @@
 TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
-      Exchange
-        Project
-          BroadcastHashJoin [broadcast,plain]
-            Project
-              BroadcastHashJoin [broadcast,plain]
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
-                HashAggregate
-                  Exchange
-                    HashAggregate
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
       Project
         BroadcastHashJoin [broadcast,plain]
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet 
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
               HashAggregate
                 Exchange
                   HashAggregate
@@ -38,11 +15,33 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
           Project
             Filter
               ColumnarToRow
-                Scan parquet 
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+      Project
+        BroadcastHashJoin [broadcast,plain]
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
+              HashAggregate
+                Exchange
+                  HashAggregate
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

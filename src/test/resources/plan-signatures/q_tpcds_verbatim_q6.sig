@@ -9,30 +9,30 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                   Filter
-                    HashAggregate
-                      Exchange
-                        HashAggregate
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                           Filter
-                            ColumnarToRow
-                              Scan parquet 
+                            HashAggregate
+                              Exchange
+                                HashAggregate
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

@@ -3,8 +3,8 @@ Project
     Exchange
       Project
         BroadcastHashJoin [broadcast,plain]
-          Exchange
-            HashAggregate
+          HashAggregate
+            Exchange
               HashAggregate
                 Project
                   BroadcastHashJoin [broadcast,plain]
@@ -12,83 +12,82 @@ Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet 
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet 
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet 
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet 
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet 
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.promotion
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet 
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet 
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
                                                         Project
                                                           BroadcastHashJoin [broadcast,plain]
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet 
+                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                                                             Project
                                                               BroadcastHashJoin [broadcast,plain]
                                                                 Filter
                                                                   ColumnarToRow
-                                                                    Scan parquet 
+                                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                                                                 Project
                                                                   BroadcastHashJoin [broadcast,plain]
                                                                     Filter
                                                                       ColumnarToRow
-                                                                        Scan parquet 
+                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                                                                     Project
                                                                       BroadcastHashJoin [broadcast,plain]
                                                                         Filter
                                                                           ColumnarToRow
-                                                                            Scan parquet 
+                                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
                                                                         Project
                                                                           BroadcastHashJoin [broadcast,plain]
                                                                             Filter
                                                                               ColumnarToRow
-                                                                                Scan parquet 
+                                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                                                                             Project
                                                                               BroadcastHashJoin [broadcast,plain]
-                                                                                Exchange
-                                                                                  Project
-                                                                                    BroadcastHashJoin [broadcast,plain]
-                                                                                      Filter
-                                                                                        ColumnarToRow
-                                                                                          Scan parquet 
-                                                                                      Filter
-                                                                                        ColumnarToRow
-                                                                                          Scan parquet 
+                                                                                Project
+                                                                                  BroadcastHashJoin [broadcast,plain]
+                                                                                    Filter
+                                                                                      ColumnarToRow
+                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
+                                                                                    Filter
+                                                                                      ColumnarToRow
+                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                                                                                 Project
                                                                                   Filter
                                                                                     HashAggregate
@@ -98,113 +97,113 @@ Project
                                                                                             BroadcastHashJoin [broadcast,plain]
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet 
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_returns
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet 
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
           HashAggregate
-            HashAggregate
-              Project
-                BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                          Project
-                            BroadcastHashJoin [broadcast,plain]
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                              Project
-                                BroadcastHashJoin [broadcast,plain]
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                  Project
-                                    BroadcastHashJoin [broadcast,plain]
-                                      Filter
-                                        ColumnarToRow
-                                          Scan parquet 
-                                      Project
-                                        BroadcastHashJoin [broadcast,plain]
-                                          Filter
-                                            ColumnarToRow
-                                              Scan parquet 
-                                          Project
-                                            BroadcastHashJoin [broadcast,plain]
-                                              Filter
-                                                ColumnarToRow
-                                                  Scan parquet 
-                                              Project
-                                                BroadcastHashJoin [broadcast,plain]
-                                                  Filter
-                                                    ColumnarToRow
-                                                      Scan parquet 
-                                                  Project
-                                                    BroadcastHashJoin [broadcast,plain]
-                                                      Filter
-                                                        ColumnarToRow
-                                                          Scan parquet 
-                                                      Project
-                                                        BroadcastHashJoin [broadcast,plain]
-                                                          Filter
-                                                            ColumnarToRow
-                                                              Scan parquet 
-                                                          Project
-                                                            BroadcastHashJoin [broadcast,plain]
-                                                              Filter
-                                                                ColumnarToRow
-                                                                  Scan parquet 
-                                                              Project
-                                                                BroadcastHashJoin [broadcast,plain]
-                                                                  Filter
-                                                                    ColumnarToRow
-                                                                      Scan parquet 
-                                                                  Project
-                                                                    BroadcastHashJoin [broadcast,plain]
-                                                                      Filter
-                                                                        ColumnarToRow
-                                                                          Scan parquet 
-                                                                      Project
-                                                                        BroadcastHashJoin [broadcast,plain]
-                                                                          Filter
-                                                                            ColumnarToRow
-                                                                              Scan parquet 
-                                                                          Project
-                                                                            BroadcastHashJoin [broadcast,plain]
-                                                                              Exchange
+            Exchange
+              HashAggregate
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
+                        Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                                Project
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                                    Project
+                                      BroadcastHashJoin [broadcast,plain]
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                                        Project
+                                          BroadcastHashJoin [broadcast,plain]
+                                            Filter
+                                              ColumnarToRow
+                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                                            Project
+                                              BroadcastHashJoin [broadcast,plain]
+                                                Filter
+                                                  ColumnarToRow
+                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.promotion
+                                                Project
+                                                  BroadcastHashJoin [broadcast,plain]
+                                                    Filter
+                                                      ColumnarToRow
+                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
+                                                    Project
+                                                      BroadcastHashJoin [broadcast,plain]
+                                                        Filter
+                                                          ColumnarToRow
+                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
+                                                        Project
+                                                          BroadcastHashJoin [broadcast,plain]
+                                                            Filter
+                                                              ColumnarToRow
+                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                            Project
+                                                              BroadcastHashJoin [broadcast,plain]
+                                                                Filter
+                                                                  ColumnarToRow
+                                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                Project
+                                                                  BroadcastHashJoin [broadcast,plain]
+                                                                    Filter
+                                                                      ColumnarToRow
+                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                                                                    Project
+                                                                      BroadcastHashJoin [broadcast,plain]
+                                                                        Filter
+                                                                          ColumnarToRow
+                                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
+                                                                        Project
+                                                                          BroadcastHashJoin [broadcast,plain]
+                                                                            Filter
+                                                                              ColumnarToRow
+                                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                            Project
+                                                                              BroadcastHashJoin [broadcast,plain]
                                                                                 Project
                                                                                   BroadcastHashJoin [broadcast,plain]
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet 
+                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet 
-                                                                              Project
-                                                                                Filter
-                                                                                  HashAggregate
-                                                                                    Exchange
-                                                                                      HashAggregate
-                                                                                        Project
-                                                                                          BroadcastHashJoin [broadcast,plain]
-                                                                                            Filter
-                                                                                              ColumnarToRow
-                                                                                                Scan parquet 
-                                                                                            Filter
-                                                                                              ColumnarToRow
-                                                                                                Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                                                                Project
+                                                                                  Filter
+                                                                                    HashAggregate
+                                                                                      Exchange
+                                                                                        HashAggregate
+                                                                                          Project
+                                                                                            BroadcastHashJoin [broadcast,plain]
+                                                                                              Filter
+                                                                                                ColumnarToRow
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_returns
+                                                                                              Filter
+                                                                                                ColumnarToRow
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item

@@ -2,31 +2,31 @@ TakeOrderedAndProject
   Project
     BroadcastHashJoin [broadcast,plain]
       Filter
-        HashAggregate
-          Exchange
-            HashAggregate
-              HashAggregate
-                Exchange
-                  HashAggregate
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+        ColumnarToRow
+          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet 
+              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
-                ColumnarToRow
-                  Scan parquet 
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      HashAggregate
+                        Exchange
+                          HashAggregate
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
               Filter
                 HashAggregate
                   Exchange
@@ -35,8 +35,8 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

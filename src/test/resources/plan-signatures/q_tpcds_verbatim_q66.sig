@@ -7,54 +7,54 @@ TakeOrderedAndProject
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.warehouse
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.ship_mode
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.time_dim
         HashAggregate
           Exchange
             HashAggregate
               Project
                 BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.warehouse
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.ship_mode
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.time_dim

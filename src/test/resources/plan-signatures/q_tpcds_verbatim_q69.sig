@@ -6,47 +6,44 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet 
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
                       BroadcastHashJoin [broadcast,plain]
-                        Exchange
-                          Project
-                            BroadcastHashJoin [broadcast,plain]
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                              Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
                         Filter
                           ColumnarToRow
-                            Scan parquet 
-                      Exchange
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
-                    Exchange
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                    Project
+                      BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address

@@ -4,27 +4,27 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
             Project
               BroadcastHashJoin [broadcast,plain]
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet 
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.promotion
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

@@ -10,36 +10,36 @@ Sort
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                   Union
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.time_dim

@@ -3,29 +3,29 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet 
+          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
           Project
             BroadcastHashJoin [broadcast,plain]
-              Filter
-                ColumnarToRow
-                  Scan parquet 
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                   Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 
+                    Filter
+                      ColumnarToRow
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                  Project
+                    Filter
+                      ColumnarToRow
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band

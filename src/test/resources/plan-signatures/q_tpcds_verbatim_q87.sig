@@ -1,57 +1,57 @@
 HashAggregate
   Exchange
     HashAggregate
-      Project
-        BroadcastHashJoin [broadcast,plain]
-          BroadcastHashJoin [broadcast,plain]
-            HashAggregate
-              Exchange
-                HashAggregate
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-            HashAggregate
-              Exchange
-                HashAggregate
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+      HashAggregate
+        Exchange
           HashAggregate
-            Exchange
-              HashAggregate
-                Project
-                  BroadcastHashJoin [broadcast,plain]
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-                    Project
-                      BroadcastHashJoin [broadcast,plain]
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                BroadcastHashJoin [broadcast,plain]
+                  HashAggregate
+                    Exchange
+                      HashAggregate
                         Project
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                            Project
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                Project
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet 
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                HashAggregate
+                  Exchange
+                    HashAggregate
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

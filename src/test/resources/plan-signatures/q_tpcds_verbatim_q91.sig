@@ -3,37 +3,37 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin [broadcast,plain]
+          Filter
+            ColumnarToRow
+              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.call_center
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet 
+                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet 
                       Project
                         BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet 
-                          Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_returns
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet 
-          Project
-            Filter
-              ColumnarToRow
-                Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address

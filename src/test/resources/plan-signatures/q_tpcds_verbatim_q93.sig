@@ -4,14 +4,14 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            ColumnarToRow
+              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
             Project
               BroadcastHashJoin [broadcast,plain]
-                ColumnarToRow
-                  Scan parquet 
                 Filter
                   ColumnarToRow
-                    Scan parquet 
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.reason

@@ -2,50 +2,48 @@ HashAggregate
   Exchange
     HashAggregate
       HashAggregate
-        HashAggregate
-          Project
-            BroadcastHashJoin [broadcast,plain]
-              Project
-                BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
+        Exchange
+          HashAggregate
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Project
                       BroadcastHashJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
-                          Exchange
+                          BroadcastHashJoin [broadcast,plain]
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet 
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet 
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
-                        Exchange
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                           Project
                             BroadcastHashJoin [broadcast,plain]
+                              BroadcastHashJoin [broadcast,plain]
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_returns
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
                               Filter
                                 ColumnarToRow
-                                  Scan parquet 
-                              Project
-                                BroadcastHashJoin [broadcast,plain]
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet 
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet 
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_site
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address

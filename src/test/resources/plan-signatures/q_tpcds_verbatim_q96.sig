@@ -9,16 +9,16 @@ HashAggregate
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet 
+                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.time_dim
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
           Project
             Filter
               ColumnarToRow
-                Scan parquet 
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics

@@ -10,15 +10,15 @@ Project
                   HashAggregate
                     Project
                       BroadcastHashJoin [broadcast,plain]
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet 
-                            Filter
-                              ColumnarToRow
-                                Scan parquet 
-                        Project
-                          Filter
-                            ColumnarToRow
-                              Scan parquet 
+                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                            Project
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim

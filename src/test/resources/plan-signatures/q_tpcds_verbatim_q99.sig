@@ -4,25 +4,25 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.warehouse
             Project
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet 
+                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.call_center
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet 
+                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.ship_mode
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet 
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet 
+                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                        Project
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
