@@ -44,12 +44,16 @@ class TpcdsVerbatimSpec extends GraftSpecBase {
     assert(s.table("web_site").count() == 12)
     assert(s.table("call_center").count() == 6)
     assert(s.table("web_page").count() == 30)
-    // the three sales channels and inventory are lineitem-linear
+    // the three sales channels are lineitem-linear; inventory is a
+    // per-(item, week-date, warehouse) snapshot bounded by its key grid
+    // (210 x 400 x 2) regardless of sf — the dense variant made q72's
+    // item-only join quadratic
     val li = s.table("lineitem").count()
     assert(s.table("store_sales").count() == li)
     assert(s.table("catalog_sales").count() == li)
     assert(s.table("web_sales").count() == li)
-    assert(s.table("inventory").count() == li)
+    val inv = s.table("inventory").count()
+    assert(inv > 0 && inv <= 210L * 400 * 2, s"inventory $inv")
     // returns are the R / A return-flag slices
     assert(s.table("store_returns").count() ==
       s.table("catalog_returns").count())
