@@ -108,6 +108,53 @@ object GoldenCoercion {
     * per-statement-collect battery like decimalPrecision (780
     * statements) from ~7 s to a handful of jobs. */
   private val batchCap = 100
+
+  /** Driver-side fast path for pure-literal statements (the bulk of the
+    * coercion/pg batteries): when the analyzed plan is a Project of
+    * foldable deterministic expressions over OneRowRelation, eval
+    * `Cast(e, string)` directly — the exact expression the slow path's
+    * `.cast("string")` column builds — with the session's time zone and
+    * ANSI eval mode. Skips two wrapper-DataFrame analyses plus a full
+    * optimizer pass per statement (~10 ms each; decimalPrecision alone
+    * has 780 such statements). Any eval surprise (e.g. an unreplaced
+    * RuntimeReplaceable) falls back to the executed path, so this is an
+    * optimization, never a semantic fork. */
+  private def fastLiteralCells(
+      spark: SparkSession, df: DataFrame, width: Int): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, EvalMode}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+      OneRowRelation, Project, SubqueryAlias, View}
+    // the source must produce EXACTLY one row: OneRowRelation under any
+    // chain of row-count-preserving wrappers (the batteries' `FROM t`
+    // one-row fixture views analyze to SubqueryAlias/View/Project chains)
+    @annotation.tailrec
+    def oneRowSource(p: LogicalPlan): Boolean = p match {
+      case _: OneRowRelation => true
+      case s: SubqueryAlias => oneRowSource(s.child)
+      case v: View => oneRowSource(v.child)
+      case pr: Project => oneRowSource(pr.child)
+      case _ => false
+    }
+    df.queryExecution.analyzed match {
+      // strip the top-level output Alias (its foldable is hardwired false)
+      case Project(aliased, src) if oneRowSource(src) &&
+          aliased.map { case a: Alias => a.child; case e => e }
+            .forall(e => e.foldable && e.deterministic) =>
+        val list = aliased.map { case a: Alias => a.child; case e => e }
+        try {
+          val conf = spark.sessionState.conf
+          val tz = Option(conf.sessionLocalTimeZone)
+          val mode = EvalMode.fromSQLConf(conf)
+          val vals = list.map { e =>
+            val v = Cast(e, StringType, tz, mode).eval(null)
+            if (v == null) null else v.toString
+          }
+          Some(vals ++ Seq.fill(width - vals.length)(null))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+  }
+
   def collectMatrix(spark: SparkSession, width: Int, stmts: Seq[Stmt])(
       setup: String => Unit): Seq[Row] = {
     val out = scala.collection.mutable.Buffer[Row]()
@@ -116,14 +163,7 @@ object GoldenCoercion {
       out ++= pending.reduce(_ unionByName _).collect()
       pending.clear()
     }
-    stmts.foreach {
-      case Stmt(_, "setup", s) =>
-        flush(); setup(s)
-      case Stmt(_, k, _) if k.startsWith("err:") || k.startsWith("skip:") =>
-        () // err: pinned in the errors specs; skip: nonportable value
-      case Stmt(id, _, stmt) =>
-        val df = spark.sql(stmt)
-        val ty = df.schema.map(_.dataType.sql).mkString(", ")
+    def slowPath(df: DataFrame, id: String, ty: String): Unit = {
         val n = df.columns.length
         val renamed = df.toDF((0 until n).map(i => s"c$i"): _*)
         val cols = org.apache.spark.sql.functions.lit(id).as("tc") +:
@@ -152,6 +192,19 @@ object GoldenCoercion {
             if (pending.length >= batchCap) flush()
         }
     }
+    stmts.foreach {
+      case Stmt(_, "setup", s) =>
+        flush(); setup(s)
+      case Stmt(_, k, _) if k.startsWith("err:") || k.startsWith("skip:") =>
+        () // err: pinned in the errors specs; skip: nonportable value
+      case Stmt(id, _, stmt) =>
+        val df = spark.sql(stmt)
+        val ty = df.schema.map(_.dataType.sql).mkString(", ")
+        fastLiteralCells(spark, df, width) match {
+          case Some(cells) => out += Row.fromSeq(id +: ty +: cells)
+          case None => slowPath(df, id, ty)
+        }
+    }
     flush()
     out.toSeq
   }
@@ -170,6 +223,9 @@ object GoldenCoercion {
     // isolated session per battery — fresh-session-per-file semantics,
     // no temp-view/SET leakage either way (see GoldenPg.runMatrix)
     val spark = outer.newSession()
+    // reference-harness conf: 4 shuffle partitions (see
+    // GoldenPg.runMatrix for the sizing rationale)
+    spark.conf.set("spark.sql.shuffle.partitions", 4)
     val (width, stmts) = loadAll(base)
     val rows = withConfRestore(spark) {
       collectMatrix(spark, width, stmts) { s =>

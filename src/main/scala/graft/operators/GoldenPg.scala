@@ -294,6 +294,14 @@ object GoldenPg {
     // leak out of this battery. The shared SparkContext and the external
     // catalog are untouched.
     val spark = outer.newSession()
+    // mirror the reference harness's SQLQueryTestSuite conf: 4 shuffle
+    // partitions. Battery fixtures are ≤10k rows; at the engine default
+    // (32) the per-statement task constant dominates replay wall time
+    // (pg_union: 66 tiny set-op statements, each with exchanges).
+    // Physical-only knob — every pinned value is partitioning-invariant.
+    // (AQE stays ON: measured, disabling it doubles the batched
+    // mega-union replay — stage coalescing earns its overhead here.)
+    spark.conf.set("spark.sql.shuffle.partitions", 4)
     registerFixtures(spark)
     val cat = new PgCatalog
     val (width, stmts) = GoldenCoercion.loadAll(resourceBase)
