@@ -70,7 +70,7 @@ object TpcdsVerbatim {
                 CAST(1998 + (i % 5) AS INT) AS d_year,
                 CAST(1 + CAST(floor((i - 1) / 125) AS INT) % 12 AS INT)
                   AS d_moy,
-                CAST(1 + (i % 28) AS INT) AS d_dom,
+                CAST(day(dt) AS INT) AS d_dom,
                 CAST(i % 7 AS INT) AS d_dow,
                 CAST(1175 + (i % 5) * 12 + 1
                      + CAST(floor((i - 1) / 125) AS INT) % 12 AS INT)
@@ -83,15 +83,25 @@ object TpcdsVerbatim {
                   WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday'
                   WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
                   ELSE 'Saturday' END AS d_day_name,
-                CAST(CAST(1998 + (i % 5) AS STRING) || '-' ||
-                     lpad(CAST(1 + CAST(floor((i - 1) / 125) AS INT) % 12
-                               AS STRING), 2, '0') || '-' ||
-                     lpad(CAST(1 + (i % 28) AS STRING), 2, '0') AS DATE)
-                  AS d_date
-         FROM (SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INT)
-                        AS i
-               FROM tpch_orders) n
-         WHERE i <= 1500""",
+                dt AS d_date
+         FROM (SELECT i,
+                      make_date(1998 + (i % 5),
+                                1 + CAST(floor((i - 1) / 125) AS INT) % 12,
+                                least(
+                                  CASE CAST(floor(i / 5) AS INT) % 25
+                                    WHEN 20 THEN 22 WHEN 21 THEN 24
+                                    WHEN 22 THEN 26 WHEN 23 THEN 27
+                                    WHEN 24 THEN 30
+                                    ELSE 1 + CAST(floor(i / 5) AS INT) % 25
+                                  END,
+                                  day(last_day(make_date(
+                                    1998 + (i % 5),
+                                    1 + CAST(floor((i - 1) / 125) AS INT)
+                                      % 12, 1))))) AS dt
+               FROM (SELECT CAST(row_number() OVER (ORDER BY o_orderkey)
+                              AS INT) AS i
+                     FROM tpch_orders) n0
+               WHERE i <= 1500) n""",
     "time_dim" ->
       """SELECT CAST(p_partkey AS INT) AS t_time_sk,
                 CAST(p_partkey % 24 AS INT) AS t_hour,
@@ -662,6 +672,11 @@ object TpcdsVerbatim {
     "q4", "q5", "q10", "q11", "q14a", "q14b", "q23a", "q23b", "q24a",
     "q24b", "q31", "q35", "q51", "q54", "q58", "q64", "q66", "q72",
     "q74", "q75", "q77", "q78", "q80",
+    // unlocked by the round-11 contiguous-calendar date_dim (every date
+    // 1998-01-01..2002-02-08 exists, so q83's literal day-30 dates and
+    // their week-mates are real rows; the old 28-day-month grid could
+    // not hold them)
+    "q83",
     // from the reference's SECOND corpus (tpcds-modifiedQueries/): the
     // one file there with no tpcds/ original — counts/maxes over
     // store_sales (the other 20 are adjudicated in PORTING.md)
@@ -774,7 +789,7 @@ object TpcdsVerbatim {
   }
 
   /** The fact fixtures are lineitem-linear; persisting them makes the
-    * 95 verbatim queries scan the MATERIALIZED micro-schema (exactly how
+    * 96 verbatim queries scan the MATERIALIZED micro-schema (exactly how
     * TPC-DS is run against real tables) instead of re-deriving ~600k-row
     * channel tables inside every query plan — one materialization per
     * (SparkContext, sf dir), reused across the registry run. Values are

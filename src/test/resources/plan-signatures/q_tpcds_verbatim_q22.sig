@@ -7,18 +7,18 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.inventory
+                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.inventory
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.warehouse
+                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.warehouse
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim

@@ -5,7 +5,7 @@ CollectLimit
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -16,16 +16,16 @@ CollectLimit
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
       Project
         Filter
           ColumnarToRow
-            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim

@@ -7,7 +7,7 @@ TakeOrderedAndProject
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
             Project
               Filter
                 HashAggregate
@@ -16,4 +16,4 @@ TakeOrderedAndProject
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item

@@ -9,30 +9,30 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
                           Filter
                             HashAggregate
                               Exchange
                                 HashAggregate
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim

@@ -12,82 +12,82 @@ Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
+                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.income_band
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
+                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.income_band
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.household_demographics
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.household_demographics
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.promotion
+                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.promotion
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
+                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_demographics
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
+                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_demographics
                                                         Project
                                                           BroadcastHashJoin [broadcast,plain]
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
                                                             Project
                                                               BroadcastHashJoin [broadcast,plain]
                                                                 Filter
                                                                   ColumnarToRow
-                                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
                                                                 Project
                                                                   BroadcastHashJoin [broadcast,plain]
                                                                     Filter
                                                                       ColumnarToRow
-                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
                                                                     Project
                                                                       BroadcastHashJoin [broadcast,plain]
                                                                         Filter
                                                                           ColumnarToRow
-                                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
+                                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
                                                                         Project
                                                                           BroadcastHashJoin [broadcast,plain]
                                                                             Filter
                                                                               ColumnarToRow
-                                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
                                                                             Project
                                                                               BroadcastHashJoin [broadcast,plain]
                                                                                 Project
                                                                                   BroadcastHashJoin [broadcast,plain]
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
+                                                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_returns
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
                                                                                 Project
                                                                                   Filter
                                                                                     HashAggregate
@@ -97,14 +97,14 @@ Project
                                                                                             BroadcastHashJoin [broadcast,plain]
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_returns
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_returns
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
           HashAggregate
             Exchange
               HashAggregate
@@ -114,82 +114,82 @@ Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
+                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.income_band
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.income_band
+                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.income_band
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_address
+                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.household_demographics
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.household_demographics
+                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.household_demographics
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.promotion
+                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.promotion
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
+                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_demographics
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer_demographics
+                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_demographics
                                                         Project
                                                           BroadcastHashJoin [broadcast,plain]
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
                                                             Project
                                                               BroadcastHashJoin [broadcast,plain]
                                                                 Filter
                                                                   ColumnarToRow
-                                                                    Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
                                                                 Project
                                                                   BroadcastHashJoin [broadcast,plain]
                                                                     Filter
                                                                       ColumnarToRow
-                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.customer
+                                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
                                                                     Project
                                                                       BroadcastHashJoin [broadcast,plain]
                                                                         Filter
                                                                           ColumnarToRow
-                                                                            Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store
+                                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
                                                                         Project
                                                                           BroadcastHashJoin [broadcast,plain]
                                                                             Filter
                                                                               ColumnarToRow
-                                                                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
                                                                             Project
                                                                               BroadcastHashJoin [broadcast,plain]
                                                                                 Project
                                                                                   BroadcastHashJoin [broadcast,plain]
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_returns
+                                                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_returns
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.store_sales
+                                                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
                                                                                 Project
                                                                                   Filter
                                                                                     HashAggregate
@@ -199,11 +199,11 @@ Project
                                                                                             BroadcastHashJoin [broadcast,plain]
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_returns
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_returns
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.catalog_sales
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item

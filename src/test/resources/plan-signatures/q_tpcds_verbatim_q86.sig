@@ -11,13 +11,13 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.item
+                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.web_sales
+                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim

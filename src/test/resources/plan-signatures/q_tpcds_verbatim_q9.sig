@@ -1,4 +1,4 @@
 Project
   Filter
     ColumnarToRow
-      Scan parquet spark_catalog.graft_tpcds_2e56eb452c133e88.reason
+      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.reason

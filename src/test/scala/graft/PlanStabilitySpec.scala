@@ -38,10 +38,16 @@ class PlanStabilitySpec extends GraftSpecBase {
   // scan; the broadcast-side pick between them flips run to run —
   // observed pass/fail across identical back-to-back executions). Its
   // VALUES stay oracle-checked every round.
+  // q_ds_above_group_avg is the same disease on the composite-shape
+  // side: it joins a per-group aggregate against the group-average
+  // aggregate of the SAME scan — two similar-sized legs whose
+  // broadcast-side pick flipped once in a full-suite run while passing
+  // in isolation before and after (r11). Values stay oracle-checked
+  // via its CORRECTNESS row; only the plan PIN is non-reproducible.
   private val pinned =
     (PlanDump.headline ++ ScaleSmoke.heavy ++ PlanDump.tpcdsVerbatim)
       .distinct.filterNot(Set("op_leakage_split_deduped",
-        "q_tpcds_verbatim_q23b"))
+        "q_tpcds_verbatim_q23b", "q_ds_above_group_avg"))
 
   pinned.foreach { name =>
     test(s"plan signature pinned: $name") {
