@@ -672,10 +672,11 @@ object TpcdsVerbatim {
     "q4", "q5", "q10", "q11", "q14a", "q14b", "q23a", "q23b", "q24a",
     "q24b", "q31", "q35", "q51", "q54", "q58", "q64", "q66", "q72",
     "q74", "q75", "q77", "q78", "q80",
-    // unlocked by the round-11 contiguous-calendar date_dim (every date
-    // 1998-01-01..2002-02-08 exists, so q83's literal day-30 dates and
-    // their week-mates are real rows; the old 28-day-month grid could
-    // not hold them)
+    // unlocked by the round-11 real-calendar date_dim grid: day-of-month
+    // comes from a 25-value template {1..20,22,24,26,27,30} with last_day
+    // clamping (PORTING.md §q83), so q83's literal day-30 dates and their
+    // d_week_seq-mates are real rows; the old 28-day-month grid could not
+    // hold them
     "q83",
     // from the reference's SECOND corpus (tpcds-modifiedQueries/): the
     // one file there with no tpcds/ original — counts/maxes over

@@ -83,7 +83,8 @@ object PlanDump {
     "q_events_attribution", "q_link_best_match", "q_retr_market_basket",
     "q_mix_pipeline", "q_text_novelty")
 
-  /** The verbatim TPC-DS texts (round 11: all 95) — pinned by
+  /** The verbatim TPC-DS texts (one per TpcdsVerbatim.queryNames entry;
+    * the census lives in PORTING.md) — pinned by
     * PlanStabilitySpec so a silent plan flip (e.g. a broadcast side swap
     * on q65's double-agg join) fails the build, but NOT dumped into
     * PLANS.md (95 fixture-derived plans would drown the reviewable
