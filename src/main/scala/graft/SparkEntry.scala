@@ -41,6 +41,7 @@ object SparkEntry {
       operators.GoldenAnsi.all ++
       operators.GoldenSubq.all ++
       operators.TpcdsVerbatim.all ++
+      operators.TpchVerbatim.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
