@@ -42,6 +42,7 @@ object SparkEntry {
       operators.GoldenSubq.all ++
       operators.TpcdsVerbatim.all ++
       operators.TpchVerbatim.all ++
+      operators.SsbVerbatim.all ++
       operators.Tpch.all ++
       operators.TpchFull.all ++
       operators.Ssb.all ++
