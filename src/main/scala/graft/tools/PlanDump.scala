@@ -92,6 +92,14 @@ object PlanDump {
   val tpcdsVerbatim: Seq[String] =
     graft.operators.TpcdsVerbatim.queryNames.map("q_tpcds_verbatim_" + _)
 
+  /** Round-12 verbatim corpora: the reference's primary TPC-H benchmark
+    * and the SSB star — pinned like the TPC-DS texts. */
+  val tpchVerbatim: Seq[String] =
+    graft.operators.TpchVerbatim.queryNames.map("q_tpch_verbatim_" + _)
+  val ssbVerbatim: Seq[String] =
+    graft.operators.SsbVerbatim.queryNames
+      .map(q => "q_ssb_verbatim_" + q.replace(".", "_"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Engine.configure(

@@ -1,0 +1,24 @@
+Sort
+  Exchange
+    HashAggregate
+      Exchange
+        HashAggregate
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.part
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.date
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.lineorder
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.supplier

@@ -1,0 +1,9 @@
+Sort
+  Exchange
+    HashAggregate
+      Exchange
+        HashAggregate
+          Project
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem

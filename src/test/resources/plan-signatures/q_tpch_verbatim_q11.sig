@@ -1,0 +1,20 @@
+Sort
+  Exchange
+    Filter
+      HashAggregate
+        Exchange
+          HashAggregate
+            Project
+              BroadcastHashJoin [broadcast,plain]
+                Filter
+                  ColumnarToRow
+                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.partsupp
+                Project
+                  BroadcastHashJoin [broadcast,plain]
+                    Filter
+                      ColumnarToRow
+                        Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation

@@ -1,0 +1,15 @@
+Sort
+  Exchange
+    HashAggregate
+      Exchange
+        HashAggregate
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders

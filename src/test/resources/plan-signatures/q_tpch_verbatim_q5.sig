@@ -1,0 +1,35 @@
+Sort
+  Exchange
+    HashAggregate
+      Exchange
+        HashAggregate
+          Project
+            BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.customer
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                          Project
+                            Filter
+                              ColumnarToRow
+                                Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.region

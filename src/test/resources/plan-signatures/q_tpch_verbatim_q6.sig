@@ -1,0 +1,7 @@
+HashAggregate
+  Exchange
+    HashAggregate
+      Project
+        Filter
+          ColumnarToRow
+            Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem

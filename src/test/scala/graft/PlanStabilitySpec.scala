@@ -45,7 +45,8 @@ class PlanStabilitySpec extends GraftSpecBase {
   // in isolation before and after (r11). Values stay oracle-checked
   // via its CORRECTNESS row; only the plan PIN is non-reproducible.
   private val pinned =
-    (PlanDump.headline ++ ScaleSmoke.heavy ++ PlanDump.tpcdsVerbatim)
+    (PlanDump.headline ++ ScaleSmoke.heavy ++ PlanDump.tpcdsVerbatim ++
+      PlanDump.tpchVerbatim ++ PlanDump.ssbVerbatim)
       .distinct.filterNot(Set("op_leakage_split_deduped",
         "q_tpcds_verbatim_q23b", "q_ds_above_group_avg"))
 
