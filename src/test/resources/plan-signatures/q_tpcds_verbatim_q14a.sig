@@ -14,12 +14,12 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                 HashAggregate
                                   Exchange
                                     HashAggregate
@@ -29,55 +29,55 @@ TakeOrderedAndProject
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                                       Project
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                                     Project
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                     HashAggregate
                                       Exchange
                                         HashAggregate
@@ -87,48 +87,48 @@ TakeOrderedAndProject
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                       Project
                                                         BroadcastHashJoin [broadcast,plain]
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                                           Project
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                                         Project
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
             Project
               Filter
                 HashAggregate
@@ -139,12 +139,12 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                 HashAggregate
                                   Exchange
                                     HashAggregate
@@ -154,55 +154,55 @@ TakeOrderedAndProject
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                                       Project
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                                     Project
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                     HashAggregate
                                       Exchange
                                         HashAggregate
@@ -212,48 +212,48 @@ TakeOrderedAndProject
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                       Project
                                                         BroadcastHashJoin [broadcast,plain]
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                                           Project
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                                         Project
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
             Project
               Filter
                 HashAggregate
@@ -264,12 +264,12 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                 HashAggregate
                                   Exchange
                                     HashAggregate
@@ -279,55 +279,55 @@ TakeOrderedAndProject
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                                       Project
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                                     Project
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                     HashAggregate
                                       Exchange
                                         HashAggregate
@@ -337,45 +337,45 @@ TakeOrderedAndProject
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                       Project
                                                         BroadcastHashJoin [broadcast,plain]
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                                           Project
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                                         Project
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

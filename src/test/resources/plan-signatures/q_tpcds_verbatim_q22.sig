@@ -7,18 +7,18 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.inventory
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.inventory
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.warehouse
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.warehouse
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

@@ -11,26 +11,26 @@ Filter
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_returns
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales

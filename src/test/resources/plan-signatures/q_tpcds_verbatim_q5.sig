@@ -13,20 +13,20 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
                           Union
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_returns
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
             HashAggregate
               Exchange
                 HashAggregate
@@ -34,22 +34,22 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_page
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_page
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                           Union
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_returns
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
             HashAggregate
               Exchange
                 HashAggregate
@@ -57,23 +57,23 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_site
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_site
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                           Union
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_returns
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales

@@ -10,11 +10,11 @@ HashAggregate
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     HashAggregate
@@ -24,7 +24,7 @@ HashAggregate
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Project
@@ -32,25 +32,25 @@ HashAggregate
                                       Project
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                                       Union
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store

@@ -9,21 +9,21 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -34,21 +34,21 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
           Filter
             HashAggregate
               Exchange
@@ -57,18 +57,18 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

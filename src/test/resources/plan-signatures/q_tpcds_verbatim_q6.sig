@@ -9,30 +9,30 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                           Filter
                             HashAggregate
                               Exchange
                                 HashAggregate
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

@@ -7,38 +7,38 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

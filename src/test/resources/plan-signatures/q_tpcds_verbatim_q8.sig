@@ -10,7 +10,7 @@ HashAggregate
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
                   Project
                     Filter
                       HashAggregate
@@ -20,22 +20,22 @@ HashAggregate
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
+                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
+                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
+                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

@@ -8,25 +8,25 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_returns
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
       Project
         BroadcastHashJoin [broadcast,plain]
           HashAggregate
@@ -36,25 +36,25 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_returns
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
           HashAggregate
             Exchange
               HashAggregate
@@ -62,22 +62,22 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_returns
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

@@ -3,29 +3,29 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_returns
+          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_demographics
+              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
           Project
             BroadcastHashJoin [broadcast,plain]
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.household_demographics
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.income_band
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.income_band

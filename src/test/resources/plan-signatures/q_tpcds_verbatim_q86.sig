@@ -11,13 +11,13 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.item
+                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.web_sales
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim

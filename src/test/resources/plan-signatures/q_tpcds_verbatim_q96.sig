@@ -9,16 +9,16 @@ HashAggregate
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store_sales
+                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.time_dim
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.store
+                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.household_demographics
+                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics

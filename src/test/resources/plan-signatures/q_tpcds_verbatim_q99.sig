@@ -6,23 +6,23 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.warehouse
+                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.warehouse
             Project
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.call_center
+                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.call_center
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.ship_mode
+                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.ship_mode
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.catalog_sales
+                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_836d060148ea3130.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
