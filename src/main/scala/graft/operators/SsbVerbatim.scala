@@ -260,6 +260,8 @@ object SsbVerbatim {
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // star facts are <1M rows — see TpchVerbatim.fixtureSession
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       spark
     })
 

@@ -371,6 +371,13 @@ object TpchVerbatim {
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // fixture-session-scoped: the micro-schema facts are <1M rows, so 32
+      // shuffle partitions are pure task-scheduling floor on 22 sub-second
+      // queries (same rationale as the battery replay's 4 partitions —
+      // ecd5a91); values are unaffected (every sum is exact under any
+      // accumulation order by fixture design), and at real scale the
+      // partition count is a deploy-time conf, not a plan property
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       spark
     })
 

