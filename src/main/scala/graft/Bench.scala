@@ -72,7 +72,15 @@ object Bench {
     // bench run refreshes a committable full artifact (the stdout tail
     // keeps only ~1.8 KB; BENCH_full_latest.json is the complete record a
     // judge can diff per-query without re-running).
-    Seq("/tmp/graft_bench.json", "/root/repo/BENCH_full_latest.json")
+    // a FILTERED dev/band run must never clobber the committed full
+    // artifact (RegistrySpec would catch the count mismatch, but the
+    // overwrite itself destroys the round's record — keep partial maps in
+    // /tmp only)
+    val sinks =
+      if (only.isEmpty) Seq("/tmp/graft_bench.json",
+        "/root/repo/BENCH_full_latest.json")
+      else Seq("/tmp/graft_bench.json")
+    sinks
       .foreach { path =>
         try java.nio.file.Files.writeString(
           java.nio.file.Paths.get(path), fullJson + "\n")

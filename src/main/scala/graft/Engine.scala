@@ -42,6 +42,28 @@ object Engine {
     // reader rejects; read as raw long nanos and normalize in Tables.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+
+  /** One shared small-fixture session profile for the verbatim-corpus
+    * sessions (TPC-H / TPC-DS / SSB fixture sessions — previously three
+    * duplicated string-configs, VERDICT r12 #6).
+    *
+    * Rationale (one place, session-scoped): a materialized micro-schema
+    * whose largest fact is under [[smallFactRows]] runs 22-103 sub-second
+    * queries where 32-way shuffles are pure task-scheduling floor — 8
+    * partitions cut per-query stage-launch overhead without moving any
+    * value (every fixture sum is exact under any accumulation order by
+    * design). Above the threshold (the scaled verbatim runs,
+    * [[graft.tools.TpchScaleBench]]) the floor would SERIALIZE real work
+    * onto a quarter of the cores, so the session keeps the engine-wide
+    * cores-wide default. At deploy scale the partition count is a
+    * deploy-time conf, not a plan property — plan signatures normalize it
+    * away. (The battery replay's 4-partition conf is a different surface:
+    * serial statement replay, tuned separately — ecd5a91.) */
+  val smallFactRows = 2000000L
+
+  def tuneFixtureSession(spark: SparkSession, largestFactRows: Long): Unit =
+    if (largestFactRows < smallFactRows)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
 }
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md).

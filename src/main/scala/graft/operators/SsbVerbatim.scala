@@ -260,8 +260,9 @@ object SsbVerbatim {
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      // star facts are <1M rows — see TpchVerbatim.fixtureSession
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // shared small-fixture profile (rationale at Engine.tuneFixtureSession)
+      graft.Engine.tuneFixtureSession(spark,
+        spark.table("lineorder").count())
       spark
     })
 

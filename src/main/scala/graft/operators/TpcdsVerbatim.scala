@@ -443,7 +443,39 @@ object TpcdsVerbatim {
          FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
                       CAST(round(l_quantity, 0) AS BIGINT) AS q
-               FROM tpch_lineitem) b""",
+               FROM tpch_lineitem) b
+         UNION ALL
+         SELECT CAST(1 AS INT) AS ss_sold_date_sk,
+                CAST(NULL AS INT) AS ss_sold_time_sk,
+                CAST(999999 AS INT) AS ss_item_sk,
+                CAST(1 + (t * 7) % 500 AS INT) AS ss_customer_sk,
+                CAST(6 AS INT) AS ss_store_sk,
+                CAST(12 AS INT) AS ss_hdemo_sk,
+                CAST(NULL AS INT) AS ss_cdemo_sk,
+                CAST(NULL AS INT) AS ss_addr_sk,
+                CAST(NULL AS INT) AS ss_promo_sk,
+                CAST(900000000 + t AS BIGINT) AS ss_ticket_number,
+                CAST(99 AS DOUBLE) AS ss_quantity,
+                CAST(1 + (t * 7 + j * 3) % 998 AS DOUBLE)
+                  AS ss_ext_sales_price,
+                CAST((t * 11 + j * 5) % 999 AS DOUBLE) AS ss_ext_list_price,
+                CAST((t * 3 + j) % 99 AS DOUBLE) AS ss_ext_tax,
+                CAST(1 + (t * 5 + j * 7) % 198 AS DOUBLE) AS ss_sales_price,
+                CAST((t * 2 + j * 9) % 99 AS DOUBLE) AS ss_coupon_amt,
+                CAST(((t * 13 + j * 11) % 199) - 100 AS DOUBLE)
+                  AS ss_net_profit,
+                CAST((t * 31 + j * 13) % 199 AS DOUBLE) AS ss_list_price,
+                CAST((t * 17 + j * 19) % 999 AS DOUBLE) AS ss_net_paid,
+                CAST((t * 19 + j * 23) % 99 AS DOUBLE) AS ss_wholesale_cost,
+                CAST((t * 23 + j * 29) % 999 AS DOUBLE)
+                  AS ss_ext_wholesale_cost,
+                CAST((t * 29 + j * 31) % 499 AS DOUBLE)
+                  AS ss_ext_discount_amt
+         FROM (SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INT)
+                 AS t FROM tpch_orders) nt,
+              (SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS INT)
+                 AS j FROM tpch_orders) nj
+         WHERE t <= 60 AND j <= 15 + (t % 6)""",
     "store_returns" ->
       """SELECT CAST(1 + (l_orderkey * 7 + l_linenumber
                           + (l_suppkey * 7) % 150) % 1500 AS INT)
@@ -718,9 +750,7 @@ object TpcdsVerbatim {
     * decimal-avg rendering), unlocked by [[dualRound]] — a `round(col, 4)
     * → DOUBLE` wrapper applied IDENTICALLY to both engines around the
     * untouched verbatim text (both round doubles half-away-from-zero,
-    * probed). q34 stays excluded: its 15-20-line ticket filter needs
-    * ticket lengths the shared ss/sr join identity caps at ~7 (PORTING.md
-    * census). Four fixture deltas feed this tranche: date_dim gained
+    * probed). Four fixture deltas feed this tranche: date_dim gained
     * d_quarter_name (q17's join key); the three returns tables gained a
     * ~1% `% 89` lane of >10000 amounts (q49's `_return_amt > 10000`
     * filters select nothing in a 0..998 range); every 97th item's
@@ -736,7 +766,29 @@ object TpcdsVerbatim {
   private val wave3: Seq[String] =
     Seq("q17", "q18", "q39a", "q39b", "q49", "q61", "q90")
 
-  val queryNames: Seq[String] = wave1 ++ wave2 ++ wave3
+  /** round-13: q34, the last census hole — its `cnt BETWEEN 15 AND 20`
+    * ticket filter needs ticket lengths the base ss derivation caps at
+    * TPC-H's 7 lines per order. Unlocked by a dedicated high-multiplicity
+    * ticket LANE union'd onto store_sales (the q83 calendar-grid
+    * precedent: extend the fixture where a literal filter outruns the
+    * base-data shape): 60 tickets of exactly 15 + t%6 lines each, in a
+    * disjoint ticket-number space (9e8 + t, no l_orderkey collision →
+    * the q25/q29/q50/q93 ss⋈sr ticket join identity is untouched), all
+    * sharing one dim combination that passes q34's every predicate
+    * (date_sk 1 → d_dom 1/d_year 1999; store 6 → 'Williamson County';
+    * hdemo 12 → '>10000', 4 deps / 2 vehicles = 2.0 > 1.2). The lane is
+    * deliberately INVISIBLE to the rest of the corpus where a filter
+    * could cut a ticket partially: item/cdemo/addr/promo/time keys are
+    * NULL or out-of-range (every item-joining text drops it whole),
+    * ss_quantity = 99 sits above q28's 0-30 bands, store 6's 298
+    * employees sits outside q79's 200-295 band, and q73's `cnt BETWEEN 1
+    * AND 5` can't admit a 15-20-line ticket. Texts that do aggregate the
+    * lane (ss_max, q43/q59/q70-class store rollups, q23's per-customer
+    * sums) recompute identically on both engines — measures stay
+    * integer-valued doubles per the fixture determinism rules. */
+  private val wave4: Seq[String] = Seq("q34")
+
+  val queryNames: Seq[String] = wave1 ++ wave2 ++ wave3 ++ wave4
 
   private def resource(path: String): String = {
     val in = getClass.getResourceAsStream(path)
@@ -946,6 +998,11 @@ object TpcdsVerbatim {
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // shared small-fixture profile (rationale at Engine.tuneFixtureSession);
+      // r12 ran this session at the 32-partition default while TPC-H/SSB
+      // floored at 8 — unified in r13, store_sales is the largest fact
+      graft.Engine.tuneFixtureSession(spark,
+        spark.table("store_sales").count())
       spark
     })
 

@@ -329,6 +329,19 @@ object TpchVerbatim {
   private val fixtureSessions = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, String), SparkSession]
 
+  private def fixtureVersion(dir: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      (dir + fixtures.map(_._2).mkString(""))
+        .getBytes("UTF-8")).toString.replace("-", "").take(16)
+
+  /** Where [[fixtureSession]] materializes the micro-schema for `dir` —
+    * the scaled-run DuckDB twin ([[graft.tools.TpchScaleBench]] +
+    * tools/tpch_scale_duck.py) reads the SAME parquet, so both engines
+    * are timed over byte-identical tables. */
+  def fixtureRoot(dir: String): java.io.File = new java.io.File(
+    System.getProperty("java.io.tmpdir"),
+    s"graft_tpchv_fixture_${fixtureVersion(dir)}")
+
   /** Isolated session over a MATERIALIZED, ANALYZE-cataloged,
     * CBO-reordering copy of the micro-schema — one materialization per
     * (SparkContext, sf dir), reused across the registry run. Same
@@ -339,12 +352,8 @@ object TpchVerbatim {
       Tables.registerAll(spark, dir)
       baseTables.foreach(t =>
         spark.table(t).createOrReplaceTempView(s"tpch_$t"))
-      val version = java.util.UUID.nameUUIDFromBytes(
-        (dir + fixtures.map(_._2).mkString(""))
-          .getBytes("UTF-8")).toString.replace("-", "").take(16)
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_tpchv_fixture_$version")
+      val version = fixtureVersion(dir)
+      val root = fixtureRoot(dir)
       val done = new java.io.File(root, "_ALL_DONE")
       if (!done.exists()) {
         fixtures.foreach { case (n, sql) =>
@@ -371,13 +380,10 @@ object TpchVerbatim {
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-      // fixture-session-scoped: the micro-schema facts are <1M rows, so 32
-      // shuffle partitions are pure task-scheduling floor on 22 sub-second
-      // queries (same rationale as the battery replay's 4 partitions —
-      // ecd5a91); values are unaffected (every sum is exact under any
-      // accumulation order by fixture design), and at real scale the
-      // partition count is a deploy-time conf, not a plan property
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // shared small-fixture profile (rationale at the definition):
+      // lineitem is the schema's largest fact
+      graft.Engine.tuneFixtureSession(spark,
+        spark.table("lineitem").count())
       spark
     })
 

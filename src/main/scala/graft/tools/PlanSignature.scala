@@ -77,8 +77,18 @@ object PlanSignature {
       case other =>
         (("  " * d) + other.nodeName) +: other.children.flatMap(walk(_, d + 1))
     }
-    walk(plan, 0).mkString("\n") + "\n"
+    normalize(walk(plan, 0).mkString("\n") + "\n")
   }
+
+  /** The verbatim fixture sessions catalog their micro-schema in a
+    * database named by the fixture-SQL version hash
+    * ([[graft.operators.TpcdsVerbatim.fixtureSession]] et al.), and scan
+    * nodes carry that name. The hash is DATA provenance, not plan shape —
+    * without this, any fixture edit rewrites every signature in its corpus
+    * and drowns the one diff that matters (r13: the q34 ticket lane
+    * touched 103 sig files, 0 plan changes). */
+  private[graft] def normalize(sig: String): String =
+    sig.replaceAll("(graft_(?:tpcds|tpchv|ssbv))_[0-9a-f]{16}", "$1_v")
 
   /** Execute the frame (so AQE finalizes) and return the signature of the
     * final plan. */

@@ -6,8 +6,8 @@ HashAggregate
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.date
+                Scan parquet spark_catalog.graft_ssbv_v.date
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.lineorder
+                Scan parquet spark_catalog.graft_ssbv_v.lineorder

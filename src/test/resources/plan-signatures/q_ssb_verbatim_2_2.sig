@@ -7,18 +7,18 @@ Sort
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.part
+                  Scan parquet spark_catalog.graft_ssbv_v.part
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.date
+                      Scan parquet spark_catalog.graft_ssbv_v.date
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.lineorder
+                          Scan parquet spark_catalog.graft_ssbv_v.lineorder
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_ssbv_b11ff25d10d0317c.supplier
+                            Scan parquet spark_catalog.graft_ssbv_v.supplier

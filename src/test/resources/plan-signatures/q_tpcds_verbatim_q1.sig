@@ -3,7 +3,7 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+          Scan parquet spark_catalog.graft_tpcds_v.customer
       Project
         BroadcastHashJoin [broadcast,plain]
           Project
@@ -19,11 +19,11 @@ TakeOrderedAndProject
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                                    Scan parquet spark_catalog.graft_tpcds_v.store_returns
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
               Filter
                 HashAggregate
                   Exchange
@@ -32,12 +32,12 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.store_returns
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                Scan parquet spark_catalog.graft_tpcds_v.store

@@ -6,7 +6,7 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
@@ -16,35 +16,35 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                              Scan parquet spark_catalog.graft_tpcds_v.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                Scan parquet spark_catalog.graft_tpcds_v.web_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                      Scan parquet spark_catalog.graft_tpcds_v.customer_address

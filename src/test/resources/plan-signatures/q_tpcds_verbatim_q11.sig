@@ -8,15 +8,15 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                    Scan parquet spark_catalog.graft_tpcds_v.customer
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -27,15 +27,15 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                          Scan parquet spark_catalog.graft_tpcds_v.customer
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -46,15 +46,15 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                              Scan parquet spark_catalog.graft_tpcds_v.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
               HashAggregate
                 Exchange
                   HashAggregate
@@ -62,12 +62,12 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                            Scan parquet spark_catalog.graft_tpcds_v.customer
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                Scan parquet spark_catalog.graft_tpcds_v.store_sales

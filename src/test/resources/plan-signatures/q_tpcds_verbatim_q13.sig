@@ -5,7 +5,7 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+              Scan parquet spark_catalog.graft_tpcds_v.store
           Project
             BroadcastHashJoin [broadcast,plain]
               Project
@@ -14,20 +14,20 @@ HashAggregate
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                          Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                              Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_v.customer_address
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                    Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -14,12 +14,12 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                    Scan parquet spark_catalog.graft_tpcds_v.item
                                 HashAggregate
                                   Exchange
                                     HashAggregate
@@ -29,55 +29,55 @@ TakeOrderedAndProject
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                  Scan parquet spark_catalog.graft_tpcds_v.item
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                          Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                       Project
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                    Scan parquet spark_catalog.graft_tpcds_v.item
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                                     Project
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                     HashAggregate
                                       Exchange
                                         HashAggregate
@@ -87,48 +87,48 @@ TakeOrderedAndProject
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                          Scan parquet spark_catalog.graft_tpcds_v.item
                                                       Project
                                                         BroadcastHashJoin [broadcast,plain]
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                           Project
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                            Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                                         Project
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
             Project
               Filter
                 HashAggregate
@@ -139,12 +139,12 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                    Scan parquet spark_catalog.graft_tpcds_v.item
                                 HashAggregate
                                   Exchange
                                     HashAggregate
@@ -154,55 +154,55 @@ TakeOrderedAndProject
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                  Scan parquet spark_catalog.graft_tpcds_v.item
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                          Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                       Project
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                    Scan parquet spark_catalog.graft_tpcds_v.item
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                                     Project
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                     HashAggregate
                                       Exchange
                                         HashAggregate
@@ -212,48 +212,48 @@ TakeOrderedAndProject
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                          Scan parquet spark_catalog.graft_tpcds_v.item
                                                       Project
                                                         BroadcastHashJoin [broadcast,plain]
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                           Project
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                            Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                                         Project
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
             Project
               Filter
                 HashAggregate
@@ -264,12 +264,12 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                    Scan parquet spark_catalog.graft_tpcds_v.item
                                 HashAggregate
                                   Exchange
                                     HashAggregate
@@ -279,55 +279,55 @@ TakeOrderedAndProject
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                  Scan parquet spark_catalog.graft_tpcds_v.item
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                          Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                       Project
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                    Scan parquet spark_catalog.graft_tpcds_v.item
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                                     Project
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                     HashAggregate
                                       Exchange
                                         HashAggregate
@@ -337,45 +337,45 @@ TakeOrderedAndProject
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                                   Project
                                                     BroadcastHashJoin [broadcast,plain]
                                                       Filter
                                                         ColumnarToRow
-                                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                          Scan parquet spark_catalog.graft_tpcds_v.item
                                                       Project
                                                         BroadcastHashJoin [broadcast,plain]
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                           Project
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                            Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                                         Project
                                                           Filter
                                                             ColumnarToRow
-                                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                               Project
                                                 BroadcastHashJoin [broadcast,plain]
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                                   Project
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -9,12 +9,12 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                      Scan parquet spark_catalog.graft_tpcds_v.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                       HashAggregate
                         Exchange
                           HashAggregate
@@ -24,55 +24,55 @@ TakeOrderedAndProject
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                            Scan parquet spark_catalog.graft_tpcds_v.item
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                             Project
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                          Scan parquet spark_catalog.graft_tpcds_v.item
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                           Project
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                     Project
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                              Scan parquet spark_catalog.graft_tpcds_v.item
                           HashAggregate
                             Exchange
                               HashAggregate
@@ -82,48 +82,48 @@ TakeOrderedAndProject
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                            Scan parquet spark_catalog.graft_tpcds_v.item
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                Scan parquet spark_catalog.graft_tpcds_v.item
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                    Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                 Project
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                              Scan parquet spark_catalog.graft_tpcds_v.item
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
     Filter
       HashAggregate
         Exchange
@@ -133,12 +133,12 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                      Scan parquet spark_catalog.graft_tpcds_v.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                       HashAggregate
                         Exchange
                           HashAggregate
@@ -148,55 +148,55 @@ TakeOrderedAndProject
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                            Scan parquet spark_catalog.graft_tpcds_v.item
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                             Project
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                          Scan parquet spark_catalog.graft_tpcds_v.item
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                           Project
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                     Project
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                              Scan parquet spark_catalog.graft_tpcds_v.item
                           HashAggregate
                             Exchange
                               HashAggregate
@@ -206,45 +206,45 @@ TakeOrderedAndProject
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                            Scan parquet spark_catalog.graft_tpcds_v.item
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                                Scan parquet spark_catalog.graft_tpcds_v.item
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                    Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                                 Project
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                              Scan parquet spark_catalog.graft_tpcds_v.item
                                           Project
                                             BroadcastHashJoin [broadcast,plain]
                                               Filter
                                                 ColumnarToRow
-                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                                  Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                               Project
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -12,23 +12,23 @@ HashAggregate
                       BroadcastHashJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                            Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.call_center
+                          Scan parquet spark_catalog.graft_tpcds_v.call_center
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                      Scan parquet spark_catalog.graft_tpcds_v.customer_address

@@ -7,27 +7,27 @@ HashAggregate
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                  Scan parquet spark_catalog.graft_tpcds_v.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                      Scan parquet spark_catalog.graft_tpcds_v.store
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                          Scan parquet spark_catalog.graft_tpcds_v.customer
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                Scan parquet spark_catalog.graft_tpcds_v.item

@@ -11,20 +11,20 @@ Sort
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Union
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
         Project
           BroadcastHashJoin [broadcast,plain]
             HashAggregate
@@ -34,17 +34,17 @@ Sort
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Union
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                  Scan parquet spark_catalog.graft_tpcds_v.date_dim

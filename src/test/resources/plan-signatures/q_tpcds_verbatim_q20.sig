@@ -10,13 +10,13 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                        Scan parquet spark_catalog.graft_tpcds_v.item
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -7,18 +7,18 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                  Scan parquet spark_catalog.graft_tpcds_v.item
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.inventory
+                          Scan parquet spark_catalog.graft_tpcds_v.inventory
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.warehouse
+                          Scan parquet spark_catalog.graft_tpcds_v.warehouse
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -10,7 +10,7 @@ HashAggregate
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                     Project
                       Filter
                         HashAggregate
@@ -20,16 +20,16 @@ HashAggregate
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                       Project
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   Filter
                     HashAggregate
@@ -39,14 +39,14 @@ HashAggregate
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                                  Scan parquet spark_catalog.graft_tpcds_v.customer
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
         Project
           BroadcastHashJoin [broadcast,plain]
             Project
@@ -55,7 +55,7 @@ HashAggregate
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
                     Project
                       Filter
                         HashAggregate
@@ -65,16 +65,16 @@ HashAggregate
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                       Project
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   Filter
                     HashAggregate
@@ -84,11 +84,11 @@ HashAggregate
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                                  Scan parquet spark_catalog.graft_tpcds_v.customer
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                  Scan parquet spark_catalog.graft_tpcds_v.date_dim

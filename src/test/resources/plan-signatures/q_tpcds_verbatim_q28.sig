@@ -12,7 +12,7 @@ BroadcastNestedLoopJoin [broadcast,plain]
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
           HashAggregate
             Exchange
               HashAggregate
@@ -22,7 +22,7 @@ BroadcastNestedLoopJoin [broadcast,plain]
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
         HashAggregate
           Exchange
             HashAggregate
@@ -32,7 +32,7 @@ BroadcastNestedLoopJoin [broadcast,plain]
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
       HashAggregate
         Exchange
           HashAggregate
@@ -42,7 +42,7 @@ BroadcastNestedLoopJoin [broadcast,plain]
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
     HashAggregate
       Exchange
         HashAggregate
@@ -52,7 +52,7 @@ BroadcastNestedLoopJoin [broadcast,plain]
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
   HashAggregate
     Exchange
       HashAggregate
@@ -62,4 +62,4 @@ BroadcastNestedLoopJoin [broadcast,plain]
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                    Scan parquet spark_catalog.graft_tpcds_v.store_sales

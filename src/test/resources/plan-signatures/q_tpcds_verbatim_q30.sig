@@ -12,16 +12,16 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                            Scan parquet spark_catalog.graft_tpcds_v.customer_address
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                                Scan parquet spark_catalog.graft_tpcds_v.web_returns
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -32,22 +32,22 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                          Scan parquet spark_catalog.graft_tpcds_v.customer_address
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.web_returns
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                  Scan parquet spark_catalog.graft_tpcds_v.customer
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                    Scan parquet spark_catalog.graft_tpcds_v.customer_address

@@ -5,7 +5,7 @@ CollectLimit
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -16,16 +16,16 @@ CollectLimit
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                    Scan parquet spark_catalog.graft_tpcds_v.item
       Project
         Filter
           ColumnarToRow
-            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+            Scan parquet spark_catalog.graft_tpcds_v.date_dim

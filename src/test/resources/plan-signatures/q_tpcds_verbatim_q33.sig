@@ -10,26 +10,26 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                        Scan parquet spark_catalog.graft_tpcds_v.item
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                            Scan parquet spark_catalog.graft_tpcds_v.customer_address
         HashAggregate
           Exchange
             HashAggregate
@@ -38,26 +38,26 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                        Scan parquet spark_catalog.graft_tpcds_v.item
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                            Scan parquet spark_catalog.graft_tpcds_v.customer_address
         HashAggregate
           Exchange
             HashAggregate
@@ -66,23 +66,23 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                        Scan parquet spark_catalog.graft_tpcds_v.item
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                            Scan parquet spark_catalog.graft_tpcds_v.customer_address

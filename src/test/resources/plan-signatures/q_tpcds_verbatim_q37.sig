@@ -6,7 +6,7 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
@@ -14,12 +14,12 @@ TakeOrderedAndProject
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.inventory
+                          Scan parquet spark_catalog.graft_tpcds_v.inventory
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                      Scan parquet spark_catalog.graft_tpcds_v.date_dim

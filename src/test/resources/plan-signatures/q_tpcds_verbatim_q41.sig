@@ -7,7 +7,7 @@ TakeOrderedAndProject
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                  Scan parquet spark_catalog.graft_tpcds_v.item
             Project
               Filter
                 HashAggregate
@@ -16,4 +16,4 @@ TakeOrderedAndProject
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                            Scan parquet spark_catalog.graft_tpcds_v.item

@@ -3,12 +3,12 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+          Scan parquet spark_catalog.graft_tpcds_v.item
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+              Scan parquet spark_catalog.graft_tpcds_v.item
           Project
             BroadcastHashJoin [broadcast,plain]
               Project
@@ -26,7 +26,7 @@ TakeOrderedAndProject
                                       Project
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
               Project
                 Filter
                   Window
@@ -42,4 +42,4 @@ TakeOrderedAndProject
                                       Project
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                            Scan parquet spark_catalog.graft_tpcds_v.store_sales

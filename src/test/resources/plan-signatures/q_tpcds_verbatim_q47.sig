@@ -17,20 +17,20 @@ TakeOrderedAndProject
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                      Scan parquet spark_catalog.graft_tpcds_v.item
                                   Project
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                          Scan parquet spark_catalog.graft_tpcds_v.store
                                       Project
                                         BroadcastHashJoin [broadcast,plain]
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
           Project
             Window
               Sort
@@ -42,20 +42,20 @@ TakeOrderedAndProject
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                    Scan parquet spark_catalog.graft_tpcds_v.store
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
       Project
         Window
           Sort
@@ -67,17 +67,17 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                            Scan parquet spark_catalog.graft_tpcds_v.item
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                Scan parquet spark_catalog.graft_tpcds_v.store
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales

@@ -13,20 +13,20 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                              Scan parquet spark_catalog.graft_tpcds_v.store
                           Union
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_returns
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
             HashAggregate
               Exchange
                 HashAggregate
@@ -34,22 +34,22 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_page
+                          Scan parquet spark_catalog.graft_tpcds_v.catalog_page
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Union
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
             HashAggregate
               Exchange
                 HashAggregate
@@ -57,23 +57,23 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_site
+                          Scan parquet spark_catalog.graft_tpcds_v.web_site
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Union
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.web_sales
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                                    Scan parquet spark_catalog.graft_tpcds_v.web_returns
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.web_sales

@@ -6,23 +6,23 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                Scan parquet spark_catalog.graft_tpcds_v.store
             Project
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                            Scan parquet spark_catalog.graft_tpcds_v.store_returns
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -18,11 +18,11 @@ TakeOrderedAndProject
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                     Project
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
               Sort
                 Exchange
                   Project
@@ -36,8 +36,8 @@ TakeOrderedAndProject
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                     Project
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim

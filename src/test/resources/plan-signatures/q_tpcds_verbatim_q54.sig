@@ -10,11 +10,11 @@ HashAggregate
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     HashAggregate
@@ -24,7 +24,7 @@ HashAggregate
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                                  Scan parquet spark_catalog.graft_tpcds_v.customer
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Project
@@ -32,25 +32,25 @@ HashAggregate
                                       Project
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                            Scan parquet spark_catalog.graft_tpcds_v.item
                                       Union
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                         Project
                                           Filter
                                             ColumnarToRow
-                                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                              Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                            Scan parquet spark_catalog.graft_tpcds_v.customer_address
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                            Scan parquet spark_catalog.graft_tpcds_v.store

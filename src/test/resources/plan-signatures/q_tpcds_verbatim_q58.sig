@@ -9,21 +9,21 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                      Scan parquet spark_catalog.graft_tpcds_v.item
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.web_sales
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -34,21 +34,21 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
           Filter
             HashAggregate
               Exchange
@@ -57,18 +57,18 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim

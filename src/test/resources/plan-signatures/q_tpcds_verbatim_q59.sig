@@ -7,7 +7,7 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                  Scan parquet spark_catalog.graft_tpcds_v.store
               HashAggregate
                 Exchange
                   HashAggregate
@@ -15,21 +15,21 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                Scan parquet spark_catalog.graft_tpcds_v.date_dim
       Project
         BroadcastHashJoin [broadcast,plain]
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                  Scan parquet spark_catalog.graft_tpcds_v.store
               HashAggregate
                 Exchange
                   HashAggregate
@@ -37,11 +37,11 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -9,7 +9,7 @@ Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                      Scan parquet spark_catalog.graft_tpcds_v.customer
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
@@ -18,23 +18,23 @@ Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                            Scan parquet spark_catalog.graft_tpcds_v.store
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                    Scan parquet spark_catalog.graft_tpcds_v.customer_address
     HashAggregate
       Exchange
         HashAggregate
@@ -44,7 +44,7 @@ Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                      Scan parquet spark_catalog.graft_tpcds_v.customer
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
@@ -55,24 +55,24 @@ Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                    Scan parquet spark_catalog.graft_tpcds_v.item
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                                Scan parquet spark_catalog.graft_tpcds_v.promotion
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                            Scan parquet spark_catalog.graft_tpcds_v.store
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                    Scan parquet spark_catalog.graft_tpcds_v.customer_address

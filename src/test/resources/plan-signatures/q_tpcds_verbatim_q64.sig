@@ -12,82 +12,82 @@ Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.income_band
+                            Scan parquet spark_catalog.graft_tpcds_v.income_band
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.income_band
+                                Scan parquet spark_catalog.graft_tpcds_v.income_band
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                                    Scan parquet spark_catalog.graft_tpcds_v.customer_address
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                                        Scan parquet spark_catalog.graft_tpcds_v.customer_address
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                                            Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                                                Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                                                    Scan parquet spark_catalog.graft_tpcds_v.promotion
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                                                        Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                                                            Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                                                         Project
                                                           BroadcastHashJoin [broadcast,plain]
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                             Project
                                                               BroadcastHashJoin [broadcast,plain]
                                                                 Filter
                                                                   ColumnarToRow
-                                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                                 Project
                                                                   BroadcastHashJoin [broadcast,plain]
                                                                     Filter
                                                                       ColumnarToRow
-                                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                                                                        Scan parquet spark_catalog.graft_tpcds_v.customer
                                                                     Project
                                                                       BroadcastHashJoin [broadcast,plain]
                                                                         Filter
                                                                           ColumnarToRow
-                                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                                                            Scan parquet spark_catalog.graft_tpcds_v.store
                                                                         Project
                                                                           BroadcastHashJoin [broadcast,plain]
                                                                             Filter
                                                                               ColumnarToRow
-                                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                                             Project
                                                                               BroadcastHashJoin [broadcast,plain]
                                                                                 Project
                                                                                   BroadcastHashJoin [broadcast,plain]
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                                                                                        Scan parquet spark_catalog.graft_tpcds_v.store_returns
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                                                                 Project
                                                                                   Filter
                                                                                     HashAggregate
@@ -97,14 +97,14 @@ Project
                                                                                             BroadcastHashJoin [broadcast,plain]
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item
           HashAggregate
             Exchange
               HashAggregate
@@ -114,82 +114,82 @@ Project
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.income_band
+                            Scan parquet spark_catalog.graft_tpcds_v.income_band
                         Project
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.income_band
+                                Scan parquet spark_catalog.graft_tpcds_v.income_band
                             Project
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                                    Scan parquet spark_catalog.graft_tpcds_v.customer_address
                                 Project
                                   BroadcastHashJoin [broadcast,plain]
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                                        Scan parquet spark_catalog.graft_tpcds_v.customer_address
                                     Project
                                       BroadcastHashJoin [broadcast,plain]
                                         Filter
                                           ColumnarToRow
-                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                                            Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                                         Project
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                                                Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                                                    Scan parquet spark_catalog.graft_tpcds_v.promotion
                                                 Project
                                                   BroadcastHashJoin [broadcast,plain]
                                                     Filter
                                                       ColumnarToRow
-                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                                                        Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                                                     Project
                                                       BroadcastHashJoin [broadcast,plain]
                                                         Filter
                                                           ColumnarToRow
-                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                                                            Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                                                         Project
                                                           BroadcastHashJoin [broadcast,plain]
                                                             Filter
                                                               ColumnarToRow
-                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                             Project
                                                               BroadcastHashJoin [broadcast,plain]
                                                                 Filter
                                                                   ColumnarToRow
-                                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                                 Project
                                                                   BroadcastHashJoin [broadcast,plain]
                                                                     Filter
                                                                       ColumnarToRow
-                                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                                                                        Scan parquet spark_catalog.graft_tpcds_v.customer
                                                                     Project
                                                                       BroadcastHashJoin [broadcast,plain]
                                                                         Filter
                                                                           ColumnarToRow
-                                                                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                                                            Scan parquet spark_catalog.graft_tpcds_v.store
                                                                         Project
                                                                           BroadcastHashJoin [broadcast,plain]
                                                                             Filter
                                                                               ColumnarToRow
-                                                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                                                Scan parquet spark_catalog.graft_tpcds_v.date_dim
                                                                             Project
                                                                               BroadcastHashJoin [broadcast,plain]
                                                                                 Project
                                                                                   BroadcastHashJoin [broadcast,plain]
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                                                                                        Scan parquet spark_catalog.graft_tpcds_v.store_returns
                                                                                     Filter
                                                                                       ColumnarToRow
-                                                                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                                                                 Project
                                                                                   Filter
                                                                                     HashAggregate
@@ -199,11 +199,11 @@ Project
                                                                                             BroadcastHashJoin [broadcast,plain]
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                                                                                               Filter
                                                                                                 ColumnarToRow
-                                                                                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                                                                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                          Scan parquet spark_catalog.graft_tpcds_v.item

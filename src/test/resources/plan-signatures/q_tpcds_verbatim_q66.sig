@@ -9,7 +9,7 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.warehouse
+                      Scan parquet spark_catalog.graft_tpcds_v.warehouse
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
@@ -18,18 +18,18 @@ TakeOrderedAndProject
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.web_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.ship_mode
+                                Scan parquet spark_catalog.graft_tpcds_v.ship_mode
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.time_dim
         HashAggregate
           Exchange
             HashAggregate
@@ -37,7 +37,7 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.warehouse
+                      Scan parquet spark_catalog.graft_tpcds_v.warehouse
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
@@ -46,15 +46,15 @@ TakeOrderedAndProject
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.ship_mode
+                                Scan parquet spark_catalog.graft_tpcds_v.ship_mode
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.time_dim

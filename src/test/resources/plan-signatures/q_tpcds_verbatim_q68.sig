@@ -3,12 +3,12 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+          Scan parquet spark_catalog.graft_tpcds_v.customer_address
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+              Scan parquet spark_catalog.graft_tpcds_v.customer
           HashAggregate
             Exchange
               HashAggregate
@@ -16,7 +16,7 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_v.customer_address
                     Project
                       BroadcastHashJoin [broadcast,plain]
                         Project
@@ -25,16 +25,16 @@ TakeOrderedAndProject
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                                  Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                              Scan parquet spark_catalog.graft_tpcds_v.store

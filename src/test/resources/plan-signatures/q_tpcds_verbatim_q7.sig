@@ -6,7 +6,7 @@ TakeOrderedAndProject
           BroadcastHashJoin [broadcast,plain]
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                Scan parquet spark_catalog.graft_tpcds_v.item
             Project
               BroadcastHashJoin [broadcast,plain]
                 Project
@@ -15,16 +15,16 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                              Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                          Scan parquet spark_catalog.graft_tpcds_v.promotion
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                      Scan parquet spark_catalog.graft_tpcds_v.date_dim

@@ -12,7 +12,7 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                            Scan parquet spark_catalog.graft_tpcds_v.store
                         Project
                           Filter
                             Window
@@ -25,22 +25,22 @@ TakeOrderedAndProject
                                           BroadcastHashJoin [broadcast,plain]
                                             Filter
                                               ColumnarToRow
-                                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                                Scan parquet spark_catalog.graft_tpcds_v.store
                                             Project
                                               BroadcastHashJoin [broadcast,plain]
                                                 Filter
                                                   ColumnarToRow
-                                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                                 Project
                                                   Filter
                                                     ColumnarToRow
-                                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.date_dim

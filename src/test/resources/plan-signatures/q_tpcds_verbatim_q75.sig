@@ -13,59 +13,59 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.store_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.web_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
       Filter
         HashAggregate
           Exchange
@@ -78,56 +78,56 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.store_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.web_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                        Scan parquet spark_catalog.graft_tpcds_v.item

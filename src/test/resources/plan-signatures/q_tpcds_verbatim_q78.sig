@@ -9,16 +9,16 @@ TakeOrderedAndProject
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
                   Project
                     Filter
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                            Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
@@ -29,16 +29,16 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         Filter
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                                Scan parquet spark_catalog.graft_tpcds_v.web_returns
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                Scan parquet spark_catalog.graft_tpcds_v.web_sales
           HashAggregate
             Exchange
               HashAggregate
@@ -46,13 +46,13 @@ TakeOrderedAndProject
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       Filter
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                              Scan parquet spark_catalog.graft_tpcds_v.store_returns
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales

@@ -3,7 +3,7 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+          Scan parquet spark_catalog.graft_tpcds_v.customer
       HashAggregate
         Exchange
           HashAggregate
@@ -15,16 +15,16 @@ TakeOrderedAndProject
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                          Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                      Scan parquet spark_catalog.graft_tpcds_v.store

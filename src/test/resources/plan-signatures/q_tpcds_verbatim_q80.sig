@@ -11,7 +11,7 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                          Scan parquet spark_catalog.graft_tpcds_v.store
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
@@ -22,22 +22,22 @@ TakeOrderedAndProject
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                                          Scan parquet spark_catalog.graft_tpcds_v.store_returns
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                                    Scan parquet spark_catalog.graft_tpcds_v.promotion
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
             HashAggregate
               Exchange
                 HashAggregate
@@ -45,7 +45,7 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_page
+                          Scan parquet spark_catalog.graft_tpcds_v.catalog_page
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
@@ -56,22 +56,22 @@ TakeOrderedAndProject
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                                          Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                                          Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                                    Scan parquet spark_catalog.graft_tpcds_v.promotion
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item
             HashAggregate
               Exchange
                 HashAggregate
@@ -79,7 +79,7 @@ TakeOrderedAndProject
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_site
+                          Scan parquet spark_catalog.graft_tpcds_v.web_site
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Project
@@ -90,19 +90,19 @@ TakeOrderedAndProject
                                     BroadcastHashJoin [broadcast,plain]
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                                          Scan parquet spark_catalog.graft_tpcds_v.web_returns
                                       Filter
                                         ColumnarToRow
-                                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                          Scan parquet spark_catalog.graft_tpcds_v.web_sales
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                        Scan parquet spark_catalog.graft_tpcds_v.date_dim
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.promotion
+                                    Scan parquet spark_catalog.graft_tpcds_v.promotion
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.item
+                                Scan parquet spark_catalog.graft_tpcds_v.item

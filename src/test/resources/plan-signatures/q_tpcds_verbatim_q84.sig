@@ -3,29 +3,29 @@ TakeOrderedAndProject
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+          Scan parquet spark_catalog.graft_tpcds_v.store_returns
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+              Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
           Project
             BroadcastHashJoin [broadcast,plain]
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                      Scan parquet spark_catalog.graft_tpcds_v.customer
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_v.customer_address
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                      Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.income_band
+                        Scan parquet spark_catalog.graft_tpcds_v.income_band

@@ -5,7 +5,7 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.reason
+              Scan parquet spark_catalog.graft_tpcds_v.reason
           Project
             BroadcastHashJoin [broadcast,plain]
               Project
@@ -14,30 +14,30 @@ HashAggregate
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                          Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                              Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                                  Scan parquet spark_catalog.graft_tpcds_v.web_returns
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_page
+                                      Scan parquet spark_catalog.graft_tpcds_v.web_page
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                      Scan parquet spark_catalog.graft_tpcds_v.web_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_v.customer_address
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                    Scan parquet spark_catalog.graft_tpcds_v.date_dim

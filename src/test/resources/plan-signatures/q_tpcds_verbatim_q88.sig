@@ -16,19 +16,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                                      Scan parquet spark_catalog.graft_tpcds_v.time_dim
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                  Scan parquet spark_catalog.graft_tpcds_v.store
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                              Scan parquet spark_catalog.graft_tpcds_v.household_demographics
               HashAggregate
                 Exchange
                   HashAggregate
@@ -40,19 +40,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                               BroadcastHashJoin [broadcast,plain]
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales
                                 Project
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                                      Scan parquet spark_catalog.graft_tpcds_v.time_dim
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                  Scan parquet spark_catalog.graft_tpcds_v.store
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                              Scan parquet spark_catalog.graft_tpcds_v.household_demographics
             HashAggregate
               Exchange
                 HashAggregate
@@ -64,19 +64,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.store_sales
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.time_dim
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                                Scan parquet spark_catalog.graft_tpcds_v.store
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                            Scan parquet spark_catalog.graft_tpcds_v.household_demographics
           HashAggregate
             Exchange
               HashAggregate
@@ -88,19 +88,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                           BroadcastHashJoin [broadcast,plain]
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                                Scan parquet spark_catalog.graft_tpcds_v.store_sales
                             Project
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                                  Scan parquet spark_catalog.graft_tpcds_v.time_dim
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                              Scan parquet spark_catalog.graft_tpcds_v.store
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                          Scan parquet spark_catalog.graft_tpcds_v.household_demographics
         HashAggregate
           Exchange
             HashAggregate
@@ -112,19 +112,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                              Scan parquet spark_catalog.graft_tpcds_v.store_sales
                           Project
                             Filter
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                                Scan parquet spark_catalog.graft_tpcds_v.time_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                            Scan parquet spark_catalog.graft_tpcds_v.store
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                        Scan parquet spark_catalog.graft_tpcds_v.household_demographics
       HashAggregate
         Exchange
           HashAggregate
@@ -136,19 +136,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                       BroadcastHashJoin [broadcast,plain]
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                            Scan parquet spark_catalog.graft_tpcds_v.store_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.time_dim
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                          Scan parquet spark_catalog.graft_tpcds_v.store
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                      Scan parquet spark_catalog.graft_tpcds_v.household_demographics
     HashAggregate
       Exchange
         HashAggregate
@@ -160,19 +160,19 @@ BroadcastNestedLoopJoin [broadcast,plain]
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.time_dim
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                        Scan parquet spark_catalog.graft_tpcds_v.store
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                    Scan parquet spark_catalog.graft_tpcds_v.household_demographics
   HashAggregate
     Exchange
       HashAggregate
@@ -184,16 +184,16 @@ BroadcastNestedLoopJoin [broadcast,plain]
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                          Scan parquet spark_catalog.graft_tpcds_v.time_dim
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                      Scan parquet spark_catalog.graft_tpcds_v.store
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                  Scan parquet spark_catalog.graft_tpcds_v.household_demographics

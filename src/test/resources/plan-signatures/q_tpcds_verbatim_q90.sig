@@ -11,19 +11,19 @@ Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.web_sales
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.time_dim
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_page
+                        Scan parquet spark_catalog.graft_tpcds_v.web_page
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                    Scan parquet spark_catalog.graft_tpcds_v.household_demographics
     HashAggregate
       Exchange
         HashAggregate
@@ -35,16 +35,16 @@ Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.web_sales
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.time_dim
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_page
+                        Scan parquet spark_catalog.graft_tpcds_v.web_page
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                    Scan parquet spark_catalog.graft_tpcds_v.household_demographics

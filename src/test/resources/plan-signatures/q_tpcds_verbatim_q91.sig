@@ -5,12 +5,12 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.call_center
+              Scan parquet spark_catalog.graft_tpcds_v.call_center
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_demographics
+                  Scan parquet spark_catalog.graft_tpcds_v.customer_demographics
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
@@ -19,21 +19,21 @@ HashAggregate
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer
+                              Scan parquet spark_catalog.graft_tpcds_v.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_returns
+                                  Scan parquet spark_catalog.graft_tpcds_v.catalog_returns
                               Project
                                 Filter
                                   ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                                    Scan parquet spark_catalog.graft_tpcds_v.date_dim
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                            Scan parquet spark_catalog.graft_tpcds_v.household_demographics
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                        Scan parquet spark_catalog.graft_tpcds_v.customer_address

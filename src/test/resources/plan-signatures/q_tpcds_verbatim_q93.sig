@@ -5,13 +5,13 @@ TakeOrderedAndProject
         Project
           BroadcastHashJoin [broadcast,plain]
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+              Scan parquet spark_catalog.graft_tpcds_v.store_sales
             Project
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_returns
+                    Scan parquet spark_catalog.graft_tpcds_v.store_returns
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.reason
+                      Scan parquet spark_catalog.graft_tpcds_v.reason

@@ -12,23 +12,23 @@ HashAggregate
                       BroadcastHashJoin [broadcast,plain]
                         BroadcastHashJoin [broadcast,plain]
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_returns
+                            Scan parquet spark_catalog.graft_tpcds_v.web_returns
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                Scan parquet spark_catalog.graft_tpcds_v.web_sales
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_sales
+                                  Scan parquet spark_catalog.graft_tpcds_v.web_sales
                         Project
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                              Scan parquet spark_catalog.graft_tpcds_v.date_dim
                     Project
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.web_site
+                          Scan parquet spark_catalog.graft_tpcds_v.web_site
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.customer_address
+                      Scan parquet spark_catalog.graft_tpcds_v.customer_address

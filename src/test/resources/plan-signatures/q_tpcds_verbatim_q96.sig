@@ -9,16 +9,16 @@ HashAggregate
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                      Scan parquet spark_catalog.graft_tpcds_v.store_sales
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.time_dim
+                        Scan parquet spark_catalog.graft_tpcds_v.time_dim
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store
+                    Scan parquet spark_catalog.graft_tpcds_v.store
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.household_demographics
+                Scan parquet spark_catalog.graft_tpcds_v.household_demographics

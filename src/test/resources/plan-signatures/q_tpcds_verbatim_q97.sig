@@ -11,11 +11,11 @@ HashAggregate
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.catalog_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.catalog_sales
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.date_dim
           Sort
             HashAggregate
               Exchange
@@ -24,8 +24,8 @@ HashAggregate
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+                          Scan parquet spark_catalog.graft_tpcds_v.store_sales
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.date_dim
+                            Scan parquet spark_catalog.graft_tpcds_v.date_dim

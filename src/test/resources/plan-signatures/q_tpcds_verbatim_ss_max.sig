@@ -5,4 +5,4 @@ HashAggregate
         Exchange
           HashAggregate
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpcds_d13b5ee5edae3775.store_sales
+              Scan parquet spark_catalog.graft_tpcds_v.store_sales

@@ -6,4 +6,4 @@ Sort
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                Scan parquet spark_catalog.graft_tpchv_v.lineitem

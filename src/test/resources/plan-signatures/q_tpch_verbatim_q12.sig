@@ -7,8 +7,8 @@ Sort
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                  Scan parquet spark_catalog.graft_tpchv_v.orders
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                    Scan parquet spark_catalog.graft_tpchv_v.lineitem

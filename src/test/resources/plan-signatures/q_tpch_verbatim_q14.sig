@@ -5,8 +5,8 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.part
+              Scan parquet spark_catalog.graft_tpchv_v.part
           Project
             Filter
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                Scan parquet spark_catalog.graft_tpchv_v.lineitem

@@ -3,7 +3,7 @@ Exchange
     BroadcastHashJoin [broadcast,plain]
       Filter
         ColumnarToRow
-          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+          Scan parquet spark_catalog.graft_tpchv_v.supplier
       Filter
         HashAggregate
           Exchange
@@ -11,4 +11,4 @@ Exchange
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                    Scan parquet spark_catalog.graft_tpchv_v.lineitem

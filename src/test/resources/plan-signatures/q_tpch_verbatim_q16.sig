@@ -11,11 +11,11 @@ Sort
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.partsupp
+                          Scan parquet spark_catalog.graft_tpchv_v.partsupp
                       Project
                         Filter
                           ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                            Scan parquet spark_catalog.graft_tpchv_v.supplier
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.part
+                        Scan parquet spark_catalog.graft_tpchv_v.part

@@ -5,7 +5,7 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+              Scan parquet spark_catalog.graft_tpchv_v.lineitem
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -14,8 +14,8 @@ HashAggregate
                     HashAggregate
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                          Scan parquet spark_catalog.graft_tpchv_v.lineitem
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.part
+                    Scan parquet spark_catalog.graft_tpchv_v.part

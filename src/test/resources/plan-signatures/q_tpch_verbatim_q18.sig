@@ -7,27 +7,27 @@ TakeOrderedAndProject
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                  Scan parquet spark_catalog.graft_tpchv_v.lineitem
               Project
                 Filter
                   HashAggregate
                     Exchange
                       HashAggregate
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                          Scan parquet spark_catalog.graft_tpchv_v.lineitem
             Project
               BroadcastHashJoin [broadcast,plain]
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                      Scan parquet spark_catalog.graft_tpchv_v.orders
                   Project
                     Filter
                       HashAggregate
                         Exchange
                           HashAggregate
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                              Scan parquet spark_catalog.graft_tpchv_v.lineitem
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.customer
+                    Scan parquet spark_catalog.graft_tpchv_v.customer

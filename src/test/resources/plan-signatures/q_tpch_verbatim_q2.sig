@@ -5,7 +5,7 @@ TakeOrderedAndProject
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.partsupp
+              Scan parquet spark_catalog.graft_tpchv_v.partsupp
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
@@ -16,36 +16,36 @@ TakeOrderedAndProject
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.partsupp
+                              Scan parquet spark_catalog.graft_tpchv_v.partsupp
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                                  Scan parquet spark_catalog.graft_tpchv_v.supplier
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                                      Scan parquet spark_catalog.graft_tpchv_v.nation
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.region
+                                        Scan parquet spark_catalog.graft_tpchv_v.region
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.part
+                    Scan parquet spark_catalog.graft_tpchv_v.part
       Project
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+              Scan parquet spark_catalog.graft_tpchv_v.supplier
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                  Scan parquet spark_catalog.graft_tpchv_v.nation
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.region
+                    Scan parquet spark_catalog.graft_tpchv_v.region

@@ -8,25 +8,25 @@ HashAggregate
               BroadcastHashJoin [broadcast,plain]
                 BroadcastHashJoin [broadcast,plain]
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                    Scan parquet spark_catalog.graft_tpchv_v.lineitem
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                        Scan parquet spark_catalog.graft_tpchv_v.lineitem
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                      Scan parquet spark_catalog.graft_tpchv_v.lineitem
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                    Scan parquet spark_catalog.graft_tpchv_v.orders
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                  Scan parquet spark_catalog.graft_tpchv_v.supplier
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                    Scan parquet spark_catalog.graft_tpchv_v.nation

@@ -6,7 +6,7 @@ Sort
           Project
             BroadcastHashJoin [broadcast,plain]
               ColumnarToRow
-                Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                Scan parquet spark_catalog.graft_tpchv_v.orders
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.customer
+                  Scan parquet spark_catalog.graft_tpchv_v.customer

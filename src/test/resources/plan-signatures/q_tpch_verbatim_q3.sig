@@ -8,12 +8,12 @@ TakeOrderedAndProject
               BroadcastHashJoin [broadcast,plain]
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                    Scan parquet spark_catalog.graft_tpchv_v.orders
                 Project
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.customer
+                      Scan parquet spark_catalog.graft_tpchv_v.customer
             Project
               Filter
                 ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                  Scan parquet spark_catalog.graft_tpchv_v.lineitem

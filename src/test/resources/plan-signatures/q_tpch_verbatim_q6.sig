@@ -4,4 +4,4 @@ HashAggregate
       Project
         Filter
           ColumnarToRow
-            Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+            Scan parquet spark_catalog.graft_tpchv_v.lineitem

@@ -9,37 +9,37 @@ Sort
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                      Scan parquet spark_catalog.graft_tpchv_v.nation
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                      Scan parquet spark_catalog.graft_tpchv_v.supplier
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                          Scan parquet spark_catalog.graft_tpchv_v.lineitem
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                              Scan parquet spark_catalog.graft_tpchv_v.orders
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.customer
+                                  Scan parquet spark_catalog.graft_tpchv_v.customer
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                                      Scan parquet spark_catalog.graft_tpchv_v.nation
                                   Project
                                     Filter
                                       ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.region
+                                        Scan parquet spark_catalog.graft_tpchv_v.region
                   Project
                     Filter
                       ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.part
+                        Scan parquet spark_catalog.graft_tpchv_v.part

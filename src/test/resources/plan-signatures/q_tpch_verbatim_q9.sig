@@ -9,26 +9,26 @@ Sort
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.partsupp
+                      Scan parquet spark_catalog.graft_tpchv_v.partsupp
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.lineitem
+                              Scan parquet spark_catalog.graft_tpchv_v.lineitem
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.orders
+                              Scan parquet spark_catalog.graft_tpchv_v.orders
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.nation
+                              Scan parquet spark_catalog.graft_tpchv_v.nation
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.supplier
+                              Scan parquet spark_catalog.graft_tpchv_v.supplier
               Project
                 Filter
                   ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_253aead19e5431f0.part
+                    Scan parquet spark_catalog.graft_tpchv_v.part

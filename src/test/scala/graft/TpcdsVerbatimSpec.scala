@@ -49,7 +49,23 @@ class TpcdsVerbatimSpec extends GraftSpecBase {
     // (210 x 400 x 2) regardless of sf — the dense variant made q72's
     // item-only join quadratic
     val li = s.table("lineitem").count()
-    assert(s.table("store_sales").count() == li)
+    // store_sales = one row per lineitem + the q34 ticket lane: 60
+    // tickets of exactly 15 + t%6 lines = 900 + 10*(0+1+2+3+4+5) = 1050
+    // rows in the disjoint 9e8+ ticket space
+    assert(s.table("store_sales").count() == li + 1050)
+    val lane = s.sql("""SELECT ss_ticket_number, count(*) AS cnt,
+        count(DISTINCT ss_sold_date_sk || '/' || ss_store_sk || '/' ||
+              ss_hdemo_sk || '/' || ss_customer_sk) AS dims
+      FROM store_sales WHERE ss_ticket_number >= 900000000
+      GROUP BY ss_ticket_number""").collect()
+    assert(lane.length == 60, s"lane has ${lane.length} tickets")
+    assert(lane.forall(r => r.getLong(1) >= 15 && r.getLong(1) <= 20),
+      "lane ticket lengths must sit inside q34's cnt BETWEEN 15 AND 20")
+    assert(lane.forall(_.getLong(2) == 1L),
+      "each lane ticket must share one (date, store, hdemo, customer)")
+    // and the lane stays OUT of the ss<->sr ticket join identity
+    assert(s.sql("""SELECT count(*) FROM store_returns
+      WHERE sr_ticket_number >= 900000000""").head.getLong(0) == 0L)
     assert(s.table("catalog_sales").count() == li)
     assert(s.table("web_sales").count() == li)
     val inv = s.table("inventory").count()
@@ -61,7 +77,10 @@ class TpcdsVerbatimSpec extends GraftSpecBase {
     // referential closure: every NON-NULL store_sales fk resolves at gate
     // scale (ss_store_sk and ss_addr_sk carry designed ~1% NULLs — the
     // q76/q44 IS NULL slices — so nullness is not dangling)
-    val dangling = s.sql("""SELECT count(*) FROM store_sales ss
+    // (the q34 lane is exempt: its item/cdemo keys dangle BY DESIGN so
+    // item- and cdemo-joining texts can't see a partial ticket)
+    val dangling = s.sql("""SELECT count(*) FROM (
+        SELECT * FROM store_sales WHERE ss_ticket_number < 900000000) ss
       LEFT JOIN item i ON ss.ss_item_sk = i.i_item_sk
       LEFT JOIN date_dim d ON ss.ss_sold_date_sk = d.d_date_sk
       LEFT JOIN store st ON ss.ss_store_sk = st.s_store_sk
