@@ -107,6 +107,70 @@ object Tables {
     else df
   }
 
+  /** guide §2.5 "input skew — one huge unsplittable file": parquet scans
+    * parallelize at ROW-GROUP granularity, so a table whose files carry
+    * fewer row groups than the session has cores runs its scan stage — and
+    * any per-row-heavy work fused into it (sketch updates, hash chains,
+    * decimal arithmetic, text shingling) — on fewer tasks than cores no
+    * matter how Spark byte-splits the files. [[spread]] redistributes such
+    * a table once, by a natural high-cardinality key (never rand(): retry
+    * safety, guide §2.5), to the session's shuffle parallelism BEFORE the
+    * heavy compute. The condition derives from the input itself (footer
+    * row-group count vs `defaultParallelism`), so at production layouts —
+    * hundreds of row groups per 100 TB table — it is the identity and adds
+    * NO exchange; only a degenerate layout pays the (tiny, proportional)
+    * one-time shuffle. Callers are the per-row-heavy operators only:
+    * shuffle-bound queries (joins/aggregations on keys) repartition anyway
+    * and must not pay a second exchange. */
+  private val spreadKeys: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val rgCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def rowGroupCount(spark: SparkSession, path: String): Int =
+    rgCounts.computeIfAbsent(path, _ => {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(f =>
+            f.isFile && !f.getPath.getName.startsWith("_"))
+        else Array(fs.getFileStatus(p))
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRowGroups.size finally r.close()
+      }.sum
+    })
+
+  /** `keys` override: when the first downstream operation groups by a
+    * known key, spreading BY THAT KEY lets the exchange double as the
+    * operation's own shuffle (no second exchange); default is the table's
+    * natural key. The partition count is deliberately left to AQE
+    * (`parallelismFirst` coalescing): measured at sf0.1, forcing
+    * `defaultParallelism` partitions pays more per-task floor than the
+    * extra parallelism earns — AQE's size-derived pick is the
+    * scale-adaptive one (guide §2.2). */
+  def spread(spark: SparkSession, dir: String, name: String,
+      keys: String*): DataFrame = {
+    val df = apply(spark, dir, name)
+    if (rowGroupCount(spark, s"$dir/$name.parquet") >=
+        spark.sparkContext.defaultParallelism) df
+    else {
+      val ks = if (keys.nonEmpty) keys else spreadKeys(name)
+      df.repartition(ks.map(df.col): _*)
+    }
+  }
+
   /** Register every table as a temp view so SQL-text queries can run.
     * Idempotent per (session, dir): re-registers only when the dir changes. */
   def registerAll(spark: SparkSession, dir: String): Unit = {

@@ -288,7 +288,7 @@ object Aggregates {
   val aggKllQuantile = QueryDef(
     "q_agg_kll_quantile",
     (spark, dir) => {
-      val li = Tables(spark, dir, "lineitem")
+      val li = Tables.spread(spark, dir, "lineitem")
       val sk = li.groupBy(col("l_returnflag"))
         .agg(
           expr("kll_quantile(l_extendedprice, 0.5D)").as("kp50"),
@@ -467,8 +467,11 @@ object Aggregates {
   val aggBitmapDistinct = QueryDef(
     "q_agg_bitmap_distinct",
     (spark, dir) => {
-      Tables(spark, dir, "lineitem")
-        .createOrReplaceTempView("lineitem")
+      // spread view under its own name: shadowing "lineitem" would leak a
+      // repartitioned plan into every later SQL-text query (registerAll
+      // re-registers only on dir change)
+      Tables.spread(spark, dir, "lineitem")
+        .createOrReplaceTempView("lineitem_spread_bm")
       // pre-reduce to DISTINCT (flag, key) pairs first: bitmaps are
       // set-semantic so the result is identical, but bitmap_construct_agg
       // plans as a SortAggregate (object buffer) — feeding it the narrow
@@ -481,7 +484,8 @@ object Aggregates {
                      bitmap_bucket_number(l_orderkey) AS bkt,
                      bitmap_construct_agg(bitmap_bit_position(l_orderkey))
                        AS bm
-              FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+              FROM (SELECT DISTINCT l_returnflag, l_orderkey
+                    FROM lineitem_spread_bm)
               GROUP BY 1, 2)
         GROUP BY l_returnflag""")
     },
@@ -504,8 +508,8 @@ object Aggregates {
   val aggHllDistinct = QueryDef(
     "q_agg_hll_distinct",
     (spark, dir) => {
-      Tables(spark, dir, "lineitem")
-        .createOrReplaceTempView("lineitem")
+      Tables.spread(spark, dir, "lineitem")
+        .createOrReplaceTempView("lineitem_spread_hll")
       // sketch over pre-distinct pairs (set-semantic, estimate-identical)
       // — avoids the mixed distinct/sketch Expand rewrite over the raw
       // corpus, the same pre-aggregate lever as q_agg_kmv_sketch
@@ -515,7 +519,8 @@ object Aggregates {
                CAST(abs(CAST(hll_sketch_estimate(hll_sketch_agg(l_orderkey))
                              AS BIGINT) - count(l_orderkey)) * 100
                     <= count(l_orderkey) * 5 AS INT) AS within_5pct
-        FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem)
+        FROM (SELECT DISTINCT l_returnflag, l_orderkey
+              FROM lineitem_spread_hll)
         GROUP BY l_returnflag""")
     },
     Some("""

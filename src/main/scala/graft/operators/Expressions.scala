@@ -253,7 +253,9 @@ object Expressions {
   val decimalFns = QueryDef(
     "q_expr_decimal",
     (spark, dir) => {
-      val li = Tables(spark, dir, "lineitem")
+      // per-row decimal-multiply chain runs in the scan-fused partial
+      // aggregate — spread the single-row-group input (guide §2.5)
+      val li = Tables.spread(spark, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
         .agg(
           sum(round(dec2(col("l_extendedprice")) *

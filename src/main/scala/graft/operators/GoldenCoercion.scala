@@ -159,9 +159,37 @@ object GoldenCoercion {
       setup: String => Unit): Seq[Row] = {
     val out = scala.collection.mutable.Buffer[Row]()
     val pending = scala.collection.mutable.Buffer[DataFrame]()
+    // Concurrent per-statement collects instead of one union-collect
+    // (guide §2.6 "overlap independent jobs"): a 100-branch union is ONE
+    // AQE tree whose dozens of tiny exchanges materialize as serial job
+    // rounds, so the batch pays the per-job scheduling floor ~sequentially.
+    // Collecting each statement's own (already-planned) frame from a small
+    // thread pool lets the scheduler overlap those floors; statements
+    // inside a batch window are order-independent by construction (flushes
+    // precede every setup/SET — the same assumption the union relied on),
+    // and appending per-frame results in submission order keeps the output
+    // rows identical. Pool size derives from session parallelism, not a
+    // local constant.
     def flush(): Unit = if (pending.nonEmpty) {
-      out ++= pending.reduce(_ unionByName _).collect()
+      val frames = pending.toVector
       pending.clear()
+      if (frames.length == 1) out ++= frames.head.collect()
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(math.max(spark.sparkContext.defaultParallelism / 2, 2),
+            frames.length))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val fs: Vector[scala.concurrent.Future[Array[Row]]] =
+            frames.map(f => scala.concurrent.Future(f.collect()))
+          fs.foreach { f =>
+            val rows: Array[Row] = scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf)
+            out ++= rows
+          }
+        } finally pool.shutdown()
+      }
     }
     def slowPath(df: DataFrame, id: String, ty: String): Unit = {
         val n = df.columns.length

@@ -237,9 +237,24 @@ object GoldenPg {
 
   private def fromRows(spark: SparkSession, rows: Seq[Row],
       schema: Seq[(String, DataType)]): DataFrame =
+    // LocalRelation, not parallelize(rows): an RDD-backed view has NO stats
+    // (sizeInBytes = spark.sql.defaultSizeInBytes = huge), so every join
+    // against it plans sort-merge with exchanges; a LocalRelation carries
+    // its true ~1 MB size, so the 10k-row fixtures broadcast. Physical
+    // strategy only — except DOUBLE aggregation order, which the golden
+    // expectations pin: LocalTableScanExec slices at
+    // leafNodeDefaultParallelism (= cores) while the historical layout was
+    // parallelize(rows, 2). coalesce(2) restores exactly that layout
+    // (contiguous halves — no-shuffle coalesce groups consecutive slices,
+    // and ParallelCollectionRDD slices contiguously), so per-slice partial
+    // sums are bit-identical to the pinned oracle. Session-wide
+    // leafNodeDefaultParallelism=2 was tried instead and REJECTED: it
+    // flips the slicing of parser-created VALUES relations, breaking the
+    // pinned variance of pg_aggregates t033 the other way.
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 2),
+      java.util.Arrays.asList(rows: _*),
       StructType(schema.map { case (n, t) => StructField(n, t) }))
+      .coalesce(2)
 
   def registerFixtures(spark: SparkSession): Unit = {
     // every battery replay runs in a fresh session (the reference harness

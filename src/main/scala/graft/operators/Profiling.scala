@@ -53,7 +53,10 @@ object Profiling {
     (spark, dir) =>
       profile(c => expr(
         s"kmv_distinct_det(cast(cast(round($c * 100, 0) as bigint) as string))"))(
-        Tables(spark, dir, "lineitem")),
+        // per-row md5 sketch updates run in the scan-fused partial
+        // aggregate: spread the degenerate single-row-group input first
+        // (guide §2.5; identity at production layouts)
+        Tables.spread(spark, dir, "lineitem")),
     Some {
       val selects = cols.map(c => s"""
         SELECT (SELECT count(*) FROM lineitem) AS n_rows, '$c' AS col_name,
@@ -83,7 +86,8 @@ object Profiling {
   val profileLineitemExact = QueryDef(
     "q_profile_lineitem_exact",
     (spark, dir) =>
-      profile(c => countDistinct(col(c)))(Tables(spark, dir, "lineitem")),
+      profile(c => countDistinct(col(c)))(
+        Tables.spread(spark, dir, "lineitem")),
     Some {
       val selects = cols.map(c => s"""
         SELECT (SELECT count(*) FROM lineitem) AS n_rows, '$c' AS col_name,

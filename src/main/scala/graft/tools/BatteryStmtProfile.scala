@@ -18,6 +18,7 @@ object BatteryStmtProfile {
       val cat = new GoldenPg.PgCatalog
       val (width, stmts) = GoldenCoercion.loadAll(base)
       val times = scala.collection.mutable.Buffer[(String, Double, String)]()
+      var planTot = 0.0; var execTot = 0.0
       val w0 = System.nanoTime()
       GoldenCoercion.withConfRestore(spark) {
         stmts.foreach {
@@ -29,12 +30,18 @@ object BatteryStmtProfile {
               if k.startsWith("err:") || k.startsWith("skip:") => ()
           case GoldenCoercion.Stmt(id, _, stmt) =>
             val t0 = System.nanoTime()
-            spark.sql(stmt).collect()
-            times += ((id, (System.nanoTime() - t0) / 1e9, stmt))
+            val df = spark.sql(stmt)
+            df.queryExecution.executedPlan // force plan
+            val t1 = System.nanoTime()
+            df.collect()
+            val t2 = System.nanoTime()
+            times += ((id, (t2 - t0) / 1e9, stmt))
+            planTot += (t1 - t0) / 1e9
+            execTot += (t2 - t1) / 1e9
         }
       }
       val wall = (System.nanoTime() - w0) / 1e9
-      println(f"base=$base run=$run wall=$wall%.2fs (per-stmt collect)")
+      println(f"base=$base run=$run wall=$wall%.2fs (plan=$planTot%.2fs exec=$execTot%.2fs)")
       if (run == 2) times.sortBy(-_._2).take(12).foreach { case (id, t, s) =>
         println(f"  $t%6.3fs $id%-10s ${s.replaceAll("\\s+", " ").take(110)}")
       }

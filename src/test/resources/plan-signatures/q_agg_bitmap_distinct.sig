@@ -9,5 +9,7 @@ HashAggregate
                 HashAggregate
                   Exchange
                     HashAggregate
-                      ColumnarToRow
-                        Scan parquet 
+                      Project
+                        Exchange
+                          ColumnarToRow
+                            Scan parquet 

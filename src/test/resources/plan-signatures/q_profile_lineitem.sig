@@ -2,5 +2,7 @@ Generate
   ObjectHashAggregate
     Exchange
       ObjectHashAggregate
-        ColumnarToRow
-          Scan parquet 
+        Project
+          Exchange
+            ColumnarToRow
+              Scan parquet 
