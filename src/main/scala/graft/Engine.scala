@@ -61,9 +61,21 @@ object Engine {
     * serial statement replay, tuned separately — ecd5a91.) */
   val smallFactRows = 2000000L
 
-  def tuneFixtureSession(spark: SparkSession, largestFactRows: Long): Unit =
+  def tuneFixtureSession(spark: SparkSession, largestFactRows: Long): Unit = {
     if (largestFactRows < smallFactRows)
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Join strategy (guide §3.1/§9, applies at EVERY scale): allow
+    // shuffled-hash join where its per-partition size conditions hold —
+    // the corpora's fact⋈fact joins (TPC-H q9/q18/q21 lineitem⋈orders,
+    // TPC-DS ss⋈sr) otherwise pay two full sorts in sort-merge. Measured
+    // at 30× (TpchScaleBench): q9 5.9→2.0 s, section 26.2→18.4 s. The OOM
+    // risk SMJ hedges against is bounded: the static pick still requires
+    // the planner's size conditions, and the AQE threshold below only
+    // rewrites when EVERY post-shuffle partition is under 64 MB.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+  }
 }
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md).

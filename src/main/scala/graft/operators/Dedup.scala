@@ -520,9 +520,15 @@ object Dedup {
       maxRounds: Int = 25): org.apache.spark.sql.DataFrame = {
     val nodes = pairs.select(col("doc_a").as("doc"))
       .union(pairs.select(col("doc_b").as("doc"))).distinct()
-    // undirected edge list, both directions
+    // undirected edge list, both directions. Partitioned BY THE ROUND
+    // JOIN KEY before caching (guide §2.4 "two operations keyed the same
+    // way share one exchange"): the cached relation reports
+    // hashpartitioning(src), so every round's edges⋈labels join reuses the
+    // layout instead of re-shuffling the static edge list O(log d) times —
+    // at scale the edge list is the big side of every round.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .persist()
     var labels = nodes.select(col("doc"), col("doc").as("label"))
       .localCheckpoint()

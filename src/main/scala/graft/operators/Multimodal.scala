@@ -273,7 +273,8 @@ object Multimodal {
   val patchGrid = QueryDef(
     "q_mm_patchify",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      // blob synth + patch parsing is per-row scan-fused work (guide §2.5)
+      val docs = Tables.spread(spark, dir, "documents")
       val payload = unhex(repeat(md5(col("text").cast("binary")), 16))
       val blobs = docs.select(col("doc_id"),
         concat(synthBmp(lit(16L), lit(16L), lit(1L), lit(Array[Byte]())),
@@ -349,7 +350,8 @@ object Multimodal {
   val audioEnergy = QueryDef(
     "q_mm_audio_energy",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      // WAV synth + frame-energy parse is per-row scan-fused (guide §2.5)
+      val docs = Tables.spread(spark, dir, "documents")
       val payload = substring(col("text").cast("binary"), 1, 128)
       val blobs = docs.select(col("doc_id"),
         concat(
@@ -686,7 +688,8 @@ object Multimodal {
   val blobNearDup = QueryDef(
     "q_mm_blob_histo_neardup",
     (spark, dir) => {
-      val blobs = Tables(spark, dir, "documents")
+      // 256-bucket byte histogram per blob is scan-fused (guide §2.5)
+      val blobs = Tables.spread(spark, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("blob"))
       val sigs = blobHistogramSig(blobs, "doc_id", "blob")
         .join(blobs, "doc_id")

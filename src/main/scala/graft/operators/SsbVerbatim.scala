@@ -259,7 +259,8 @@ object SsbVerbatim {
         spark.sql(s"ANALYZE TABLE `$n` COMPUTE STATISTICS FOR ALL COLUMNS")
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled",
+        sys.env.getOrElse("GRAFT_JOIN_REORDER", "true"))
       // shared small-fixture profile (rationale at Engine.tuneFixtureSession)
       graft.Engine.tuneFixtureSession(spark,
         spark.table("lineorder").count())

@@ -869,7 +869,9 @@ object TextAnalysis {
   val boilerplate = QueryDef(
     "q_text_boilerplate",
     (spark, dir) => {
-      val docs = Tables(spark, dir, "documents")
+      // chunk-explode + hash census is scan-fused per doc; spreading by
+      // doc_id also pre-partitions BOTH sides of the doc_id join back
+      val docs = Tables.spread(spark, dir, "documents")
       removeBoilerplate(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))

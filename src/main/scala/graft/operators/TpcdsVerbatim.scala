@@ -997,7 +997,8 @@ object TpcdsVerbatim {
         spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS")
       }
       spark.conf.set("spark.sql.cbo.enabled", "true")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled",
+        sys.env.getOrElse("GRAFT_JOIN_REORDER", "true"))
       // shared small-fixture profile (rationale at Engine.tuneFixtureSession);
       // r12 ran this session at the 32-partition default while TPC-H/SSB
       // floored at 8 — unified in r13, store_sales is the largest fact

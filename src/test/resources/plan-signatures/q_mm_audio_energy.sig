@@ -1,34 +1,32 @@
 Project
   BroadcastHashJoin [broadcast,plain]
     HashAggregate
-      Exchange
-        HashAggregate
-          Project
-            HashAggregate
-              Exchange
-                HashAggregate
-                  Project
-                    Generate
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet 
-    HashAggregate
       HashAggregate
         HashAggregate
           HashAggregate
             Project
               Window
                 Sort
-                  Exchange
-                    Project
-                      Filter
+                  Project
+                    Filter
+                      HashAggregate
                         HashAggregate
-                          Exchange
-                            HashAggregate
+                          Project
+                            Generate
                               Project
-                                Generate
-                                  Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet 
+                                Exchange
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
+    HashAggregate
+      HashAggregate
+        Project
+          HashAggregate
+            HashAggregate
+              Project
+                Generate
+                  Project
+                    Exchange
+                      Filter
+                        ColumnarToRow
+                          Scan parquet 

@@ -3,13 +3,14 @@ HashAggregate
     HashAggregate
       Project
         BroadcastHashJoin [broadcast,plain]
-          Filter
-            ColumnarToRow
-              Scan parquet 
+          Exchange
+            Filter
+              ColumnarToRow
+                Scan parquet 
           Project
-            BroadcastHashJoin [broadcast,plain]
-              ObjectHashAggregate
-                Exchange
+            SortMergeJoin [plain,plain]
+              Sort
+                ObjectHashAggregate
                   ObjectHashAggregate
                     Project
                       BroadcastHashJoin [broadcast,plain]
@@ -17,24 +18,27 @@ HashAggregate
                           Filter
                             Generate
                               Project
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet 
+                                Exchange
+                                  Filter
+                                    ColumnarToRow
+                                      Scan parquet 
                         Project
                           Filter
                             HashAggregate
                               Exchange
                                 HashAggregate
                                   HashAggregate
-                                    Exchange
-                                      HashAggregate
-                                        Project
-                                          Filter
-                                            Generate
-                                              Project
+                                    HashAggregate
+                                      Project
+                                        Filter
+                                          Generate
+                                            Project
+                                              Exchange
                                                 ColumnarToRow
                                                   Scan parquet 
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet 
+              Sort
+                Project
+                  Exchange
+                    Filter
+                      ColumnarToRow
+                        Scan parquet 

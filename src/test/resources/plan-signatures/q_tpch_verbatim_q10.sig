@@ -4,11 +4,11 @@ TakeOrderedAndProject
       HashAggregate
         Project
           BroadcastHashJoin [broadcast,plain]
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpchv_v.nation
             Project
               BroadcastHashJoin [broadcast,plain]
-                Filter
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.nation
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
@@ -18,7 +18,7 @@ TakeOrderedAndProject
                       Filter
                         ColumnarToRow
                           Scan parquet spark_catalog.graft_tpchv_v.orders
-            Project
-              Filter
-                ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpchv_v.lineitem

@@ -6,15 +6,15 @@ Sort
           HashAggregate
             Project
               BroadcastHashJoin [broadcast,plain]
-                Filter
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.partsupp
                 Project
                   BroadcastHashJoin [broadcast,plain]
                     Filter
                       ColumnarToRow
+                        Scan parquet spark_catalog.graft_tpchv_v.partsupp
+                    Filter
+                      ColumnarToRow
                         Scan parquet spark_catalog.graft_tpchv_v.supplier
-                    Project
-                      Filter
-                        ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_v.nation
+                Project
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpchv_v.nation

@@ -5,47 +5,47 @@ TakeOrderedAndProject
         BroadcastHashJoin [broadcast,plain]
           Filter
             ColumnarToRow
-              Scan parquet spark_catalog.graft_tpchv_v.partsupp
+              Scan parquet spark_catalog.graft_tpchv_v.nation
           Project
             BroadcastHashJoin [broadcast,plain]
               Filter
-                HashAggregate
-                  Exchange
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_tpchv_v.supplier
+              Project
+                BroadcastHashJoin [broadcast,plain]
+                  Filter
                     HashAggregate
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.partsupp
+                      Exchange
+                        HashAggregate
                           Project
                             BroadcastHashJoin [broadcast,plain]
-                              Filter
-                                ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpchv_v.supplier
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
                                       Scan parquet spark_catalog.graft_tpchv_v.nation
                                   Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpchv_v.region
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.part
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpchv_v.partsupp
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpchv_v.supplier
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpchv_v.region
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_v.partsupp
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpchv_v.part
       Project
-        BroadcastHashJoin [broadcast,plain]
-          Filter
-            ColumnarToRow
-              Scan parquet spark_catalog.graft_tpchv_v.supplier
-          Project
-            BroadcastHashJoin [broadcast,plain]
-              Filter
-                ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_v.nation
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.region
+        Filter
+          ColumnarToRow
+            Scan parquet spark_catalog.graft_tpchv_v.region

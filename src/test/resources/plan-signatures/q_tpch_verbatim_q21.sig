@@ -5,28 +5,28 @@ HashAggregate
         BroadcastHashJoin [broadcast,plain]
           Project
             BroadcastHashJoin [broadcast,plain]
-              BroadcastHashJoin [broadcast,plain]
+              Project
                 BroadcastHashJoin [broadcast,plain]
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.lineitem
-                  Project
-                    Filter
+                  BroadcastHashJoin [broadcast,plain]
+                    BroadcastHashJoin [broadcast,plain]
                       ColumnarToRow
                         Scan parquet spark_catalog.graft_tpchv_v.lineitem
-                Project
+                      Project
+                        Filter
+                          ColumnarToRow
+                            Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                    Project
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_v.lineitem
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                      Scan parquet spark_catalog.graft_tpchv_v.supplier
               Project
                 Filter
                   ColumnarToRow
                     Scan parquet spark_catalog.graft_tpchv_v.orders
           Project
-            BroadcastHashJoin [broadcast,plain]
-              Filter
-                ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_v.supplier
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.nation
+            Filter
+              ColumnarToRow
+                Scan parquet spark_catalog.graft_tpchv_v.nation

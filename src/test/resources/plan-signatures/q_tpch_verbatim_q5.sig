@@ -5,20 +5,11 @@ Sort
         HashAggregate
           Project
             BroadcastHashJoin [broadcast,plain]
-              Filter
-                ColumnarToRow
-                  Scan parquet spark_catalog.graft_tpchv_v.lineitem
               Project
                 BroadcastHashJoin [broadcast,plain]
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_v.customer
-                      Project
-                        Filter
-                          ColumnarToRow
-                            Scan parquet spark_catalog.graft_tpchv_v.orders
+                  Filter
+                    ColumnarToRow
+                      Scan parquet spark_catalog.graft_tpchv_v.nation
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
@@ -28,8 +19,17 @@ Sort
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.nation
+                              Scan parquet spark_catalog.graft_tpchv_v.lineitem
                           Project
-                            Filter
-                              ColumnarToRow
-                                Scan parquet spark_catalog.graft_tpchv_v.region
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpchv_v.customer
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpchv_v.orders
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet spark_catalog.graft_tpchv_v.region

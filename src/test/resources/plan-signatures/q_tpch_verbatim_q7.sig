@@ -5,29 +5,29 @@ Sort
         HashAggregate
           Project
             BroadcastHashJoin [broadcast,plain]
-              Project
-                BroadcastHashJoin [broadcast,plain]
-                  Filter
-                    ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_v.lineitem
-                  Project
-                    BroadcastHashJoin [broadcast,plain]
-                      Filter
-                        ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_v.orders
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.customer
-                          Filter
-                            ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.nation
+              Filter
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_tpchv_v.nation
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
                       Scan parquet spark_catalog.graft_tpchv_v.nation
-                  Filter
-                    ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_v.supplier
+                  Project
+                    BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_v.customer
+                      Project
+                        BroadcastHashJoin [broadcast,plain]
+                          Filter
+                            ColumnarToRow
+                              Scan parquet spark_catalog.graft_tpchv_v.orders
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpchv_v.supplier

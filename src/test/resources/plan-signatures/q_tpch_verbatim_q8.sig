@@ -10,36 +10,36 @@ Sort
                   Filter
                     ColumnarToRow
                       Scan parquet spark_catalog.graft_tpchv_v.nation
-                  Filter
-                    ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_v.supplier
-              Project
-                BroadcastHashJoin [broadcast,plain]
                   Project
                     BroadcastHashJoin [broadcast,plain]
                       Filter
                         ColumnarToRow
-                          Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                          Scan parquet spark_catalog.graft_tpchv_v.nation
                       Project
                         BroadcastHashJoin [broadcast,plain]
                           Filter
                             ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.orders
+                              Scan parquet spark_catalog.graft_tpchv_v.customer
                           Project
                             BroadcastHashJoin [broadcast,plain]
                               Filter
                                 ColumnarToRow
-                                  Scan parquet spark_catalog.graft_tpchv_v.customer
+                                  Scan parquet spark_catalog.graft_tpchv_v.orders
                               Project
                                 BroadcastHashJoin [broadcast,plain]
                                   Filter
                                     ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpchv_v.nation
+                                      Scan parquet spark_catalog.graft_tpchv_v.supplier
                                   Project
-                                    Filter
-                                      ColumnarToRow
-                                        Scan parquet spark_catalog.graft_tpchv_v.region
-                  Project
-                    Filter
-                      ColumnarToRow
-                        Scan parquet spark_catalog.graft_tpchv_v.part
+                                    BroadcastHashJoin [broadcast,plain]
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                                      Project
+                                        Filter
+                                          ColumnarToRow
+                                            Scan parquet spark_catalog.graft_tpchv_v.part
+              Project
+                Filter
+                  ColumnarToRow
+                    Scan parquet spark_catalog.graft_tpchv_v.region

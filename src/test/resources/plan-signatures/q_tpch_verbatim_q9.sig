@@ -5,30 +5,30 @@ Sort
         HashAggregate
           Project
             BroadcastHashJoin [broadcast,plain]
+              Filter
+                ColumnarToRow
+                  Scan parquet spark_catalog.graft_tpchv_v.nation
               Project
                 BroadcastHashJoin [broadcast,plain]
                   Filter
                     ColumnarToRow
-                      Scan parquet spark_catalog.graft_tpchv_v.partsupp
+                      Scan parquet spark_catalog.graft_tpchv_v.orders
                   Project
                     BroadcastHashJoin [broadcast,plain]
+                      Filter
+                        ColumnarToRow
+                          Scan parquet spark_catalog.graft_tpchv_v.partsupp
                       Project
                         BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.lineitem
-                          Filter
-                            ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.orders
-                      Project
-                        BroadcastHashJoin [broadcast,plain]
-                          Filter
-                            ColumnarToRow
-                              Scan parquet spark_catalog.graft_tpchv_v.nation
                           Filter
                             ColumnarToRow
                               Scan parquet spark_catalog.graft_tpchv_v.supplier
-              Project
-                Filter
-                  ColumnarToRow
-                    Scan parquet spark_catalog.graft_tpchv_v.part
+                          Project
+                            BroadcastHashJoin [broadcast,plain]
+                              Filter
+                                ColumnarToRow
+                                  Scan parquet spark_catalog.graft_tpchv_v.lineitem
+                              Project
+                                Filter
+                                  ColumnarToRow
+                                    Scan parquet spark_catalog.graft_tpchv_v.part
