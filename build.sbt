@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the tail of `sbt "runMain graft.Bench"` stdout and
+// parses the bench's one-line JSON from it. With the default LoggedOutput
+// strategy every forked-process line is re-emitted through sbt's logger with
+// an "[info] " prefix, and sbt appends its own "[success] Total time" line —
+// BENCH_r12/r13 both recorded parsed:null despite a complete JSON line in the
+// tail. StdoutOutput passes the forked JVM's stdout through verbatim
+// (unprefixed), and showSuccess=false drops the trailing success banner so
+// the JSON is the last line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

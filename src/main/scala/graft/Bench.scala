@@ -75,10 +75,13 @@ object Bench {
     // a FILTERED dev/band run must never clobber the committed full
     // artifact (RegistrySpec would catch the count mismatch, but the
     // overwrite itself destroys the round's record — keep partial maps in
-    // /tmp only)
+    // /tmp only). Same for a NON-DEFAULT CORE COUNT: the driver's 8-core
+    // scaling run overwrote the round-13 32-core per-query record
+    // (VERDICT r13 #2) — the committed artifact is keyed to the default
+    // core count; scaling runs keep their map in /tmp.
     val sinks =
-      if (only.isEmpty) Seq("/tmp/graft_bench.json",
-        "/root/repo/BENCH_full_latest.json")
+      if (only.isEmpty && Engine.cpus == "32")
+        Seq("/tmp/graft_bench.json", "/root/repo/BENCH_full_latest.json")
       else Seq("/tmp/graft_bench.json")
     sinks
       .foreach { path =>

@@ -71,10 +71,32 @@ object Engine {
     // at 30× (TpchScaleBench): q9 5.9→2.0 s, section 26.2→18.4 s. The OOM
     // risk SMJ hedges against is bounded: the static pick still requires
     // the planner's size conditions, and the AQE threshold below only
-    // rewrites when EVERY post-shuffle partition is under 64 MB.
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    spark.conf.set(
-      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+    // rewrites when EVERY post-shuffle partition fits the per-task build
+    // budget. GRAFT_PREFER_SHJ=false restores the SMJ default (A/B knob,
+    // VERDICT r13 #1).
+    if (sys.env.getOrElse("GRAFT_PREFER_SHJ", "true").toBoolean) {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        shjLocalMapThreshold(Runtime.getRuntime.maxMemory,
+          spark.sparkContext.defaultParallelism).toString)
+    }
+  }
+
+  /** AQE SHJ rewrite threshold derived from the memory envelope (VERDICT
+    * r13 #7, guide §5): the r13 constant 64m OOM'd at an 8 GB heap with 32
+    * concurrent builds ("Can't acquire 67108864 bytes") — 32×64 MB of hash
+    * relations plus probe/sort buffers exceed the 0.6-fraction execution
+    * pool. Budget: execution pool ≈ heap × memory.fraction (0.6); one
+    * concurrent task per core; a build may take at most a quarter of its
+    * task's share (hash relation overhead ≈2× raw bytes, plus headroom for
+    * the probe side and concurrent non-join operators). Clamped to
+    * [16 MB, 256 MB]: below 16 MB the rewrite isn't worth the bookkeeping
+    * (broadcast usually wins there anyway), above 256 MB per-partition
+    * builds stop being the cheap case SHJ targets. */
+  def shjLocalMapThreshold(heapBytes: Long, cores: Int): Long = {
+    val perBuild = (heapBytes * 0.6).toLong / math.max(cores, 1) / 4
+    math.max(16L << 20, math.min(256L << 20, perBuild))
   }
 }
 

@@ -101,13 +101,10 @@ object GoldenCoercion {
     * stream position (mid-file SETs and DML must bind exactly as the
     * reference ran them — the analyzer is the system under test), then
     * tagged `(tc, resolved type)`, cast to strings and padded to `width`;
-    * the pending batch EXECUTES as one union + one collect whenever a
-    * setup arrives, the batch hits [[batchCap]], or the stream ends.
-    * Execution-time session conf (time zone etc.) is constant within a
-    * batch because flushes precede every setup. Cuts a
-    * per-statement-collect battery like decimalPrecision (780
-    * statements) from ~7 s to a handful of jobs. */
-  private val batchCap = 100
+    * non-foldable statements execute eagerly on a bounded pool while the
+    * driver keeps analyzing (see [[collectMatrix]]). Execution-time
+    * session conf (time zone etc.) is constant within a batch window
+    * because drains precede every setup. */
 
   /** Driver-side fast path for pure-literal statements (the bulk of the
     * coercion/pg batteries): when the analyzed plan is a Project of
@@ -157,39 +154,32 @@ object GoldenCoercion {
 
   def collectMatrix(spark: SparkSession, width: Int, stmts: Seq[Stmt])(
       setup: String => Unit): Seq[Row] = {
-    val out = scala.collection.mutable.Buffer[Row]()
-    val pending = scala.collection.mutable.Buffer[DataFrame]()
-    // Concurrent per-statement collects instead of one union-collect
-    // (guide §2.6 "overlap independent jobs"): a 100-branch union is ONE
-    // AQE tree whose dozens of tiny exchanges materialize as serial job
-    // rounds, so the batch pays the per-job scheduling floor ~sequentially.
-    // Collecting each statement's own (already-planned) frame from a small
-    // thread pool lets the scheduler overlap those floors; statements
-    // inside a batch window are order-independent by construction (flushes
-    // precede every setup/SET — the same assumption the union relied on),
-    // and appending per-frame results in submission order keeps the output
-    // rows identical. Pool size derives from session parallelism, not a
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // Eagerly-submitted per-statement collects (guide §2.6 "overlap
+    // independent jobs", r13 took the first step with a pool at flush
+    // time): each non-foldable statement's optimize+execute is handed to a
+    // bounded pool THE MOMENT it is analyzed, so the driver thread keeps
+    // parsing/analyzing the rest of the batch window while earlier
+    // statements run — previously analysis stalled whenever a 100-statement
+    // batch drained. Statements inside a window are order-independent by
+    // construction (drains precede every setup/SET, so the session conf a
+    // pooled optimize/execute reads is constant for its window — the same
+    // assumption the r13 flush relied on), and results assemble in
+    // submission order. Pool size derives from session parallelism, not a
     // local constant.
-    def flush(): Unit = if (pending.nonEmpty) {
-      val frames = pending.toVector
-      pending.clear()
-      if (frames.length == 1) out ++= frames.head.collect()
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(math.max(spark.sparkContext.defaultParallelism / 2, 2),
-            frames.length))
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        try {
-          val fs: Vector[scala.concurrent.Future[Array[Row]]] =
-            frames.map(f => scala.concurrent.Future(f.collect()))
-          fs.foreach { f =>
-            val rows: Array[Row] = scala.concurrent.Await.result(
-              f, scala.concurrent.duration.Duration.Inf)
-            out ++= rows
-          }
-        } finally pool.shutdown()
-      }
+    val out = scala.collection.mutable.Buffer[Row]()
+    val parts =
+      scala.collection.mutable.Buffer[Either[Seq[Row], Future[Seq[Row]]]]()
+    val inFlight = scala.collection.mutable.Buffer[Future[Seq[Row]]]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(spark.sparkContext.defaultParallelism / 2, 2))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // a setup/SET may change execution-visible conf: every in-flight
+    // statement must finish under the conf it was analyzed with
+    def drain(): Unit = {
+      inFlight.foreach(Await.result(_, Duration.Inf))
+      inFlight.clear()
     }
     def slowPath(df: DataFrame, id: String, ty: String): Unit = {
         val n = df.columns.length
@@ -204,36 +194,45 @@ object GoldenCoercion {
         // literal batteries (decimalPrecision's 780 statements are pure
         // constant arithmetic) CONSTANT-FOLD to a leaf LocalRelation
         // during optimization — harvest those rows driver-side instead
-        // of paying a Spark job per 100-statement union. Semantics are
-        // identical: ConstantFolding evaluates the same resolved
-        // expressions under the same session conf the executed plan
-        // would. Statements that touch fixture tables don't fold and
-        // take the batched-union path unchanged.
-        strDf.queryExecution.optimizedPlan match {
-          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-            val w = lr.output.length
-            out ++= lr.data.map(ir => Row.fromSeq(
-              (0 until w).map(i =>
-                if (ir.isNullAt(i)) null else ir.getString(i).toString)))
-          case _ =>
-            pending += strDf
-            if (pending.length >= batchCap) flush()
+        // of paying a Spark job per statement. Semantics are identical:
+        // ConstantFolding evaluates the same resolved expressions under
+        // the same session conf the executed plan would — and the pass
+        // runs on the pool inside the statement's conf window (drained
+        // before any later SET). Statements that touch fixture tables
+        // don't fold and execute on the pool unchanged.
+        val fut = Future {
+          strDf.queryExecution.optimizedPlan match {
+            case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+              val w = lr.output.length
+              lr.data.map(ir => Row.fromSeq(
+                (0 until w).map(i =>
+                  if (ir.isNullAt(i)) null else ir.getString(i).toString)))
+            case _ => strDf.collect().toSeq
+          }
         }
+        parts += Right(fut)
+        inFlight += fut
     }
-    stmts.foreach {
-      case Stmt(_, "setup", s) =>
-        flush(); setup(s)
-      case Stmt(_, k, _) if k.startsWith("err:") || k.startsWith("skip:") =>
-        () // err: pinned in the errors specs; skip: nonportable value
-      case Stmt(id, _, stmt) =>
-        val df = spark.sql(stmt)
-        val ty = df.schema.map(_.dataType.sql).mkString(", ")
-        fastLiteralCells(spark, df, width) match {
-          case Some(cells) => out += Row.fromSeq(id +: ty +: cells)
-          case None => slowPath(df, id, ty)
-        }
-    }
-    flush()
+    try {
+      stmts.foreach {
+        case Stmt(_, "setup", s) =>
+          drain(); setup(s)
+        case Stmt(_, k, _) if k.startsWith("err:") || k.startsWith("skip:") =>
+          () // err: pinned in the errors specs; skip: nonportable value
+        case Stmt(id, _, stmt) =>
+          val df = spark.sql(stmt)
+          val ty = df.schema.map(_.dataType.sql).mkString(", ")
+          fastLiteralCells(spark, df, width) match {
+            case Some(cells) => parts += Left(Seq(Row.fromSeq(id +: ty +: cells)))
+            case None => slowPath(df, id, ty)
+          }
+      }
+      drain()
+      parts.foreach {
+        case Left(rows) => out ++= rows
+        case Right(fut) => out ++= Await.result(fut, Duration.Inf)
+      }
+    } finally pool.shutdown()
     out.toSeq
   }
 

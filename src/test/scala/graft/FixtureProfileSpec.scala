@@ -35,6 +35,21 @@ class FixtureProfileSpec extends GraftSpecBase {
     assert(s.conf.get(key) == "8")
   }
 
+  test("SHJ local-map threshold derives from the memory envelope") {
+    val mb = 1L << 20
+    // r13's failure case: 8 GB heap / 32 cores can NOT afford 64 MB builds
+    // (observed "Can't acquire 67108864 bytes"); the derivation must land
+    // under that and over the 16 MB floor.
+    val small = Engine.shjLocalMapThreshold(8L << 30, 32)
+    assert(small < 64 * mb && small >= 16 * mb, s"got $small")
+    // the 48 GB rerun that ran clean gets a proportionally larger budget
+    val big = Engine.shjLocalMapThreshold(48L << 30, 32)
+    assert(big > small && big <= 256 * mb, s"got $big")
+    // clamps: a tiny heap floors at 16 MB, a huge heap caps at 256 MB
+    assert(Engine.shjLocalMapThreshold(1L << 30, 64) == 16 * mb)
+    assert(Engine.shjLocalMapThreshold(1L << 40, 4) == 256 * mb)
+  }
+
   test("no verbatim session re-introduces a duplicated literal conf") {
     // guard the unification itself: the three fixtureSession bodies must
     // route through Engine.tuneFixtureSession, not a string-config copy
