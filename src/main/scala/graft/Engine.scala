@@ -64,17 +64,25 @@ object Engine {
   def tuneFixtureSession(spark: SparkSession, largestFactRows: Long): Unit = {
     if (largestFactRows < smallFactRows)
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-    // Join strategy (guide §3.1/§9, applies at EVERY scale): allow
-    // shuffled-hash join where its per-partition size conditions hold —
-    // the corpora's fact⋈fact joins (TPC-H q9/q18/q21 lineitem⋈orders,
-    // TPC-DS ss⋈sr) otherwise pay two full sorts in sort-merge. Measured
-    // at 30× (TpchScaleBench): q9 5.9→2.0 s, section 26.2→18.4 s. The OOM
-    // risk SMJ hedges against is bounded: the static pick still requires
-    // the planner's size conditions, and the AQE threshold below only
-    // rewrites when EVERY post-shuffle partition fits the per-task build
-    // budget. GRAFT_PREFER_SHJ=false restores the SMJ default (A/B knob,
-    // VERDICT r13 #1).
-    if (sys.env.getOrElse("GRAFT_PREFER_SHJ", "true").toBoolean) {
+    // Join strategy (guide §3.1/§9), gated by the SAME fact-size threshold
+    // as the partition floor (VERDICT r13 #1): r13 applied
+    // preferSortMergeJoin=false to every fixture session unconditionally,
+    // and the committed driver run showed the tpcds_verbatim family +4.5 s.
+    // A 32-core fresh-JVM A/B this round (min-of-2 per side, both orders)
+    // measured the flip NET-NEGATIVE at micro-fixture scale on all three
+    // corpora — TPC-DS 31.5 vs 29.2 s, TPC-H+SSB 14.0 vs 12.6 s (geomean
+    // ratio 1.08/1.10): micro-scale joins mostly broadcast, and where a
+    // shuffle survives, the SHJ build adds planning/AQE-rewrite overhead
+    // without a sort worth skipping. ABOVE the threshold (the scaled
+    // verbatim runs, TpchScaleBench x30/x100) shuffled-hash is measured to
+    // win big — q9 5.9→2.0 s at x30, section 26.2→18.4 s — because the
+    // fact⋈fact joins otherwise pay two full sorts. The OOM risk SMJ
+    // hedges against stays bounded: the static pick still requires the
+    // planner's size conditions, and the AQE threshold only rewrites when
+    // EVERY post-shuffle partition fits the memory-derived per-task build
+    // budget. GRAFT_PREFER_SHJ=false restores the SMJ default (A/B knob).
+    if (largestFactRows >= smallFactRows &&
+        sys.env.getOrElse("GRAFT_PREFER_SHJ", "true").toBoolean) {
       spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       spark.conf.set(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
@@ -212,4 +220,33 @@ object Tables {
     if (viewsFor.put(id, dir) != dir)
       names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
   }
+
+  /** A derived session whose views are registered through [[spread]] —
+    * the routing target for SQL-text rows whose heavy work is FUSED INTO
+    * the scan (partial aggregation, window staging over a single table):
+    * at the degenerate single-row-group fixture layout those rows run the
+    * fused work ~single-threaded, and the spread exchange parallelizes it.
+    * Registering spread views GLOBALLY was measured net-negative (32c A/B:
+    * the 147-row main-session SQL basket 80.3 vs 57.6 s) because
+    * broadcast-join rows pay a new full exchange of the fact side for
+    * nothing — so only rows where a per-row A/B shows a win route here
+    * (QueryDef.sqlSpread). At production layouts (row groups >= cores)
+    * spread is the identity, the views degenerate to the plain ones, and
+    * the routing is a no-op. Cached per (outer session, dir) like the
+    * verbatim fixture sessions. */
+  private val spreadSessions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), SparkSession]()
+
+  def spreadSession(outer: SparkSession, dir: String): SparkSession =
+    spreadSessions.computeIfAbsent(
+      (System.identityHashCode(outer), dir), _ => {
+        val s = outer.newSession()
+        names.foreach { n =>
+          val df =
+            if (spreadKeys.contains(n)) spread(s, dir, n)
+            else apply(s, dir, n)
+          df.createOrReplaceTempView(n)
+        }
+        s
+      })
 }

@@ -1683,7 +1683,7 @@ object TpcdsShapes {
     * DIFFERENT columns plus a plain sum in ONE aggregate — the planner
     * must rewrite through Expand (one input replica per distinct set)
     * and keep the non-distinct aggregate consistent across replicas. */
-  val multiDistinct = QueryDef.sqlSame(
+  val multiDistinct = QueryDef.sqlSpread(
     "q_ds_multi_distinct",
     s"""SELECT l_returnflag,
               CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
@@ -1766,7 +1766,7 @@ object TpcdsShapes {
     * survive the Expand replication (each grouping level accumulates its
     * own exact cent sum and count); grouping() disambiguates NULL-valued
     * subtotal rows from NULL data. */
-  val rollupAvg = QueryDef.sqlSame(
+  val rollupAvg = QueryDef.sqlSpread(
     "q_ds_rollup_avg",
     s"""SELECT l_returnflag, l_linestatus,
               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)

@@ -4,36 +4,40 @@ TakeOrderedAndProject
       Sort
         Exchange
           Project
-            ShuffledHashJoin [plain,plain]
-              Project
-                Window
-                  Sort
-                    Exchange
-                      HashAggregate
+            SortMergeJoin [plain,plain]
+              Sort
+                Exchange
+                  Project
+                    Window
+                      Sort
                         Exchange
                           HashAggregate
-                            Project
-                              BroadcastHashJoin [broadcast,plain]
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_v.store_sales
+                            Exchange
+                              HashAggregate
                                 Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
-              Project
-                Window
-                  Sort
-                    Exchange
-                      HashAggregate
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_v.store_sales
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
+              Sort
+                Exchange
+                  Project
+                    Window
+                      Sort
                         Exchange
                           HashAggregate
-                            Project
-                              BroadcastHashJoin [broadcast,plain]
-                                Filter
-                                  ColumnarToRow
-                                    Scan parquet spark_catalog.graft_tpcds_v.web_sales
+                            Exchange
+                              HashAggregate
                                 Project
-                                  Filter
-                                    ColumnarToRow
-                                      Scan parquet spark_catalog.graft_tpcds_v.date_dim
+                                  BroadcastHashJoin [broadcast,plain]
+                                    Filter
+                                      ColumnarToRow
+                                        Scan parquet spark_catalog.graft_tpcds_v.web_sales
+                                    Project
+                                      Filter
+                                        ColumnarToRow
+                                          Scan parquet spark_catalog.graft_tpcds_v.date_dim
