@@ -526,9 +526,13 @@ object Dedup {
     // hashpartitioning(src), so every round's edges⋈labels join reuses the
     // layout instead of re-shuffling the static edge list O(log d) times —
     // at scale the edge list is the big side of every round.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("src"))
+    // GRAFT_CC_PREPART=0 skips the pre-partition (A/B knob for
+    // tools.CcProbe, which carries the committed scale evidence)
+    val edges =
+      (if (sys.env.get("GRAFT_CC_PREPART").contains("0")) edges0
+       else edges0.repartition(col("src")))
       .persist()
     var labels = nodes.select(col("doc"), col("doc").as("label"))
       .localCheckpoint()

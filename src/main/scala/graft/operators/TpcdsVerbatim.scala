@@ -875,7 +875,16 @@ object TpcdsVerbatim {
     * (a leading WITH in the query folds into the prefix's clause list).
     * Backtick identifier quotes (Spark dialect) become ANSI double quotes
     * on this side only. */
-  def oracleFor(q: String): String = {
+  def oracleFor(q: String): String = oracleSql(q, withFixturePrefix = true)
+
+  /** Oracle text WITHOUT the fixture-derivation WITH prefix — for runs
+    * where DuckDB reads the MATERIALIZED fixture parquet directly (the
+    * scaled twin, tools/tpcds_scale_duck.py), so both engines scan
+    * byte-identical tables. Same body fixes / null order / rename-cast
+    * shims as [[oracleFor]]. */
+  def oracleBody(q: String): String = oracleSql(q, withFixturePrefix = false)
+
+  private def oracleSql(q: String, withFixturePrefix: Boolean): String = {
     val prefix = baseTables.map(t => s"tpch_$t AS (SELECT * FROM $t)") ++
       fixtures.map { case (n, sql) => s"$n AS ($sql)" }
     val bodyFixes: Map[String, Seq[(String, String)]] = Map(
@@ -900,7 +909,8 @@ object TpcdsVerbatim {
     val body = bodyFixes.getOrElse(q, Nil)
       .foldLeft(body0) { case (b, (from, to)) => b.replace(from, to) }
     val core =
-      if (body.toUpperCase.startsWith("WITH "))
+      if (!withFixturePrefix) body
+      else if (body.toUpperCase.startsWith("WITH "))
         s"WITH ${prefix.mkString(",\n")},\n${body.drop(5)}"
       else
         s"WITH ${prefix.mkString(",\n")}\n$body"
@@ -937,6 +947,16 @@ object TpcdsVerbatim {
   private val fixtureSessions = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.SparkContext, String), SparkSession]
 
+  /** Materialized-fixture location for a source dir — content-versioned by
+    * the fixture SQL so stale scratch dirs are never reused. */
+  def fixtureRoot(dir: String): java.io.File = {
+    val version = java.util.UUID.nameUUIDFromBytes(
+      (dir + fixtures.map(_._2).mkString(""))
+        .getBytes("UTF-8")).toString.replace("-", "").take(16)
+    new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_tpcds_fixture_$version")
+  }
+
   /** Isolated session with the fixture views registered over a
     * MATERIALIZED copy of the micro-schema; cached per (context, sf dir).
     *
@@ -957,12 +977,7 @@ object TpcdsVerbatim {
       Tables.registerAll(spark, dir)
       baseTables.foreach(t =>
         spark.table(t).createOrReplaceTempView(s"tpch_$t"))
-      val version = java.util.UUID.nameUUIDFromBytes(
-        (dir + fixtures.map(_._2).mkString(""))
-          .getBytes("UTF-8")).toString.replace("-", "").take(16)
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_tpcds_fixture_$version")
+      val root = fixtureRoot(dir)
       val done = new java.io.File(root, "_ALL_DONE")
       if (!done.exists()) {
         fixtures.foreach { case (n, sql) =>
@@ -987,7 +1002,7 @@ object TpcdsVerbatim {
         "lineitem", "events", "documents", "embeddings") ++
         baseTables.map("tpch_" + _))
         .foreach(v => spark.catalog.dropTempView(v))
-      val db = s"graft_tpcds_$version"
+      val db = s"graft_tpcds_${root.getName.stripPrefix("graft_tpcds_fixture_")}"
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       spark.catalog.setCurrentDatabase(db)
       fixtures.foreach { case (n, _) =>

@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object TpchScaleBench {
 
-  private def buildScratch(spark: SparkSession, factor: Int, src: String,
-      out: String): Unit = {
+  private[tools] def buildScratch(spark: SparkSession, factor: Int,
+      src: String, out: String): Unit = {
     val done = new java.io.File(out, "_SCRATCH_DONE")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
